@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference deployment's engine configuration surface
+  * (reference: ansible/roles/trino/templates/values.yml.j2:7-19 — memory,
+  * worker parallelism) re-expressed as Spark conf: AQE on, shuffle
+  * parallelism sized to local cores (not the 200 default), runtime
+  * bloom-filter join pruning standing in for Trino's dynamic filtering
+  * (reference: results/q003/workers-1/explain.txt:53-54).
+  *
+  * At 100 TB scale the same conf carries over: AQE coalesces/re-plans at
+  * shuffle boundaries, skew-join handling is enabled, and broadcast
+  * threshold stays at the 10 MB default so dimension tables broadcast
+  * while facts shuffle.
+  */
+object GraftSession {
+
+  /** Conf applied to every session (local test or cluster submit). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Trino-style dynamic filtering analogue: runtime bloom filters pushed
+    // into the probe side of shuffled joins.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session used by Verify/Bench/tests. */
+  def local(cpus: String): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.TrinoFunctions.register(spark)
+    spark
+  }
+}

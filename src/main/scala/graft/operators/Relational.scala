@@ -1,0 +1,369 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface, mapped from the reference's five golden
+  * queries (reference: queries/q001.sql..q005.sql) onto the driver
+  * testdata's TPC-H-ish schema, plus the adjacent SQL surface the
+  * reference leaves unexercised but a drop-in engine must provide
+  * (SURVEY.md §2.3/§2.4/§2.6/§2.7 "not exercised" lists).
+  *
+  * Numeric-parity strategy (SURVEY.md §7.4): monetary doubles are cast to
+  * exact DECIMAL before aggregation (deterministic under any partitioning /
+  * re-ordering, unlike double sums), then the final result is cast back to
+  * DOUBLE so Spark and DuckDB emit identical schemas and values.
+  */
+object Relational {
+
+  /** Exact-money cast: deterministic aggregation at any parallelism. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** q001 shape (reference: queries/q001.sql — filtered scalar sum that
+    * Trino pushes wholesale into PostgreSQL; here the BETWEEN filter is
+    * pushed into the parquet scan and the sum runs partial→final). */
+  val aggPushdownSum: QueryEntry = QueryEntry(
+    "q01_agg_pushdown_sum",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1995-01-01 00:00:00").cast("timestamp"),
+        lit("1996-12-31 23:59:59").cast("timestamp")))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sales"))
+  }
+
+  /** q002 shape (reference: queries/q002.sql — second-catalog fact scan +
+    * grouped two-phase sum; partial agg at the scan, final after shuffle). */
+  val scanGroupAgg: QueryEntry = QueryEntry(
+    "q02_scan_group_agg",
+    """SELECT o_orderstatus,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+      |       COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sales"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q003 shape (reference: queries/q003.sql — fact ⋈ dim broadcast join,
+    * grouped count, TopN; Trino chose REPLICATED distribution for the dim
+    * build side — results/q003/workers-1/explain.txt:49-52 — mirrored here
+    * with explicit broadcast of both dims). */
+  val joinAggTopN: QueryEntry = QueryEntry(
+    "q03_join_agg_topn",
+    """SELECT n_name, COUNT(*) AS orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY orders DESC, n_name LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("orders"))
+      .orderBy(col("orders").desc, col("n_name").asc)
+      .limit(20)
+  }
+
+  /** q004 shape (reference: queries/q004.sql ≈ TPC-DS Q93 — LEFT JOIN with
+    * non-matches, CASE over the nullable side, grouped sum, multi-key TopN
+    * with Trino's ASC NULLS LAST default made explicit; SURVEY.md §7.4.2). */
+  val leftJoinCaseAgg: QueryEntry = QueryEntry(
+    "q04_left_join_case_agg",
+    """SELECT l_suppkey,
+      |       CAST(SUM(CASE WHEN f.o_orderkey IS NOT NULL
+      |                     THEN (CAST(l_quantity AS DECIMAL(12,2)) - 1) * CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     ELSE CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) END)
+      |            AS DOUBLE) AS sumsales
+      |FROM lineitem LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') f
+      |  ON l_orderkey = f.o_orderkey
+      |GROUP BY l_suppkey
+      |ORDER BY sumsales ASC NULLS LAST, l_suppkey ASC NULLS LAST
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val f = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    li.join(f, li("l_orderkey") === f("o_orderkey"), "left")
+      .withColumn("act",
+        when(col("o_orderkey").isNotNull,
+          (dec(col("l_quantity")) - lit(1)) * dec(col("l_extendedprice")))
+          .otherwise(dec(col("l_quantity")) * dec(col("l_extendedprice"))))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("act")).cast("double").as("sumsales"))
+      .orderBy(asc_nulls_last("sumsales"), asc_nulls_last("l_suppkey"))
+      .limit(100)
+  }
+
+  /** q005 shape (reference: queries/q005.sql ≈ TPC-DS Q87 — count of a
+    * left-to-right chain of EXCEPT DISTINCT over three branches; Catalyst
+    * plans anti-join + distinct, SURVEY.md §2.7). */
+  val exceptChainCount: QueryEntry = QueryEntry(
+    "q05_except_chain_count",
+    """SELECT COUNT(*) AS cnt FROM (
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  EXCEPT
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  EXCEPT
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def branch(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey")).distinct()
+    branch("O").except(branch("F")).except(branch("P"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Multi-column DISTINCT → Aggregate-on-keys
+    * (reference: queries/q005.sql:2 SELECT DISTINCT;
+    * results/q005/workers-1/explain.txt:57). */
+  val distinctKeys: QueryEntry = QueryEntry(
+    "q06_distinct",
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  /** Left-semi join (EXISTS) — surface the reference leaves to the engine
+    * (SURVEY.md §2.3 "not exercised; free in Spark"). */
+  val semiJoin: QueryEntry = QueryEntry(
+    "q07_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  val antiJoin: QueryEntry = QueryEntry(
+    "q08_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** INTERSECT DISTINCT (SURVEY.md §2.7 noted-absent set op). */
+  val intersectCount: QueryEntry = QueryEntry(
+    "q09_intersect_count",
+    """SELECT COUNT(*) AS cnt FROM (
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  INTERSECT
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def branch(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey")).distinct()
+    branch("O").intersect(branch("F")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** UNION ALL + re-aggregation. */
+  val unionAllAgg: QueryEntry = QueryEntry(
+    "q10_union_all_agg",
+    """SELECT src, COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'order' AS src, o_totalprice AS v FROM orders
+      |  UNION ALL
+      |  SELECT 'line' AS src, l_extendedprice AS v FROM lineitem
+      |) GROUP BY src ORDER BY src""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).select(lit("order").as("src"), col("o_totalprice").as("v"))
+    val li = Tables.lineitem(s, d).select(lit("line").as("src"), col("l_extendedprice").as("v"))
+    o.unionByName(li)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).cast("double").as("total"))
+      .orderBy(col("src"))
+  }
+
+  /** Explicit NULLS LAST TopN (Trino's ASC default; SURVEY.md §7.4.2) over
+    * an engine-generated nullable column. */
+  val topNNullsLast: QueryEntry = QueryEntry(
+    "q11_topn_nulls_last",
+    """SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN l_discount > CAST(0.05 AS DOUBLE) THEN NULL ELSE l_discount END AS d
+      |FROM lineitem
+      |ORDER BY d ASC NULLS LAST, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > lit(0.05), lit(null)).otherwise(col("l_discount")).as("d"))
+      .orderBy(asc_nulls_last("d"), col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+  }
+
+  /** ROLLUP grouping sets (SURVEY.md §2.4 noted-absent). */
+  val rollupAgg: QueryEntry = QueryEntry(
+    "q12_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("sales"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** COUNT(DISTINCT) — Catalyst Expand path (SURVEY.md §2.4 noted-absent). */
+  val countDistinctAgg: QueryEntry = QueryEntry(
+    "q13_count_distinct",
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS custs, COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("custs"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Scalar function surface: string + date functions in one projection
+    * (reference exercises cast/upper-style scalars via the loader,
+    * loader.py:213-218; date parts unexercised — SURVEY.md §2.8). */
+  val scalarFunctions: QueryEntry = QueryEntry(
+    "q14_scalar_functions",
+    """SELECT o_orderkey,
+      |       UPPER(o_orderpriority) AS pri,
+      |       SUBSTRING(o_orderpriority, 1, 1) AS p1,
+      |       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+      |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+      |       CAST(FLOOR(o_totalprice) AS BIGINT) AS fp,
+      |       CONCAT(o_orderstatus, '-', UPPER(SUBSTRING(o_orderpriority, 1, 1))) AS tag
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri"),
+        substring(col("o_orderpriority"), 1, 1).as("p1"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        floor(col("o_totalprice")).as("fp"),
+        concat(col("o_orderstatus"), lit("-"),
+          upper(substring(col("o_orderpriority"), 1, 1))).as("tag"))
+      .orderBy(col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Fact ⋈ fact shuffled join + grouped agg (q004's PARTITIONED
+    * distribution — results/q004/workers-1/explain.txt:54). At scale both
+    * sides hash-shuffle on the key; AQE can re-plan to broadcast if one
+    * side turns out small. */
+  val shuffledJoinAgg: QueryEntry = QueryEntry(
+    "q15_shuffled_join_agg",
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** min/max/avg aggregate family (SURVEY.md §2.4 noted-absent; avg built
+    * as exact decimal sum / count for cross-engine determinism). */
+  val minMaxAvg: QueryEntry = QueryEntry(
+    "q16_min_max_avg",
+    """SELECT l_returnflag,
+      |       MIN(l_quantity) AS minq, MAX(l_quantity) AS maxq,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avgq,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("minq"),
+        max(col("l_quantity")).as("maxq"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avgq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Window functions: per-group TopK via row_number (SURVEY.md §2.5 —
+    * absent from the reference, required for a complete engine surface). */
+  val windowTopK: QueryEntry = QueryEntry(
+    "q17_window_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running / offset window aggregates: running sum + rank per group. */
+  val windowRunning: QueryEntry = QueryEntry(
+    "q18_window_running",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+      |            OVER (PARTITION BY l_suppkey
+      |                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_extendedprice
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |       RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS r
+      |FROM lineitem WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    // (l_orderkey, l_linenumber) is not unique per supplier in the testdata;
+    // extra sort keys make the cumulative frame deterministic across engines.
+    val wSum = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"), col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(wSum).cast("double").as("running_qty"),
+        rank().over(wRank).as("r"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(
+    aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
+    exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
+    unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
+    scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning)
+}

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` helpers so graft code can lift custom
+  * Catalyst [[Expression]]s into user-facing [[Column]]s (the Spark 4.x
+  * Column API is node-based; `classic.ExpressionUtils` does the lifting). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
