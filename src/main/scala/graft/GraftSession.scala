@@ -28,6 +28,9 @@ object GraftSession {
     // into the probe side of shuffled joins.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    // rejects by default; read as long and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session used by Verify/Bench/tests. */

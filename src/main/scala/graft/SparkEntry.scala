@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allEntries: Seq[QueryEntry] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Temporal.all ++
+      operators.TextAnalysis.all ++ operators.Dedup.all ++
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Loader.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

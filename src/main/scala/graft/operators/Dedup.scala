@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (builder brief: first-class training-data
+  * pipeline components).
+  *
+  * Scale posture (100 TB): exact dedup shuffles 32-byte digests, never
+  * documents; MinHash reduces each doc to a 32×8-byte signature and LSH
+  * banding turns the quadratic all-pairs problem into an equi-join on
+  * (band, bucket); the only quadratic work left is exact verification
+  * *within* candidate buckets. */
+object Dedup {
+
+  /** Seed-parameterized XXH64 (Spark's codegen'd hash expression). */
+  private def xxh(seed: Long, cols: Column*): Column =
+    GraftBridge.column(XxHash64(cols.map(GraftBridge.expression), seed))
+
+  /** Exact dedup by content digest: group on sha256(text), keep the
+    * lowest doc_id. Shuffles only (digest, id) pairs — at 100 TB the
+    * documents themselves never move. */
+  val exact: QueryEntry = QueryEntry(
+    "d01_dedup_exact",
+    """SELECT sha256(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Word-set (1-gram) Jaccard near-dup detection of a probe set
+    * (doc_id < 100) against the corpus, via an inverted-index join on
+    * words — the bounded-probe variant that stays linear in corpus
+    * size. Full all-pairs goes through [[minhashLsh]]. */
+  val wordJaccard: QueryEntry = QueryEntry(
+    "d02_word_jaccard",
+    """WITH ws AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |        FROM ws a JOIN ws b ON a.w = b.w
+      |        WHERE a.doc_id < 100 AND b.doc_id > a.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id, common,
+      |       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM com JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.85
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = ws.filter(col("doc_id") < 100)
+    val com = a.as("a").join(ws.as("b"),
+        col("a.w") === col("b.w") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    com.join(sz.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa.n") + col("sb.n") - col("common")))
+      .filter(col("jaccard") >= 0.85)
+      .select(col("a_id"), col("b_id"), col("common"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Shared shingle relation: distinct word 2-grams per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))")))
+        .as("s"))
+
+  /** MinHash + LSH near-dup candidates: 32 seed-varied XXH64 min-hashes
+    * over 2-gram shingles, banded 16×2; candidate pairs from band-bucket
+    * equi-joins are exact-verified by shingle intersection. Output: the
+    * top-50 candidate pairs by true Jaccard. LSH banding is probabilistic
+    * → rows-only check (not SQL-expressible in the oracle). */
+  val minhashLsh: QueryEntry = QueryEntry.noOracle("d03_minhash_lsh") { (s, d) =>
+    val sh = shingles(s, d).cache()
+    val nSig = 32
+    val aggs = (0 until nSig).map(j => min(xxh(j.toLong, col("s"))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until nSig / 2).map(b =>
+      struct(lit(b).as("band"), xxh(0L, col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
+    val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sz.as("nb"), col("b_id") === col("nb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na.n") + col("nb.n") - col("common")))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  /** 64-bit SimHash fingerprints: per-word XXH64, bit votes weighted by
+    * term frequency, sign-aggregated per bit. One grouped aggregation —
+    * no quadratic work. Rows-only (no XXH64 in the oracle engine). */
+  val simhash: QueryEntry = QueryEntry.noOracle("d04_simhash") { (s, d) =>
+    simhashDf(s, d).orderBy(col("doc_id"))
+  }
+
+  private[operators] def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxh(0L, col("w")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(col("cnt") * (shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk banding (two fingerprints
+    * within Hamming distance 3 must share ≥1 exact chunk), then exact
+    * Hamming verification via bit_count(xor). Top-50 closest pairs. */
+  val simhashPairs: QueryEntry = QueryEntry.noOracle("d05_simhash_pairs") { (s, d) =>
+    val fp = simhashDf(s, d)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  /** Embedding-cosine near-dup pairs over a probe set (vec_id < 50) —
+    * exact double-precision cosine, formula mirrored verbatim in the
+    * oracle (sequential left-to-right fold in both engines). The
+    * all-pairs scale path is LSH bucketing (Similarity.annLsh). */
+  val embedNearDup: QueryEntry = QueryEntry(
+    "d06_embed_neardup",
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |           FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |         / (a.nrm * b.nrm) AS cos
+      |FROM n a JOIN n b ON a.vec_id < 50 AND b.vec_id > a.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |         / (a.nrm * b.nrm) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
+      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      .filter(col("a_id") < 50)
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("b_id") > col("a_id"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+        / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(
+    exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder brief): media payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction
+  * runs per-partition in fixed-size batches. The real media decoders are
+  * STUBBED (no image/audio libs in this environment) with a
+  * deterministic fake — the Spark-side plumbing (schema, partitioning,
+  * batch shape) is real and tested. */
+object Multimodal {
+
+  /** Binary payload + typed metadata projection — the ingest shape for
+    * media: payload stays opaque, metadata is columnar and prunable.
+    * Per-row projection only; at 100 TB this is a map-only scan. */
+  val binaryMeta: QueryEntry = QueryEntry(
+    "m01_binary_meta",
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+      |       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+      |       sha256(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        (octet_length(col("payload")) % 640).as("width"),
+        (octet_length(col("payload")) % 480).as("height"),
+        sha2(col("payload"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature extraction over binary payloads via mapPartitions: each
+    * partition's payloads are "decoded" and reduced to a fixed-size
+    * feature vector. The decoder is a clearly-marked deterministic STUB
+    * standing in for an image/audio codec; the batch-per-partition
+    * iteration, binary input schema, and fixed-width output schema are
+    * the real plumbing a Pandas-UDF/mapInPandas equivalent would use.
+    * Rows-only check (stub features are not SQL-expressible). */
+  val decodeFeatures: QueryEntry = QueryEntry.noOracle("m02_decode_features") { (s, d) =>
+    val in = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("max_byte", IntegerType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        // STUB decoder: a real implementation would decode the media
+        // payload here (e.g. image -> pixels); this deterministic fake
+        // preserves the batch shape and output schema.
+        val feats = stubDecode(payload)
+        Row(id, payload.length, feats._1, feats._2)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stand-in for a media decoder. */
+  private def stubDecode(payload: Array[Byte]): (Double, Int) = {
+    var sum = 0L
+    var max = 0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      sum += b
+      if (b > max) max = b
+      i += 1
+    }
+    (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, max)
+  }
+
+  val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures)
+}

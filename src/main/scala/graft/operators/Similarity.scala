@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder brief).
+  *
+  * Baseline: brute-force cosine top-k (query set broadcast, corpus
+  * streamed — linear in corpus size, embarrassingly parallel). Scale
+  * path: random-hyperplane LSH bucketing, which turns top-k into a
+  * bucket equi-join + small within-bucket rerank. */
+object Similarity {
+
+  private def xxh(seed: Long, cols: Column*): Column =
+    GraftBridge.column(XxHash64(cols.map(GraftBridge.expression), seed))
+
+  /** Exact double-precision cosine between two float-array columns;
+    * sequential fold mirrored verbatim by the oracle SQL. */
+  private def cosine(a: String, b: String, na: String, nb: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)") /
+      (col(na) * col(nb))
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10: broadcast
+    * the tiny query side, stream the corpus once, per-query top-k via
+    * window row_number (rank output is robust to last-ulp float noise). */
+  val annBruteForce: QueryEntry = QueryEntry(
+    "s01_ann_bruteforce",
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+      |c AS (SELECT qid, e.vec_id AS nid,
+      |             list_sum(list_transform(range(1, len(qe) + 1),
+      |                  i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm) AS cos
+      |      FROM n e, q WHERE e.vec_id >= 10)
+      |SELECT qid, nid, rank FROM (
+      |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM c)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
+      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      .withColumn("cos", cosine("qe", "embedding", "qn", "nrm"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH ANN: 8 deterministic Rademacher hyperplanes
+    * (plane i's j-th sign = low bit of XXH64(j, seed=i), materialized
+    * driver-side as literal arrays — 8×64 ints), giving an 8-bit
+    * signature; candidates share the query's bucket and are reranked by
+    * exact cosine. Probabilistic recall → rows-only. */
+  val annLsh: QueryEntry = QueryEntry.noOracle("s02_ann_lsh") { (s, d) =>
+    val nPlanes = 8
+    val dim = 64
+    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
+      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val planes: Seq[Column] = (0 until nPlanes).map { i =>
+      array(Array.tabulate(dim) { j =>
+        lit((((org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(j.toLong, i.toLong) & 1L) * 2 - 1).toDouble))
+      }.toIndexedSeq: _*)
+    }
+    val sigBits = (0 until nPlanes).map { i =>
+      val proj = aggregate(
+        zip_with(col("embedding"), planes(i), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    val sig = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("sig").as("qsig"))
+    sig.filter(col("vec_id") >= 10).as("c")
+      .join(broadcast(q), col("sig") === col("qsig"))
+      .withColumn("cos", cosine("qe", "embedding", "qn", "nrm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(annBruteForce, annLsh)
+}

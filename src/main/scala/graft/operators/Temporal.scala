@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over the `events` table. The batch transforms
+  * here are shared with the Structured Streaming surface
+  * (graft.streaming.EventsStreaming) — same logical plan, bounded vs
+  * unbounded source (SURVEY.md §2.9: streaming is absent from the
+  * reference; this is the extension surface). */
+object Temporal {
+
+  /** Tumbling 1-hour window aggregation — the shared batch/stream
+    * transform; `window().start` equals the oracle's date_trunc. */
+  private[graft] def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+
+  val eventsHourly: QueryEntry = QueryEntry(
+    "e01_events_hourly",
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    hourlyAgg(Tables.events(s, d)).orderBy(col("h"), col("event_type"))
+  }
+
+  /** LAG offset window over event time (per-user deltas). */
+  val eventsLag: QueryEntry = QueryEntry(
+    "e02_events_lag",
+    """SELECT event_id, user_id,
+      |       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity), batch form:
+    * session boundaries via LAG + running sum — the batch twin of the
+    * streaming flatMapGroupsWithState sessionizer. Millisecond epochs
+    * keep the arithmetic integer-exact in both engines. */
+  val sessionize: QueryEntry = QueryEntry(
+    "e03_sessionize",
+    """WITH x AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |y AS (SELECT user_id,
+      |             CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      |                    OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+      |                  THEN 1 ELSE 0 END AS is_new
+      |      FROM x)
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS sessions, COUNT(*) AS events
+      |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).cast("long").as("sessions"), count(lit(1)).as("events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured JSON extraction from the props column. */
+  val jsonExtract: QueryEntry = QueryEntry(
+    "e04_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(eventsHourly, eventsLag, sessionize, jsonExtract)
+}

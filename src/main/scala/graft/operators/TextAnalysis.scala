@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface beyond the reference's SQL parity
+  * (builder brief; SURVEY.md §7.6). All hot paths are built from
+  * codegen'd `functions._` / higher-order array functions — no UDFs —
+  * so they stay inside whole-stage codegen and scale linearly with
+  * input splits (no shuffle except the final ORDER BY on small output).
+  */
+object TextAnalysis {
+
+  /** Quality scoring: length, word count, stopword ratio, composite
+    * score. Pure per-row projection — pushes column pruning to the scan
+    * and runs map-side only. */
+  val quality: QueryEntry = QueryEntry(
+    "t01_text_quality",
+    """SELECT doc_id,
+      |       LENGTH(text) AS len_chars,
+      |       LEN(string_split(text, ' ')) AS n_words,
+      |       CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |         / LEN(string_split(text, ' ')) AS stop_ratio,
+      |       0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+      |         + 0.5 * (1 - CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |                      / LEN(string_split(text, ' '))) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_stop",
+        size(expr("filter(words, w -> w IN ('the', 'a'))")))
+      .select(col("doc_id"),
+        length(col("text")).as("len_chars"),
+        col("n_words"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        (lit(0.5) * least(col("n_words").cast("double") / 100, lit(1.0))
+          + lit(0.5) * (lit(1) - col("n_stop").cast("double") / col("n_words"))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens, and a
+    * BPE-ish upper bound (ceil(len/4) subword units per word). */
+  val tokenStats: QueryEntry = QueryEntry(
+    "t02_token_stats",
+    """SELECT doc_id,
+      |       LEN(string_split(text, ' ')) AS ws_tokens,
+      |       LEN(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+      |       CAST(list_sum(list_transform(string_split(text, ' '), w -> (LENGTH(w) + 3) // 4)) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"),
+        expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + (length(w) + 3) div 4)")
+          .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by corpus-derived character-trigram profiles: per-lang
+    * top-K trigram profile (computed distributedly, then broadcast as a
+    * literal map via a small collect of K*langs rows — the profile is
+    * tiny by construction) scored against each doc's trigrams.
+    * Heuristic output — not SQL-oracle-expressible; driver records the
+    * rows-only check. */
+  val langId: QueryEntry = QueryEntry.noOracle("t03_lang_id") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tri = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")).as("tg"))
+    // per-language top-30 trigrams = the "model"; langs*30 rows → broadcast
+    val profile = tri.groupBy(col("lang"), col("tg")).count()
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY lang ORDER BY count DESC, tg)"))
+      .filter(col("rk") <= 30)
+      .select(col("lang").as("p_lang"), col("tg"), col("rk"))
+    val scored = tri.select(col("doc_id"), col("tg")).distinct()
+      .join(broadcast(profile), Seq("tg"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(lit(31) - col("rk")).as("score"))
+    scored.withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang)"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("lang_pred"), col("score"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("correct", (col("lang_pred") === col("lang")).cast("int"))
+      .select(col("doc_id"), col("lang_pred"), col("lang"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: rolling rotate-xor hash over words, each
+    * word hashed with seed-0 XXH64 (graft.functions.TrinoFunctions).
+    * Shift/xor arithmetic never overflows, so it stays deterministic
+    * under ANSI mode. DuckDB has no XXH64-compatible hash → rows-only. */
+  val fingerprint: QueryEntry = QueryEntry.noOracle("t04_fingerprint") { (s, d) =>
+    graft.functions.TrinoFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("aggregate(split(text, ' '), 0L, (acc, w) -> " +
+          "(shiftleft(acc, 5) | shiftrightunsigned(acc, 59)) ^ trino_xxhash64(w))")
+          .as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(quality, tokenStats, langId, fingerprint)
+}
