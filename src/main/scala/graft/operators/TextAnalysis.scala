@@ -68,16 +68,19 @@ object TextAnalysis {
     * rows-only check. */
   val langId: QueryEntry = QueryEntry.noOracle("t03_lang_id") { (s, d) =>
     val docs = Tables.documents(s, d)
+    // per-doc-distinct trigrams map-side (array_distinct before explode):
+    // profiles become document-frequency based and the scoring side needs
+    // no extra distinct() shuffle
     val tri = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")).as("tg"))
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))).as("tg"))
     // per-language top-30 trigrams = the "model"; langs*30 rows → broadcast
     val profile = tri.groupBy(col("lang"), col("tg")).count()
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY lang ORDER BY count DESC, tg)"))
       .filter(col("rk") <= 30)
       .select(col("lang").as("p_lang"), col("tg"), col("rk"))
-    val scored = tri.select(col("doc_id"), col("tg")).distinct()
+    val scored = tri.select(col("doc_id"), col("tg"))
       .join(broadcast(profile), Seq("tg"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(sum(lit(31) - col("rk")).as("score"))
