@@ -31,6 +31,18 @@ object GraftSession {
     // The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     // rejects by default; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Federated three-part naming (reference: psql/mongodb/elastic
+    // catalogs, values.yml.j2:34-61) with the loader's table placement
+    // (loader.py:313-322): facts and dims in psql, the second-store fact
+    // in mongodb, document/event data in elastic.
+    .config("spark.sql.catalog.psql", "graft.sources.GraftParquetCatalog")
+    .config("spark.sql.catalog.psql.tables",
+      "region,nation,customer,supplier,part,lineitem")
+    .config("spark.sql.catalog.mongodb", "graft.sources.GraftParquetCatalog")
+    .config("spark.sql.catalog.mongodb.tables", "orders")
+    .config("spark.sql.catalog.elastic", "graft.sources.GraftParquetCatalog")
+    .config("spark.sql.catalog.elastic.tables", "events,documents,embeddings")
+    .config("spark.sql.catalog.elastic.namespace", "default")
     .config("spark.ui.enabled", "false")
 
   /** Local session used by Verify/Bench/tests. */

@@ -361,9 +361,60 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Federated three-catalog query through the DSv2 catalogs
+    * (graft.sources.GraftParquetCatalog) with the reference's implicit
+    * comma-join syntax (queries/q005.sql:3-5): the fact lives in
+    * `mongodb`, dims in `psql` — one SQL statement spans both, exactly
+    * like the reference's q003 federation. */
+  val federatedJoin: QueryEntry = QueryEntry(
+    "q19_federated_catalogs",
+    """SELECT r_name, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+      |FROM orders, customer, nation, region
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    s.sql(
+      """SELECT r_name, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+        |FROM mongodb.tpcds.orders, psql.tpcds.customer,
+        |     psql.tpcds.nation, psql.tpcds.region
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  /** CUBE grouping sets (completes the rollup/cube/grouping-sets
+    * family, SURVEY.md §2.4 noted-absent). */
+  val cubeAgg: QueryEntry = QueryEntry(
+    "q20_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Approximate distinct counting (HLL++) next to the exact count —
+    * the sketch the reference leaves unexercised (SURVEY.md §2.4).
+    * Sketch estimates are engine-specific → rows-only check. */
+  val approxDistinct: QueryEntry = QueryEntry.noOracle("q21_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
-    scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning)
+    scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
+    federatedJoin, cubeAgg, approxDistinct)
 }

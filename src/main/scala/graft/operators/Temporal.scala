@@ -83,5 +83,30 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryEntry] = Seq(eventsHourly, eventsLag, sessionize, jsonExtract)
+  /** As-of join (most recent signup at or before each event, per user)
+    * — an operator Spark lacks natively, composed from built-ins via
+    * the sort-based union+last(ignoreNulls) running-window trick: no
+    * range explosion, one shuffle on the partition key, scales as a
+    * plain window (SURVEY.md §2.3 "not exercised" family). */
+  val asofJoin: QueryEntry = QueryEntry(
+    "e05_asof_join",
+    """WITH x AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type FROM events)
+      |SELECT event_id, user_id,
+      |       last_value(CASE WHEN event_type = 'signup' THEN ms END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms
+      |FROM x ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+      .withColumn("last_signup_ms",
+        last(when(col("event_type") === "signup", col("ms")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("last_signup_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin)
 }
