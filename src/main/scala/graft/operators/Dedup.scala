@@ -189,15 +189,13 @@ object Dedup {
       |         / (a.nrm * b.nrm) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
-    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
-      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       .filter(col("a_id") < 50)
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("b_id") > col("a_id"))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
-        / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_similarity(col("ea"), col("eb")))
       .filter(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import graft.functions.VectorFunctions.cosine_similarity
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.XxHash64
 import org.apache.spark.sql.expressions.Window
@@ -16,12 +17,6 @@ object Similarity {
 
   private def xxh(seed: Long, cols: Column*): Column =
     GraftBridge.column(XxHash64(cols.map(GraftBridge.expression), seed))
-
-  /** Exact double-precision cosine between two float-array columns;
-    * sequential fold mirrored verbatim by the oracle SQL. */
-  private def cosine(a: String, b: String, na: String, nb: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)") /
-      (col(na) * col(nb))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10: broadcast
     * the tiny query side, stream the corpus once, per-query top-k via
@@ -41,12 +36,11 @@ object Similarity {
       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM c)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   ) { (s, d) =>
-    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
-      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
-      .withColumn("cos", cosine("qe", "embedding", "qn", "nrm"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
@@ -63,8 +57,7 @@ object Similarity {
   val annLsh: QueryEntry = QueryEntry.noOracle("s02_ann_lsh") { (s, d) =>
     val nPlanes = 8
     val dim = 64
-    val e = Tables.embeddings(s, d).withColumn("nrm", sqrt(expr(
-      "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val e = Tables.embeddings(s, d)
     val planes: Seq[Column] = (0 until nPlanes).map { i =>
       array(Array.tabulate(dim) { j =>
         lit((((org.apache.spark.sql.catalyst.expressions.XXH64
@@ -79,11 +72,10 @@ object Similarity {
     }
     val sig = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
     val q = sig.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("sig").as("qsig"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
     sig.filter(col("vec_id") >= 10).as("c")
       .join(broadcast(q), col("sig") === col("qsig"))
-      .withColumn("cos", cosine("qe", "embedding", "qn", "nrm"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
@@ -91,5 +83,32 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val all: Seq[QueryEntry] = Seq(annBruteForce, annLsh)
+  /** IVF-style ANN: a deterministic centroid sample (every 125th vector)
+    * partitions the corpus into Voronoi cells by cosine; queries probe
+    * their 2 nearest cells and rerank only those cells' members. At
+    * scale the assignment is one broadcast-join pass and search touches
+    * nprobe/ncells of the data. Probabilistic recall → rows-only. */
+  val annIvf: QueryEntry = QueryEntry.noOracle("s03_ann_ivf") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") % 125 === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scoredCells = e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+    val assigned = scoredCells.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    val qprobe = scoredCells.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    assigned.filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(annBruteForce, annLsh, annIvf)
 }
