@@ -411,10 +411,40 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The reference engine compiles the q005 EXCEPT chain into a single
+    * grouped aggregation over the unioned branches with per-branch
+    * presence counts (results/q005/workers-1/explain.txt:25-37), where
+    * Catalyst plans two anti-joins. This entry implements that
+    * count-based strategy explicitly: one union, ONE shuffle, same
+    * result as q05 (same oracle) — the shape to prefer at scale when
+    * branch count grows. */
+  val exceptCountRewrite: QueryEntry = QueryEntry(
+    "q22_except_count_rewrite",
+    """SELECT COUNT(*) AS cnt FROM (
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  EXCEPT
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  EXCEPT
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def branch(st: String, i: Int) =
+      o.filter(col("o_orderstatus") === st)
+        .select(col("o_custkey"), lit(i).as("b"))
+    branch("O", 0).unionByName(branch("F", 1)).unionByName(branch("P", 2))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("b") === 0, 1).otherwise(0)).as("in0"),
+        max(when(col("b") === 1, 1).otherwise(0)).as("in1"),
+        max(when(col("b") === 2, 1).otherwise(0)).as("in2"))
+      .filter(col("in0") === 1 && col("in1") === 0 && col("in2") === 0)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
-    federatedJoin, cubeAgg, approxDistinct)
+    federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite)
 }

@@ -48,12 +48,14 @@ object Temporal {
   /** Gap-based sessionization (30-minute inactivity), batch form:
     * session boundaries via LAG + running sum — the batch twin of the
     * streaming flatMapGroupsWithState sessionizer. Millisecond epochs
-    * keep the arithmetic integer-exact in both engines. */
+    * keep the arithmetic integer-exact in both engines. A gap of
+    * exactly the threshold starts a new session, matching Spark's
+    * native session_window semantics (cross-checked in StreamingSpec). */
   val sessionize: QueryEntry = QueryEntry(
     "e03_sessionize",
     """WITH x AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
       |y AS (SELECT user_id,
-      |             CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      |             CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) >= 1800000
       |                    OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
       |                  THEN 1 ELSE 0 END AS is_new
       |      FROM x)
@@ -65,7 +67,7 @@ object Temporal {
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
       .withColumn("prev", lag(col("ms"), 1).over(w))
       .withColumn("is_new",
-        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1).otherwise(0))
+        when(col("prev").isNull || col("ms") - col("prev") >= 1800000L, 1).otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("is_new")).cast("long").as("sessions"), count(lit(1)).as("events"))
       .orderBy(col("user_id"))

@@ -53,7 +53,7 @@ object EventsStreaming {
           val sorted = it.map(_._2).toArray.sorted
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { ms =>
-            val isNew = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            val isNew = st.lastMs == Long.MinValue || ms - st.lastMs >= gapMs
             st = SessionState(ms, st.sessions + (if (isNew) 1 else 0), st.events + 1)
           }
           state.update(st)

@@ -26,6 +26,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("gap sessionizer agrees with Spark's native session_window") {
+    import org.apache.spark.sql.functions._
+    val native = Tables.events(spark, sf1)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val ours = SparkEntry.queries("e03_sessionize")(spark, sf1)
+      .select(col("user_id"), col("sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(native == ours)
+  }
+
   test("streaming sessionize equals batch e03_sessionize") {
     val q = EventsStreaming.sessionize(EventsStreaming.readStream(spark, streamDir))
       .writeStream.outputMode("append")
