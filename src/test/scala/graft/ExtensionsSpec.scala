@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The injected EXCEPT→aggregate rewrite must change the plan shape
+  * (no anti-join, one aggregation over a union) without changing any
+  * result, and must leave EXCEPT ALL untouched. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def o = Tables.orders(spark, sf1)
+  private def branch(st: String) =
+    o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+
+  test("EXCEPT plans as union+aggregate, not anti-join") {
+    val df = branch("O").except(branch("F"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("rewritten EXCEPT matches the disabled-rule result") {
+    val on = branch("O").except(branch("F")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    spark.conf.set("spark.sql.graft.rewriteExcept", "false")
+    val off = try branch("O").except(branch("F")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    finally spark.conf.set("spark.sql.graft.rewriteExcept", "true")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("EXCEPT with duplicate and NULL keys keeps set semantics") {
+    import spark.implicits._
+    val l = Seq[Option[Int]](Some(1), Some(1), Some(2), None, None, Some(3)).toDF("k")
+    val r = Seq[Option[Int]](Some(2), None).toDF("k")
+    val got = l.except(r).collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSet == Set(Some(1), Some(3)))
+  }
+
+  test("EXCEPT ALL is not rewritten and keeps bag semantics") {
+    import spark.implicits._
+    val l = Seq(1, 1, 2).toDF("k")
+    val r = Seq(1).toDF("k")
+    assert(l.exceptAll(r).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("chained EXCEPT (q05 shape) still matches its oracle result") {
+    val viaExcept = SparkEntry.queries("q05_except_chain_count")(spark, sf2)
+      .head().getLong(0)
+    val viaRewrite = SparkEntry.queries("q22_except_count_rewrite")(spark, sf2)
+      .head().getLong(0)
+    assert(viaExcept == viaRewrite)
+  }
+}
