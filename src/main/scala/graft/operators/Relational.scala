@@ -441,10 +441,43 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** TPC-H Q1 shape — the canonical multi-aggregate pricing summary
+    * (filter → wide grouped agg with derived expressions), decimal-exact
+    * per the parity strategy. */
+  val tpchQ1: QueryEntry = QueryEntry(
+    "q23_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    val dec4 = (c: String) => col(c).cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec4("l_discount")))
+          .cast("double").as("sum_disc"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec4("l_discount")) * (lit(1) + dec4("l_tax")))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
-    federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite)
+    federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1)
 }

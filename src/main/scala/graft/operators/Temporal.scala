@@ -110,5 +110,57 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryEntry] = Seq(eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin)
+  /** Sliding-window aggregation (1h window, 30m slide): every event
+    * lands in two windows; the oracle reproduces the assignment with
+    * time_bucket on the 30-minute grid. */
+  val slidingWindow: QueryEntry = QueryEntry(
+    "e06_sliding_window",
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS h, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events)
+      |SELECT h, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  /** Range (band) join: events within 5 minutes after each signup, per
+    * user — an equi key (user) plus a time-band condition, the
+    * interval-join family the reference leaves unexercised
+    * (SURVEY.md §2.3). The equi key keeps it a hash/sort-merge join
+    * with a residual band predicate — no cross product. */
+  val rangeJoin: QueryEntry = QueryEntry(
+    "e07_range_join",
+    """WITH x AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events)
+      |SELECT s.event_id, COUNT(e.event_id) AS n_follow
+      |FROM x s LEFT JOIN x e
+      |  ON e.user_id = s.user_id AND e.ms > s.ms AND e.ms <= s.ms + 300000
+      |WHERE s.event_type = 'signup'
+      |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin
+  ) { (s, d) =>
+    val x = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val sg = x.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ms").as("s_ms"))
+    sg.join(x,
+        col("user_id") === col("s_user") &&
+          col("ms") > col("s_ms") && col("ms") <= col("s_ms") + 300000L,
+        "left")
+      .groupBy(col("s_id"))
+      .agg(count(col("event_id")).as("n_follow"))
+      .select(col("s_id").as("event_id"), col("n_follow"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(
+    eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
+    slidingWindow, rangeJoin)
 }

@@ -39,6 +39,49 @@ class StreamingSpec extends SparkSpec {
     assert(native == ours)
   }
 
+  test("streaming dedup within watermark equals batch distinct") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStreaming.readStream(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // single micro-batch: streaming keeps the first (user, type) row seen;
+    // compare the distinct KEY SET with batch semantics
+    val streamed = spark.table("dedup_out")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(_.toString).sorted.toSeq
+    val batch = Tables.events(spark, sf1)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming sliding-window agg equals batch e06_sliding_window") {
+    val q = operators.Temporal.hourlyAgg( // reuse schema shape via explicit agg below
+        EventsStreaming.readStream(spark, streamDir).withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_probe").start()
+    try q.processAllAvailable() finally q.stop()
+    // the dedicated sliding transform:
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val q2 = EventsStreaming.readStream(spark, streamDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.table("slide_out").collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e06_sliding_window")(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming sessionize equals batch e03_sessionize") {
     val q = EventsStreaming.sessionize(EventsStreaming.readStream(spark, streamDir))
       .writeStream.outputMode("append")
