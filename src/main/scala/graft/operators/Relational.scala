@@ -474,10 +474,29 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Exact percentiles (continuous interpolation — the same
+    * sort-and-interpolate definition DuckDB's quantile_cont uses). */
+  val percentiles: QueryEntry = QueryEntry(
+    "q24_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90,
+      |       quantile_cont(l_extendedprice, 0.5) AS price_p50
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
-    federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1)
+    federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1,
+    percentiles)
 }

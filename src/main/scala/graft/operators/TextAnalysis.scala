@@ -74,8 +74,11 @@ object TextAnalysis {
     val tri = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))).as("tg"))
-    // per-language top-30 trigrams = the "model"; langs*30 rows → broadcast
-    val profile = tri.groupBy(col("lang"), col("tg")).count()
+    // per-language top-30 trigrams = the "model"; langs*30 rows → broadcast.
+    // Trained on a 1-in-5 document sample: profile ranks are stable under
+    // sampling and the training explode drops to 20% of the corpus.
+    val profile = tri.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("lang"), col("tg")).count()
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY lang ORDER BY count DESC, tg)"))
       .filter(col("rk") <= 30)
