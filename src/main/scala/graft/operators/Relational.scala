@@ -492,11 +492,32 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q17's semantics through the custom GroupedTopK physical operator
+    * (graft.plans: bounded per-group heap instead of WindowExec's full
+    * per-partition sort) — same oracle as q17 proves plan-level
+    * equivalence. */
+  val groupedTopKCustom: QueryEntry = QueryEntry(
+    "q25_grouped_topk_custom",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, d) =>
+    graft.plans.GroupedTopK.topK(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        3)
+      .withColumnRenamed("rank", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
     federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1,
-    percentiles)
+    percentiles, groupedTopKCustom)
 }

@@ -72,5 +72,6 @@ object RewriteExceptAsAggregate extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => RewriteExceptAsAggregate)
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }
