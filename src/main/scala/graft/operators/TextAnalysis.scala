@@ -111,5 +111,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryEntry] = Seq(quality, tokenStats, langId, fingerprint)
+  /** Per-doc top terms by a tf·(N/df) salience score — TF-IDF with a
+    * rational idf (no transcendental log, so the score is the same
+    * IEEE double in any engine; ties are exact and break by term). */
+  val tfidfTopTerms: QueryEntry = QueryEntry(
+    "t05_tfidf_topterms",
+    """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tfc AS (SELECT doc_id, w, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, w, (CAST(tf AS DOUBLE) * (SELECT n FROM n)) / df AS score
+      |  FROM tfc JOIN df USING (w))
+      |SELECT doc_id, w, rk FROM (
+      |  SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  ) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tfc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDf = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("__n"))
+    tfc.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", (col("tf").cast("double") * col("__n")) / col("df"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("w"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Corpus-wide top bigrams — the n-gram counting backbone shared with
+    * the MinHash shingles. */
+  val topBigrams: QueryEntry = QueryEntry(
+    "t06_top_bigrams",
+    """WITH t AS (SELECT string_split(text, ' ') AS arr FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(arr)), i -> arr[i] || '_' || arr[i+1])) AS bg FROM t)
+      |SELECT bg, COUNT(*) AS n FROM b GROUP BY bg
+      |ORDER BY n DESC, bg LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))"))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(50)
+  }
+
+  val all: Seq[QueryEntry] = Seq(
+    quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams)
 }
