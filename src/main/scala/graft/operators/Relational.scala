@@ -513,11 +513,119 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** PIVOT (wide aggregation) with explicit value list; empty cells
+    * coalesced to 0 to match the CASE-count oracle formulation. */
+  val pivotAgg: QueryEntry = QueryEntry(
+    "q26_pivot",
+    """SELECT o_orderstatus,
+      |       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+      |       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+      |       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+      |       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS notspec,
+      |       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val renames = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", renames.map(_._1))
+      .agg(count(lit(1)))
+    renames.foldLeft(pivoted) { case (df, (from, to)) =>
+        df.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(from)
+      }
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Single-pass argmax via struct-max: the per-group best row without
+    * a window sort — one aggregation, deterministic through the
+    * lexicographic (value, tiebreak) struct ordering. */
+  val argMax: QueryEntry = QueryEntry(
+    "q27_argmax",
+    """SELECT o_orderstatus, o_orderkey AS best_order, o_totalprice AS best_price
+      |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(col("o_orderstatus"),
+        col("m.o_orderkey").as("best_order"),
+        col("m.o_totalprice").as("best_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** String-function breadth (pad/trim/replace/reverse/search/split). */
+  val stringFunctions: QueryEntry = QueryEntry(
+    "q28_string_funcs",
+    """SELECT c_custkey,
+      |       lpad(c_mktsegment, 12, '*') AS lp,
+      |       rpad(c_mktsegment, 12, '.') AS rp,
+      |       reverse(c_name) AS rev,
+      |       replace(c_name, 'Customer', 'C') AS rep,
+      |       CAST(strpos(c_name, '1') AS INTEGER) AS pos,
+      |       left(c_name, 5) AS l5,
+      |       right(c_name, 3) AS r3,
+      |       split_part(c_name, '#', 2) AS sp,
+      |       contains(c_name, '00') AS has00,
+      |       CAST(length(c_name) AS INTEGER) AS len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, "*").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        reverse(col("c_name")).as("rev"),
+        expr("replace(c_name, 'Customer', 'C')").as("rep"),
+        expr("instr(c_name, '1')").as("pos"),
+        expr("left(c_name, 5)").as("l5"),
+        expr("right(c_name, 3)").as("r3"),
+        expr("split_part(c_name, '#', 2)").as("sp"),
+        col("c_name").contains("00").as("has00"),
+        length(col("c_name")).as("len"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date-function breadth (parts, truncation, last_day, day diffs);
+    * day-of-week normalized to DuckDB's Sunday=0 convention. */
+  val dateFunctions: QueryEntry = QueryEntry(
+    "q29_date_funcs",
+    """SELECT o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS od,
+      |       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+      |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+      |       CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dd,
+      |       CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy,
+      |       CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS dow,
+      |       last_day(CAST(o_orderdate AS DATE)) AS ld,
+      |       date_trunc('month', CAST(o_orderdate AS DATE)) AS mstart,
+      |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+      |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        last_day(col("o_orderdate")).as("ld"),
+        trunc(col("o_orderdate").cast("date"), "month").as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
     unionAllAgg, topNNullsLast, rollupAgg, countDistinctAgg,
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
     federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1,
-    percentiles, groupedTopKCustom)
+    percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
+    dateFunctions)
 }
