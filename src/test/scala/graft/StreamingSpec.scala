@@ -82,6 +82,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals batch band join") {
+    import org.apache.spark.sql.functions._
+    val signups = EventsStreaming.readStream(spark, streamDir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val follows = EventsStreaming.readStream(spark, streamDir)
+      .select(col("event_id").as("f_id"), col("user_id").as("f_user"), col("ts").as("f_ts"))
+      .withWatermark("f_ts", "1 hour")
+    val q = signups.join(follows,
+        col("f_user") === col("s_user") &&
+          col("f_ts") > col("s_ts") &&
+          col("f_ts") <= col("s_ts") + expr("INTERVAL 5 minutes"))
+      .select(col("s_id"), col("f_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out").collect().map(_.toString).sorted.toSeq
+    val ev = Tables.events(spark, sf1)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = s.join(ev,
+        col("user_id") === col("s_user") &&
+          col("ts") > col("s_ts") &&
+          col("ts") <= col("s_ts") + expr("INTERVAL 5 minutes"))
+      .select(col("s_id"), col("event_id").as("f_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("foreachBatch sink lands the hourly agg in parquet") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val q = EventsStreaming.hourlyAgg(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/hourly")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$outDir/hourly")
+      .collect().map(_.toString).sorted.toSeq
+    val batchRes = operators.Temporal.hourlyAgg(Tables.events(spark, sf1))
+      .collect().map(_.toString).sorted.toSeq
+    assert(landed == batchRes)
+  }
+
   test("streaming sessionize equals batch e03_sessionize") {
     val q = EventsStreaming.sessionize(EventsStreaming.readStream(spark, streamDir))
       .writeStream.outputMode("append")
