@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: the properties that make these queries scale
+  * must hold in the executed plan — filter pushdown into scans, column
+  * pruning, broadcast vs shuffle join selection, whole-stage codegen. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: date filter pushed to the parquet scan, two-column read") {
+    val plan = finalPlan(SparkEntry.queries("q01_agg_pushdown_sum")(spark, sf1))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("ReadSchema: struct<l_extendedprice:double,l_shipdate:timestamp"), plan)
+  }
+
+  test("q03: dims broadcast, TopN via TakeOrderedAndProject") {
+    val plan = finalPlan(SparkEntry.queries("q03_join_agg_topn")(spark, sf1))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q15: fact-fact join does not broadcast the fact side blindly") {
+    val plan = finalPlan(SparkEntry.queries("q15_shuffled_join_agg")(spark, sf2))
+    // either shuffled join, or AQE decided a small side fits broadcast —
+    // both fine; what must NOT happen is a nested-loop/cartesian plan
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d01: dedup reads only the columns it needs") {
+    val plan = finalPlan(SparkEntry.queries("d01_dedup_exact")(spark, sf1))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("q23: aggregation runs inside whole-stage codegen") {
+    val plan = finalPlan(SparkEntry.queries("q23_tpch_q1")(spark, sf1))
+    // "*(n)" prefixes mark whole-stage-codegen spans in the compact format
+    assert(plan.contains("*(1)"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("e01: grouped agg is two-phase (partial before the exchange)") {
+    val df = SparkEntry.queries("e01_events_hourly")(spark, sf1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("s01: query side broadcast, no shuffle of the corpus") {
+    val plan = finalPlan(SparkEntry.queries("s01_ann_bruteforce")(spark, sf1))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
