@@ -135,18 +135,24 @@ object Dedup {
   }
 
   private[operators] def simhashDf(s: SparkSession, d: String): DataFrame = {
+    // A 64-column aggregate (one sum per bit) generates a huge Janino
+    // compilation unit with intermittent multi-second compile stalls;
+    // exploding per-bit votes keeps every generated method small: rows
+    // fan out 64x but stay 3 longs wide, and both aggregations are
+    // narrow shuffles with map-side combine.
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxh(0L, col("w")))
-    val bitAggs = (0 until 64).map { b =>
-      sum(col("cnt") * (shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
-    }
-    val votes = words.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until 64)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("doc_id"), fp.as("simhash"))
+    words
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, 63),
+          |  b -> struct(b AS b, cnt * (cast(shiftrightunsigned(h, b) & 1L AS BIGINT) * 2 - 1) AS v)))""".stripMargin)
+        .as("bv"))
+      .select(col("doc_id"), col("bv.b").as("b"), col("bv.v").as("v"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (two fingerprints
