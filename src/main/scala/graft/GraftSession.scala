@@ -48,10 +48,16 @@ object GraftSession {
 
   /** Local session used by Verify/Bench/tests. */
   def local(cpus: String): SparkSession = {
+    // shuffle/spill files on tmpfs: this VM's block device shows
+    // sporadic multi-second sync stalls that dominate small-SF timings
+    // (a real cluster would use node-local NVMe here)
+    val localDir = new java.io.File("/dev/shm/graft-spark")
+    localDir.mkdirs()
     val spark = configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName("graft")
+        .config("spark.local.dir", localDir.getAbsolutePath)
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

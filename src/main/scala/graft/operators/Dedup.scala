@@ -134,26 +134,15 @@ object Dedup {
     simhashDf(s, d).orderBy(col("doc_id"))
   }
 
-  private[operators] def simhashDf(s: SparkSession, d: String): DataFrame = {
-    // A 64-column aggregate (one sum per bit) generates a huge Janino
-    // compilation unit with intermittent multi-second compile stalls;
-    // exploding per-bit votes keeps every generated method small: rows
-    // fan out 64x but stay 3 longs wide, and both aggregations are
-    // narrow shuffles with map-side combine.
-    val words = Tables.documents(s, d)
+  private[operators] def simhashDf(s: SparkSession, d: String): DataFrame =
+    // single-pass custom aggregate (functions.SimHashAggregate): one
+    // shuffle on doc_id, 64-long buffers combined map-side — replaces
+    // both a 64-column aggregate (huge codegen unit) and an
+    // explode(64x) double-shuffle formulation
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxh(0L, col("w")))
-    words
-      .select(col("doc_id"), expr(
-        """explode(transform(sequence(0, 63),
-          |  b -> struct(b AS b, cnt * (cast(shiftrightunsigned(h, b) & 1L AS BIGINT) * 2 - 1) AS v)))""".stripMargin)
-        .as("bv"))
-      .select(col("doc_id"), col("bv.b").as("b"), col("bv.v").as("v"))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("vote"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L)).as("simhash"))
-  }
+      .agg(graft.functions.SimHashAggregate.simhash_agg(col("w")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (two fingerprints
     * within Hamming distance 3 must share ≥1 exact chunk), then exact
