@@ -620,6 +620,158 @@ object Relational {
       .limit(200)
   }
 
+  /** TPC-H Q3 shape: 3-table selective join, grouped revenue, TopN. */
+  val tpchQ3: QueryEntry = QueryEntry(
+    "q30_tpch_q3",
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS od
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, od
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("od"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("od"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table join (incl. the supplier-nation equality
+    * that closes the join graph cycle), grouped revenue per nation —
+    * the join-reorder workout. */
+  val tpchQ5: QueryEntry = QueryEntry(
+    "q31_tpch_q5",
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (per-customer average built exactly so
+    * both engines agree at the comparison boundary). */
+  val correlatedScalarSubquery: QueryEntry = QueryEntry(
+    "q32_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN (subquery) — compiles to a semi join. */
+  val inSubquery: QueryEntry = QueryEntry(
+    "q33_in_subquery",
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    * match each other, over small distinct key sets. */
+  val nullSafeJoin: QueryEntry = QueryEntry(
+    "q34_nullsafe_join",
+    """WITH a AS (SELECT DISTINCT CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_linenumber END AS k FROM lineitem),
+      |b AS (SELECT DISTINCT CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_nationkey % 8 END AS k FROM nation)
+      |SELECT a.k AS ak, b.k AS bk FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY ak NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.lineitem(s, d)
+      .select(when(col("l_linenumber") % 4 === 0, lit(null)).otherwise(col("l_linenumber")).as("k"))
+      .distinct()
+    val b = Tables.nation(s, d)
+      .select(when(col("n_nationkey") % 4 === 0, lit(null)).otherwise(col("n_nationkey") % 8).as("k"))
+      .distinct()
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("ak"), b("k").as("bk"))
+      .orderBy(asc_nulls_first("ak"))
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first & nth value over a fully tiebroken ordering. */
+  val windowDistribution: QueryEntry = QueryEntry(
+    "q35_window_distribution",
+    """SELECT o_orderkey, o_orderstatus,
+      |       NTILE(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       first_value(o_orderkey) OVER w AS first_k,
+      |       nth_value(o_orderkey, 2) OVER w AS second_k
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(w).as("first_k"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_k"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** HLL sketch columns: build, merge, estimate (the sketch lifecycle a
+    * large pipeline persists between runs). Sketch bytes are
+    * engine-specific → rows-only. */
+  val hllSketch: QueryEntry = QueryEntry.noOracle("q36_hll_sketch") { (s, d) =>
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        countDistinct(col("l_partkey")).as("exact"))
+    val merged = perFlag.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"))
+    perFlag
+      .select(col("l_returnflag"),
+        expr("hll_sketch_estimate(sk)").as("est"), col("exact"))
+      .crossJoin(broadcast(merged))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -627,5 +779,6 @@ object Relational {
     scalarFunctions, shuffledJoinAgg, minMaxAvg, windowTopK, windowRunning,
     federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1,
     percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
-    dateFunctions)
+    dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
+    nullSafeJoin, windowDistribution, hllSketch)
 }

@@ -163,6 +163,22 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Lateral/positional explode: tokens with positions (posexplode ≡
+    * UNNEST WITH ORDINALITY). */
+  val wordPositions: QueryEntry = QueryEntry(
+    "t07_word_positions",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE doc_id < 10)
+      |SELECT doc_id, CAST(pos AS INTEGER) AS pos, arr[pos + 1] AS w
+      |FROM t, UNNEST(range(len(arr))) AS u(pos)
+      |ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
-    quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams)
+    quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
+    wordPositions)
 }
