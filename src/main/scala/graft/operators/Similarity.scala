@@ -110,5 +110,39 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val all: Seq[QueryEntry] = Seq(annBruteForce, annLsh, annIvf)
+  /** Cross-modal join: embedding-space neighbors resolved back to
+    * document metadata (text table ⋈ vector table on the shared id) —
+    * the retrieval shape of a training-data pipeline: search in vector
+    * space, act on document attributes. */
+  val embedDocSearch: QueryEntry = QueryEntry(
+    "s04_embed_doc_search",
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      |c AS (SELECT qid, e.vec_id AS nid,
+      |             list_sum(list_transform(range(1, len(qe) + 1),
+      |                  i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm) AS cos
+      |      FROM n e, q WHERE e.vec_id >= 5),
+      |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM c)
+      |SELECT r.qid, r.nid, r.rank, d.lang, d.n_chars
+      |FROM r JOIN documents d ON r.nid = d.doc_id
+      |WHERE r.rank <= 3 ORDER BY r.qid, r.rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val top = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+    top.join(Tables.documents(s, d), top("nid") === col("doc_id"))
+      .select(col("qid"), col("nid"), col("rank"), col("lang"), col("n_chars"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(annBruteForce, annLsh, annIvf, embedDocSearch)
 }
