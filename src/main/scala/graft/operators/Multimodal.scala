@@ -79,5 +79,34 @@ object Multimodal {
     (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, max)
   }
 
-  val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures)
+  /** Frame sampling over payloads: fixed-size frames at a stride (the
+    * video frame-sample pattern — every 4th 16-byte "frame"), each
+    * fingerprinted. Per-row lateral explode, no shuffle; at scale this
+    * is a map-only pass over the media column. Payload text is ASCII so
+    * char offsets equal byte offsets, which keeps the oracle
+    * SQL-expressible. */
+  val frameSample: QueryEntry = QueryEntry(
+    "m03_frame_sample",
+    """WITH t AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents WHERE doc_id < 50)
+      |SELECT doc_id, CAST(fidx AS INTEGER) AS fidx,
+      |       sha256(substring(text, fidx * 16 + 1, 16)) AS frame_digest,
+      |       CAST(LENGTH(substring(text, fidx * 16 + 1, 16)) AS INTEGER) AS frame_len
+      |FROM t, UNNEST(range((n + 15) // 16)) AS u(fidx)
+      |WHERE fidx % 4 = 0
+      |ORDER BY doc_id, fidx""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .withColumn("n", length(col("text")))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, cast((n + 15) div 16 as int) - 1)")).as("fidx"))
+      .filter(col("fidx") % 4 === 0)
+      .withColumn("frame", expr("substring(text, fidx * 16 + 1, 16)"))
+      .select(col("doc_id"), col("fidx"),
+        sha2(col("frame"), 256).as("frame_digest"),
+        length(col("frame")).as("frame_len"))
+      .orderBy(col("doc_id"), col("fidx"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample)
 }
