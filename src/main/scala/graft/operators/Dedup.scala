@@ -196,6 +196,27 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Incremental dedup: new documents (second half) anti-joined against
+    * the digest set of already-ingested documents (first half) — the
+    * batch-over-batch shape of a continuously-fed pipeline; only
+    * digests cross the exchange. */
+  val incrementalDedup: QueryEntry = QueryEntry(
+    "d07_incremental_dedup",
+    """WITH seen AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 250),
+      |new AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id >= 250)
+      |SELECT n.doc_id FROM new n
+      |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = n.digest)
+      |ORDER BY n.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).withColumn("digest", sha2(col("text"), 256))
+    val seen = docs.filter(col("doc_id") < 250).select(col("digest")).distinct()
+    docs.filter(col("doc_id") >= 250)
+      .join(seen, Seq("digest"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
-    exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup)
+    exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
+    incrementalDedup)
 }

@@ -780,5 +780,55 @@ object Relational {
     federatedJoin, cubeAgg, approxDistinct, exceptCountRewrite, tpchQ1,
     percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
-    nullSafeJoin, windowDistribution, hllSketch)
+    nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
+    arrayAgg)
+
+  /** GROUP BY ... HAVING on an aggregate. */
+  lazy val havingAgg: QueryEntry = QueryEntry(
+    "q37_having",
+    """SELECT o_custkey, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(*) >= 12
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .filter(col("n") >= 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** FILTER (WHERE ...) clauses on aggregates — per-aggregate
+    * conditional accumulation in one pass. */
+  lazy val filteredAgg: QueryEntry = QueryEntry(
+    "q38_filtered_agg",
+    """SELECT l_returnflag,
+      |       COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty,
+      |       COUNT(*) FILTER (WHERE l_discount > CAST(0.05 AS DOUBLE)) AS discounted,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS big_sales
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count(1) FILTER (WHERE l_quantity > 25)").as("big_qty"),
+        expr("count(1) FILTER (WHERE l_discount > 0.05D)").as("discounted"),
+        expr("cast(sum(cast(l_extendedprice as decimal(12,2))) FILTER (WHERE l_quantity > 25) as double)")
+          .as("big_sales"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Array aggregation: per-group sorted key lists (nested result
+    * types through the whole verify pipeline). */
+  lazy val arrayAgg: QueryEntry = QueryEntry(
+    "q39_array_agg",
+    """SELECT n_regionkey, list_sort(list(n_name)) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  ) { (s, d) =>
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_name"))).as("names"))
+      .orderBy(col("n_regionkey"))
+  }
 }

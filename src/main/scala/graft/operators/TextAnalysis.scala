@@ -178,7 +178,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Normalization pipeline: lowercase → strip non-alphanumerics →
+    * collapse whitespace → trim; the canonical-form step before exact
+    * dedup. */
+  val normalize: QueryEntry = QueryEntry(
+    "t08_normalize",
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
-    wordPositions)
+    wordPositions, normalize)
 }
