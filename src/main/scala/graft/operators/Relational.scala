@@ -781,7 +781,53 @@ object Relational {
     percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
-    arrayAgg)
+    arrayAgg, likePredicates, summaryStats)
+
+  /** LIKE-family pattern predicates (standard SQL semantics, identical
+    * across engines — unlike regex dialects). */
+  lazy val likePredicates: QueryEntry = QueryEntry(
+    "q40_like_predicates",
+    """SELECT o_orderkey,
+      |       o_orderpriority LIKE '%HIGH%' AS is_high,
+      |       o_orderpriority NOT LIKE '_-%' AS odd_shape,
+      |       o_orderpriority ILIKE '%high%' AS is_high_ci,
+      |       o_orderpriority LIKE '1%' AS is_one
+      |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderpriority").like("%HIGH%").as("is_high"),
+        (!col("o_orderpriority").like("_-%")).as("odd_shape"),
+        col("o_orderpriority").ilike("%high%").as("is_high_ci"),
+        col("o_orderpriority").like("1%").as("is_one"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+  }
+
+  /** Summary statistics with deterministic numerics: mean and sample
+    * variance derived from exact decimal sums (sum, sum of squares),
+    * so the double arithmetic is identical in any engine/partitioning —
+    * the stable alternative to streaming variance. */
+  lazy val summaryStats: QueryEntry = QueryEntry(
+    "q41_summary_stats",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean,
+      |       (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |         - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |           * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |         / (COUNT(*) - 1) AS variance
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val q = dec(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(q).cast("double") / count(lit(1))).as("mean"),
+        ((sum(q * q).cast("double")
+          - sum(q).cast("double") * sum(q).cast("double") / count(lit(1)))
+          / (count(lit(1)) - 1)).as("variance"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** GROUP BY ... HAVING on an aggregate. */
   lazy val havingAgg: QueryEntry = QueryEntry(
