@@ -781,7 +781,76 @@ object Relational {
     percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
-    arrayAgg, likePredicates, summaryStats)
+    arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18)
+
+  /** TPC-H Q4 shape: EXISTS-correlated count by priority. */
+  lazy val tpchQ4: QueryEntry = QueryEntry(
+    "q42_tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q12 shape: join + CASE-bucketed conditional counting. */
+  lazy val tpchQ12: QueryEntry = QueryEntry(
+    "q43_tpch_q12",
+    """SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  ) { (s, d) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders via IN (grouped HAVING
+    * subquery), re-joined to customer detail. */
+  lazy val tpchQ18: QueryEntry = QueryEntry(
+    "q44_tpch_q18",
+    """SELECT c_name, o_orderkey,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT c_name, o_orderkey,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)
+  }
 
   /** LIKE-family pattern predicates (standard SQL semantics, identical
     * across engines — unlike regex dialects). */
