@@ -216,7 +216,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep-best dedup policy: within each exact-duplicate group keep
+    * the highest-quality representative (longest doc, doc_id tiebreak)
+    * via single-pass struct-max — the "which copy survives" decision a
+    * dedup pipeline has to make. */
+  val keepBest: QueryEntry = QueryEntry(
+    "d08_dedup_keep_best",
+    """SELECT digest, keep_id, n FROM (
+      |  SELECT sha256(text) AS digest, doc_id, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY sha256(text)
+      |                            ORDER BY n_chars DESC, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY sha256(text)) AS n,
+      |         doc_id AS keep_id
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n"))
+      .select(col("digest"), (-col("best.neg_id")).as("keep_id"), col("n"))
+      .orderBy(col("keep_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
-    incrementalDedup)
+    incrementalDedup, keepBest)
 }

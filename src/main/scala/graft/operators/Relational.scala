@@ -781,7 +781,40 @@ object Relational {
     percentiles, groupedTopKCustom, pivotAgg, argMax, stringFunctions,
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
-    arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18)
+    arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
+    rangeFrameWindow, approxPercentiles)
+
+  /** RANGE-frame window (value-based bounds, distinct from ROWS
+    * frames): per-status sum over orders whose key lies within the
+    * trailing 5-key band. */
+  lazy val rangeFrameWindow: QueryEntry = QueryEntry(
+    "q45_range_frame",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |            OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_sales
+      |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+      .rangeBetween(-5, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("band_sales"))
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+  }
+
+  /** Approximate percentiles (t-digest-style sketch) next to their
+    * exact values — sketch estimates are engine-specific → rows-only. */
+  lazy val approxPercentiles: QueryEntry =
+    QueryEntry.noOracle("q46_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx"),
+          expr("percentile(l_quantity, array(0.5, 0.9))").as("exact"))
+        .orderBy(col("l_returnflag"))
+    }
 
   /** TPC-H Q4 shape: EXISTS-correlated count by priority. */
   lazy val tpchQ4: QueryEntry = QueryEntry(
