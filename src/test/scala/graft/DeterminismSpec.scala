@@ -11,10 +11,9 @@ class DeterminismSpec extends SparkSpec {
   private def collectSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private val probed = Seq(
-    "q03_join_agg_topn", "q04_left_join_case_agg", "q05_except_chain_count",
-    "q15_shuffled_join_agg", "d01_dedup_exact", "d03_minhash_lsh",
-    "e03_sessionize", "s01_ann_bruteforce", "t04_fingerprint")
+  // every registered operator must satisfy the property; the sketch
+  // estimators are deterministic too (fixed algorithms, fixed seeds)
+  private val probed = SparkEntry.allEntries.map(_.name)
 
   probed.foreach { name =>
     test(s"$name is invariant to shuffle partitioning") {
