@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
 object VectorFunctions {
 
   /** cosine(a, b) over array<float>/array<double> columns → double.
-    * Null input array, length mismatch at the shorter end, or any null
-    * element → null (mirroring zip_with+aggregate null semantics). */
+    * Null input array, differing array lengths, any null element, or a
+    * zero-norm input (undefined cosine) → null — mirroring the
+    * zip_with+aggregate formulation's null semantics rather than
+    * returning a truncated or NaN value. */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
 
@@ -46,7 +48,8 @@ object VectorFunctions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val arrA = a.asInstanceOf[ArrayData]
       val arrB = b.asInstanceOf[ArrayData]
-      val n = math.min(arrA.numElements(), arrB.numElements())
+      val n = arrA.numElements()
+      if (arrB.numElements() != n) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       val fa = elemType(left) == FloatType
@@ -58,6 +61,7 @@ object VectorFunctions {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
+      if (na == 0.0 || nb == 0.0) return null
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
@@ -71,14 +75,18 @@ object VectorFunctions {
         val na = ctx.freshName("na")
         val nb = ctx.freshName("nb")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) { ${ev.isNull} = true; }
            |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-           |  double x = (double) $a.$getA($i);
-           |  double y = (double) $b.$getB($i);
-           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |if (!${ev.isNull}) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    double x = (double) $a.$getA($i);
+           |    double y = (double) $b.$getB($i);
+           |    $dot += x * y; $na += x * x; $nb += y * y;
+           |  }
            |}
+           |if (!${ev.isNull} && ($na == 0.0 || $nb == 0.0)) { ${ev.isNull} = true; }
            |if (!${ev.isNull}) {
            |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |}

@@ -98,6 +98,9 @@ object Multimodal {
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .withColumn("n", length(col("text")))
+      // n = 0 must emit no frames: sequence(0, -1) would auto-step to
+      // [0, -1] where the oracle's range(0) is empty
+      .filter(col("n") > 0)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, cast((n + 15) div 16 as int) - 1)")).as("fidx"))
       .filter(col("fidx") % 4 === 0)

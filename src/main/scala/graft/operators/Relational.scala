@@ -806,13 +806,17 @@ object Relational {
   }
 
   /** Approximate percentiles (t-digest-style sketch) next to their
-    * exact values — sketch estimates are engine-specific → rows-only. */
+    * exact values — sketch estimates are engine-specific → rows-only.
+    * Scalar columns only: array-typed results are not hashable by the
+    * verify pipeline's column-sorted compare. */
   lazy val approxPercentiles: QueryEntry =
     QueryEntry.noOracle("q46_approx_percentiles") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx"),
-          expr("percentile(l_quantity, array(0.5, 0.9))").as("exact"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("percentile(l_quantity, 0.9)").as("exact_p90"))
         .orderBy(col("l_returnflag"))
     }
 
@@ -967,16 +971,19 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Array aggregation: per-group sorted key lists (nested result
-    * types through the whole verify pipeline). */
+  /** Array aggregation: per-group sorted key lists. The list is built
+    * as a real array aggregate in both engines, then serialized to a
+    * joined string for output — the verify pipeline's column-sorted
+    * hash compare cannot hash raw array cells. */
   lazy val arrayAgg: QueryEntry = QueryEntry(
     "q39_array_agg",
-    """SELECT n_regionkey, list_sort(list(n_name)) AS names
+    """SELECT n_regionkey,
+      |       array_to_string(list_sort(list(n_name)), '|') AS names
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   ) { (s, d) =>
     Tables.nation(s, d)
       .groupBy(col("n_regionkey"))
-      .agg(sort_array(collect_list(col("n_name"))).as("names"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("names"))
       .orderBy(col("n_regionkey"))
   }
 }

@@ -122,6 +122,9 @@ object GroupedTopK {
     * Catalyst expressions. */
   def topK(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"GroupedTopK.topK: k must be positive, got $k")
+    require(groupCols.nonEmpty, "GroupedTopK.topK: at least one group column required")
+    require(orderCols.nonEmpty, "GroupedTopK.topK: at least one order column required")
     val spark = df.sparkSession
     val plan = df.queryExecution.analyzed
     def attr(name: String): Attribute = plan.output

@@ -43,6 +43,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(l.exceptAll(r).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("3-branch EXCEPT chain collapses to ONE union+aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    val df = branch("O").except(branch("F")).except(branch("P"))
+    val plan = df.queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    val unions = plan.collect { case u: Union => u }
+    assert(aggs.size == 1, plan.toString)
+    assert(unions.size == 1 && unions.head.children.size == 3, plan.toString)
+    // and the collapsed form still computes EXCEPT-chain semantics
+    val on = df.collect().map(_.getLong(0)).sorted.toSeq
+    spark.conf.set("spark.sql.graft.rewriteExcept", "false")
+    val off = try branch("O").except(branch("F")).except(branch("P"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    finally spark.conf.set("spark.sql.graft.rewriteExcept", "true")
+    assert(on == off)
+  }
+
+  test("rewrite preserves the original non-nullable output schema") {
+    import spark.implicits._
+    val l = Seq(1, 2, 3).toDF("k")
+    val r = Seq(2).toDF("k")
+    val df = l.except(r)
+    assert(!df.schema("k").nullable, df.schema.treeString)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
   test("chained EXCEPT (q05 shape) still matches its oracle result") {
     val viaExcept = SparkEntry.queries("q05_except_chain_count")(spark, sf2)
       .head().getLong(0)

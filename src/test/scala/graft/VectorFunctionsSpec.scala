@@ -36,6 +36,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("length mismatch or zero-norm input yields null, not a value") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0F, 2.0F), array(2.0F)),
+        |  (array(0.0F, 0.0F), array(2.0F, 3.0F)),
+        |  (array(1.0F, 2.0F), array(0.0F, 0.0F))
+        |AS t(a, b)""".stripMargin)
+    val got = df.select(cosine_similarity(col("a"), col("b"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
   test("self-similarity is 1.0 within ulps") {
     val e = Tables.embeddings(spark, sf1).limit(50)
     val got = e.select(cosine_similarity(col("embedding"), col("embedding")).as("c"))
