@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allEntries: Seq[QueryEntry] =
-    operators.Relational.all ++ operators.Temporal.all ++
+    operators.Relational.all ++ operators.TpchMore.all ++
+      operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Loader.all
