@@ -11,6 +11,7 @@ object SparkEntry {
 
   def allEntries: Seq[QueryEntry] =
     operators.Relational.all ++ operators.TpchMore.all ++
+      operators.TpchFull.all ++
       operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
