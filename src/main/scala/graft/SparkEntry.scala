@@ -14,7 +14,8 @@ object SparkEntry {
       operators.TpchFull.all ++
       operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
-      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Similarity.all ++ operators.Clustering.all ++
+      operators.Multimodal.all ++
       operators.Loader.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Clustering operators for the training-data pipeline: connected
+  * components over a near-duplicate pair graph (dedup clusters → one
+  * canonical document per cluster) and deterministic Lloyd k-means
+  * over the embedding corpus (the training step behind the IVF index
+  * in Similarity.annIvf).
+  *
+  * Both are iterative-relational: each iteration is a bounded number
+  * of shuffles over DataFrames, with `localCheckpoint()` truncating
+  * the growing lineage — the Pregel-on-DataFrames shape. At 100 TB the
+  * same loops hold: label propagation converges in O(graph diameter)
+  * rounds of one shuffle each (for hostile diameters switch to the
+  * large-star/small-star algorithm, same join primitives); k-means
+  * broadcasts the k×dim centroid table and shuffles once per
+  * iteration for the (cluster, dim) re-averaging.
+  */
+object Clustering {
+
+  /** Connected components by min-label propagation. `edges` must have
+    * two integral columns `a`,`b`; returns (node, cluster) where
+    * cluster = min node id reachable. Converges in O(diameter)
+    * iterations; each iteration = one join + one aggregation. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"connectedComponents: maxIter must be positive, got $maxIter")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // convergence probe: any node whose label still shrank?
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.lbl") < col("p.lbl"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: connected components over the word-Jaccard
+    * ≥ 0.9 pair graph (doc_id < 200 probe set — 5 multi-hop clusters
+    * in the testdata corpus). Output: every clustered doc with its
+    * cluster id (= min doc_id, the canonical representative) and a
+    * keep marker. The DuckDB oracle computes the same transitive
+    * closure with a recursive CTE. */
+  val dupClusters: QueryEntry = QueryEntry(
+    "d09_dup_clusters",
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |       FROM documents WHERE doc_id < 200),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |        FROM ws a JOIN ws b ON a.w = b.w
+      |        WHERE b.doc_id > a.doc_id GROUP BY 1, 2),
+      |e AS (SELECT a_id, b_id
+      |      FROM com JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |      WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.9),
+      |sym AS (SELECT a_id AS a, b_id AS b FROM e UNION SELECT b_id, a_id FROM e),
+      |reach(node, lbl) AS (
+      |  SELECT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+      |SELECT node AS doc_id, MIN(lbl) AS cluster,
+      |       CAST(node = MIN(lbl) AS BOOLEAN) AS keep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val com = ws.as("a").join(ws.as("b"),
+        col("a.w") === col("b.w") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val edges = com
+      .join(sz.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b_id") === col("sb.doc_id"))
+      .filter(col("common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("common")) >= 0.9)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster"),
+        (col("node") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Element-exploded embedding view: (vec_id, dim, x) with x the
+    * float component widened to double (exact). */
+  private def exploded(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+
+  /** One Lloyd iteration in exact arithmetic: assign each vector to
+    * the nearest centroid (squared-L2 summed in DECIMAL so the argmin
+    * is partitioning-independent), then re-average per (cluster, dim)
+    * via decimal sums. `centroids`: (cl, dim, c). */
+  private def lloydStep(v: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
+    val dist = v.join(broadcast(centroids), Seq("dim"))
+      .withColumn("sq", ((col("x") - col("c")) * (col("x") - col("c")))
+        .cast(DecimalType(28, 18)))
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum(col("sq")).as("dist"))
+    val assign = dist
+      .withColumn("rk", expr("row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)"))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cl"))
+    val next = v.join(assign, Seq("vec_id"))
+      .groupBy(col("cl"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") / count(lit(1))).as("c"))
+    (assign, next)
+  }
+
+  /** Deterministic k-means (k=8, 2 Lloyd iterations, first-k init) over
+    * the embedding corpus — the IVF coarse-quantizer training step.
+    * Exact decimal distance sums + cl tiebreak make every assignment
+    * identical across engines and partitionings, so the full iteration
+    * trace is oracle-checkable; output is per-cluster size + canonical
+    * member after the second assignment. */
+  val kmeans: QueryEntry = QueryEntry(
+    "s05_kmeans_train",
+    """WITH v AS (
+      |  SELECT vec_id, u['dim'] AS dim, CAST(u['x'] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id,
+      |          unnest(list_transform(range(1, len(embedding) + 1),
+      |                 i -> {'dim': i - 1, 'x': embedding[i]})) AS u
+      |        FROM embeddings)),
+      |c0 AS (SELECT vec_id AS cl, dim, x AS c FROM v WHERE vec_id < 8),
+      |d1 AS (SELECT v.vec_id, c0.cl,
+      |              SUM(CAST((v.x - c0.c) * (v.x - c0.c) AS DECIMAL(28,18))) AS dist
+      |       FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d1) WHERE rk = 1),
+      |c1 AS (SELECT cl, dim, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      |       FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT v.vec_id, c1.cl,
+      |              SUM(CAST((v.x - c1.c) * (v.x - c1.c) AS DECIMAL(28,18))) AS dist
+      |       FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d2) WHERE rk = 1)
+      |SELECT cl AS cluster, COUNT(*) AS n, MIN(vec_id) AS min_vec
+      |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin
+  ) { (s, d) =>
+    val v = exploded(s, d)
+    val c0 = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cl"), col("dim"), col("x").as("c"))
+    val (_, c1) = lloydStep(v, c0)
+    val (a2, _) = lloydStep(v, c1)
+    a2.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(dupClusters, kmeans)
+}

@@ -194,7 +194,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Pairwise document cosine over sparse term-frequency vectors via
+    * the inverted index — dot products distribute over terms (one
+    * shuffle on the term key, partial map-side sums), never
+    * materializing a dense matrix. Counts are integers, so dot and
+    * norms are exact and the cosine is the same IEEE double in both
+    * engines; the ≥ 0.8 threshold filter is therefore safe. At corpus
+    * scale, prefix-filter the index (PPJoin) and keep the bounded
+    * probe side — the formulation is unchanged. */
+  val tfCosinePairs: QueryEntry = QueryEntry(
+    "t09_tf_cosine_pairs",
+    """WITH tf AS (SELECT doc_id, w, COUNT(*) AS tf
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |            GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+      |dot AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.tf * b.tf) AS dp
+      |        FROM tf a JOIN tf b ON a.w = b.w
+      |        WHERE a.doc_id < 100 AND b.doc_id > a.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id, dp / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+      |FROM dot JOIN nrm na ON a_id = na.doc_id JOIN nrm nb ON b_id = nb.doc_id
+      |WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val dot = tf.as("a").filter(col("doc_id") < 100)
+      .join(tf.as("b"), col("a.w") === col("b.w") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dp"))
+    dot.join(nrm.as("na"), col("a_id") === col("na.doc_id"))
+      .join(nrm.as("nb"), col("b_id") === col("nb.doc_id"))
+      .withColumn("cos", col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))))
+      .filter(col("cos") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
-    wordPositions, normalize)
+    wordPositions, normalize, tfCosinePairs)
 }
