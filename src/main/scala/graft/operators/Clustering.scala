@@ -22,10 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Clustering {
 
-  /** Connected components by min-label propagation. `edges` must have
-    * two integral columns `a`,`b`; returns (node, cluster) where
-    * cluster = min node id reachable. Converges in O(diameter)
-    * iterations; each iteration = one join + one aggregation. */
+  /** Connected components by min-label propagation with pointer
+    * jumping. `edges` must have two integral columns `a`,`b`; returns
+    * (node, cluster) where cluster = min node id reachable.
+    *
+    * Each iteration does (1) a one-hop propagation (every node takes
+    * the min label across itself and its neighbors) and (2) a pointer
+    * jump `lbl ← min(lbl, lbl[lbl])` — labels are themselves node ids
+    * inside the same component, so chasing the label's label composes
+    * reachability and roughly doubles the propagation distance per
+    * round. Convergence is O(log diameter) iterations of 3 shuffles
+    * each, so `maxIter = 25` covers diameters up to ~2^24; if the loop
+    * still has not converged it throws rather than silently returning
+    * stale labels (the round-2 bug: one-hop-only propagation returned
+    * wrong answers past diameter 25). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"connectedComponents: maxIter must be positive, got $maxIter")
     val sym = edges.select(col("a"), col("b"))
@@ -39,8 +49,16 @@ object Clustering {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("lbl"))
-      val next = labels.union(prop)
+      val hop = labels.union(prop)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: every label is a node id of the same component,
+      // so lbl[lbl] is defined (left join only guards degenerate input);
+      // renamed projection rather than .as() aliases — the hop plan is
+      // un-checkpointed and alias self-joins trip attribute dedup
+      val jump = hop.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+      val next = hop.join(jump, col("lbl") === col("jnode"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       // convergence probe: any node whose label still shrank?
       val changed = next.as("n")
@@ -51,6 +69,8 @@ object Clustering {
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no convergence after $maxIter iterations; raise maxIter")
     labels
   }
 

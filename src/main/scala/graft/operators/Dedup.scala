@@ -90,18 +90,22 @@ object Dedup {
     * → rows-only check (not SQL-expressible in the oracle). */
   val minhashLsh: QueryEntry = QueryEntry.noOracle("d03_minhash_lsh") { (s, d) =>
     val nSig = 32
+    val sh = shingles(s, d)
     val aggs = (0 until nSig).map(j => min(xxh(j.toLong, col("s"))).as(s"m$j")) :+
-      count(lit(1)).as("n") :+ collect_set(col("s")).as("sset")
-    // one grouped pass computes signature + set size + (small-corpus
-    // convenience) the shingle set itself for exact verification
-    val sig = shingles(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      count(lit(1)).as("n")
+    // one grouped pass computes the 32-hash signature + set size; only
+    // (doc_id, 32×8B sig, n) is cached — the shingle sets themselves
+    // never cross an exchange (round-2 fix: collect_set + cache of full
+    // sets materialized the whole corpus content)
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until nSig).map(j => col(s"m$j")): _*))
-    val doc = sig.select(col("doc_id"), col("sig"), col("n"), col("sset")).cache()
+      .select(col("doc_id"), col("sig"), col("n"))
+      .cache()
     // the banded relation carries ONLY (doc_id, band, bh) through the
-    // exchange — payloads (signature, shingle set) join in later, and
-    // only for the candidate pairs, which are far fewer than the corpus
+    // exchange; signatures join back in for candidate pairs only
     val bands = (0 until nSig / 2).map(b =>
-      struct(lit(b).as("band"), xxh(0L, col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
+      struct(lit(b).as("band"),
+        xxh(0L, element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)).as("bh")))
     val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -109,17 +113,28 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // estimate Jaccard from signature agreement, keep plausible pairs,
-    // exact-verify those by shingle-set intersection
-    cand
-      .join(doc.select(col("doc_id").as("a_id"), col("sig").as("siga"),
-        col("n").as("na"), col("sset").as("seta")), "a_id")
-      .join(doc.select(col("doc_id").as("b_id"), col("sig").as("sigb"),
-        col("n").as("nb"), col("sset").as("setb")), "b_id")
+    // estimate Jaccard from signature agreement, keep plausible pairs
+    val plausible = cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga"), col("n").as("na")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb"), col("n").as("nb")), "b_id")
       .withColumn("est",
         size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)")).cast("double") / nSig)
       .filter(col("est") >= 0.25)
-      .withColumn("common", size(array_intersect(col("seta"), col("setb"))))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+    // exact verification: recount common shingles via the inverted
+    // index restricted to documents that appear in a plausible pair —
+    // work is linear in candidate-doc shingles, not corpus pairs, and
+    // no full shingle set is ever collected into one row
+    val candDocs = plausible.select(col("a_id").as("doc_id"))
+      .union(plausible.select(col("b_id").as("doc_id")))
+      .distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"))
+    val common = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    plausible.join(common, Seq("a_id", "b_id"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select(col("a_id"), col("b_id"), col("jaccard"))

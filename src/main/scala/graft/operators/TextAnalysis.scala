@@ -133,7 +133,11 @@ object TextAnalysis {
     val tfc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
     val nDf = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("__n"))
-    tfc.join(broadcast(df), Seq("w"))
+    // The df table is the corpus vocabulary — GBs at 100 TB, so no
+    // broadcast hint: the shuffle join on `w` is the scale-correct plan
+    // (tfc is already partitioned compatibly from its own groupBy on a
+    // superset key, and AQE still broadcasts when df genuinely fits).
+    tfc.join(df, Seq("w"))
       .crossJoin(broadcast(nDf))
       .withColumn("score", (col("tf").cast("double") * col("__n")) / col("df"))
       .withColumn("rk", expr(
