@@ -29,6 +29,10 @@ object GraftSession {
     // into the probe side of shuffled joins.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // Trino-style connector join pushdown (reference: q004
+    // explain.txt:70 — a whole LEFT JOIN shipped into psql): DSv2 scans
+    // over the same JDBC source fuse into one remote join subquery.
+    .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     // The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     // rejects by default; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

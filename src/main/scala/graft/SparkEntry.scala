@@ -11,7 +11,7 @@ object SparkEntry {
 
   def allEntries: Seq[QueryEntry] =
     operators.Relational.all ++ operators.TpchMore.all ++
-      operators.TpchFull.all ++
+      operators.TpchFull.all ++ operators.Fixtures.all ++
       operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Clustering.all ++

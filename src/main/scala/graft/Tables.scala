@@ -34,6 +34,16 @@ object Tables {
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw
   }
+  /** The events table as a stringly-typed source: every column cast to
+    * string — the shape the reference's ES loader produces
+    * (loader.py:144 `default=str` serializes numerics and timestamps as
+    * strings), forcing consumers to cast on read. */
+  def eventsStringly(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.select(e.columns.map(c => org.apache.spark.sql.functions.col(c)
+      .cast("string").as(c)).toSeq: _*)
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

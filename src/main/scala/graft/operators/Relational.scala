@@ -730,23 +730,25 @@ object Relational {
   }
 
   /** Distribution window functions: ntile / percent_rank / cume_dist /
-    * first & nth value over a fully tiebroken ordering. */
+    * first & nth value over a fully tiebroken ordering. Partitioned by
+    * o_custkey (cardinality ≈ |customer|) so window parallelism scales
+    * with the data — a status-like key would cap the sort at 3 tasks. */
   val windowDistribution: QueryEntry = QueryEntry(
     "q35_window_distribution",
-    """SELECT o_orderkey, o_orderstatus,
+    """SELECT o_orderkey, o_custkey,
       |       NTILE(4) OVER w AS quartile,
       |       percent_rank() OVER w AS pr,
       |       cume_dist() OVER w AS cd,
       |       first_value(o_orderkey) OVER w AS first_k,
       |       nth_value(o_orderkey, 2) OVER w AS second_k
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("o_orderstatus"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"),
+      .select(col("o_orderkey"), col("o_custkey"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
@@ -785,21 +787,22 @@ object Relational {
     rangeFrameWindow, approxPercentiles)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
-    * frames): per-status sum over orders whose key lies within the
-    * trailing 5-key band. */
+    * frames): per-customer sum over orders whose key lies within the
+    * trailing 5-key band. Partitioned by o_custkey so the window sort
+    * parallelizes across the cluster instead of 3 status partitions. */
   lazy val rangeFrameWindow: QueryEntry = QueryEntry(
     "q45_range_frame",
-    """SELECT o_orderkey, o_orderstatus,
+    """SELECT o_orderkey, o_custkey,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-      |            OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
       |                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_sales
       |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("o_orderstatus"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderkey"))
       .rangeBetween(-5, Window.currentRow)
     Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"),
+      .select(col("o_orderkey"), col("o_custkey"),
         sum(dec(col("o_totalprice"))).over(w).cast("double").as("band_sales"))
       .orderBy(col("o_orderkey"))
       .limit(1000)

@@ -63,8 +63,17 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     ns.length == 1 &&
       (ns(0) == baseNamespace || ns(0) == "default" || extraNamespaces.contains(ns(0)))
 
+  /** CTAS output is a parquet DIRECTORY under the root whereas source
+    * tables are single `.parquet` files, so a directory on disk marks a
+    * table created by some (possibly earlier) session — the durable
+    * CTAS registry, no in-memory state needed. */
+  private def ctasOnDisk(table: String): Boolean = {
+    val f = new java.io.File(pathOf(table))
+    f.exists() && f.isDirectory
+  }
+
   private def serves(table: String): Boolean =
-    placement.forall(_.contains(table)) || created.contains(table)
+    placement.forall(_.contains(table)) || created.contains(table) || ctasOnDisk(table)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!knownNamespace(namespace))
@@ -119,7 +128,9 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val table = ident.name()
-    if (!created.contains(table)) return false // never drop source data
+    // only CTAS output may be dropped — a directory on disk or a table
+    // created this session; source data (single files) never qualifies
+    if (!created.contains(table) && !ctasOnDisk(table)) return false
     val dir = new java.io.File(pathOf(table))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))

@@ -61,6 +61,32 @@ class CatalogSpec extends SparkSpec {
     useRoot(sf1)
   }
 
+  test("CTAS tables are durable: visible and droppable from a fresh session") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dur").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf1/nation.parquet"),
+      java.nio.file.Paths.get(s"$root/nation.parquet"))
+    useRoot(root)
+    spark.sql(
+      """CREATE TABLE psql.tpcds.nation_dur AS
+        |SELECT n_nationkey, n_name FROM psql.tpcds.nation""".stripMargin)
+    // a brand-new session has fresh catalog instances (empty in-memory
+    // state) — the table must still resolve from the directory on disk
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.graft.root", root)
+    assert(s2.sql("SELECT * FROM psql.tpcds.nation_dur").count() > 0)
+    assert(s2.sql("SHOW TABLES IN psql.tpcds").collect().map(_.getString(1))
+      .contains("nation_dur"))
+    s2.sql("DROP TABLE psql.tpcds.nation_dur")
+    assert(!new java.io.File(s"$root/nation_dur.parquet").exists())
+    // source data (a single parquet file) is still not droppable
+    assert(!s2.sessionState.catalogManager.catalog("psql")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("tpcds"), "nation")))
+    useRoot(sf1)
+  }
+
   test("federated query spans catalogs with broadcast dims") {
     useRoot(sf1)
     val df = SparkEntry.queries("q19_federated_catalogs")(spark, sf1)

@@ -22,6 +22,14 @@ class JdbcSourceSpec extends SparkSpec {
         ps.addBatch()
       }
     ps.executeBatch()
+    st.execute("CREATE TABLE cust (c_custkey BIGINT, c_name VARCHAR(64))")
+    val pc = conn.prepareStatement("INSERT INTO cust VALUES (?, ?)")
+    Tables.customer(spark, sf1).select("c_custkey", "c_name")
+      .limit(200).collect().foreach { r =>
+        pc.setLong(1, r.getLong(0)); pc.setString(2, r.getString(1))
+        pc.addBatch()
+      }
+    pc.executeBatch()
     conn.close()
     u
   }
@@ -53,5 +61,40 @@ class JdbcSourceSpec extends SparkSpec {
     // with pushDownAggregate the scan relation exposes the SUM
     assert(plan.contains("SUM") || plan.contains("sum"), plan)
     assert(q.head().getDouble(0) > 0)
+  }
+
+  test("a two-table join is pushed into the JDBC source as one scan (q004 shape)") {
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.jdbc.GraftDerbyJoinDialect.register()
+    val conf = spark.conf
+    conf.set("spark.sql.catalog.derby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    conf.set("spark.sql.catalog.derby.url", url)
+    conf.set("spark.sql.catalog.derby.pushDownJoin", "true")
+    conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+    try {
+      // Derby folds unquoted DDL identifiers to uppercase; the v2
+      // catalog quotes whatever identifier it receives
+      val o = spark.table("derby.APP.ORD")
+      val c = spark.table("derby.APP.CUST")
+      val q = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_totalprice"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // the whole join runs in the source: exactly one JDBC scan, no
+      // Spark-side join operator (reference q004 explain.txt:70)
+      assert("Scan JDBC".r.findAllIn(plan).length == 1, plan)
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+      // row-identical to the unfused plan
+      val unfused = jdbcOrders.as("o")
+        .join(spark.read.format("jdbc").option("url", url).option("dbtable", "cust").load(),
+          col("o_custkey") === col("c_custkey"))
+      assert(q.count() == unfused.count())
+      assert(q.count() > 0)
+    } finally {
+      Seq("spark.sql.catalog.derby", "spark.sql.catalog.derby.url",
+        "spark.sql.catalog.derby.pushDownJoin",
+        "spark.sql.catalog.derby.pushDownAggregate").foreach(conf.unset)
+    }
   }
 }
