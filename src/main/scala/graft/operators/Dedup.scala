@@ -91,15 +91,15 @@ object Dedup {
   val minhashLsh: QueryEntry = QueryEntry.noOracle("d03_minhash_lsh") { (s, d) =>
     val nSig = 32
     val sh = shingles(s, d)
-    val aggs = (0 until nSig).map(j => min(xxh(j.toLong, col("s"))).as(s"m$j")) :+
-      count(lit(1)).as("n")
-    // one grouped pass computes the 32-hash signature + set size; only
+    // one grouped pass computes the 32-permutation signature via the
+    // single-pass MinHashAggregate (2 hash evals per shingle instead of
+    // 32 — the dominant cost at corpus scale) + set size; only
     // (doc_id, 32×8B sig, n) is cached — the shingle sets themselves
     // never cross an exchange (round-2 fix: collect_set + cache of full
     // sets materialized the whole corpus content)
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .withColumn("sig", array((0 until nSig).map(j => col(s"m$j")): _*))
-      .select(col("doc_id"), col("sig"), col("n"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
+        count(lit(1)).as("n"))
       .cache()
     // the banded relation carries ONLY (doc_id, band, bh) through the
     // exchange; signatures join back in for candidate pairs only
@@ -254,7 +254,81 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Full-corpus all-pairs Jaccard ≥ 0.8 over word-TRIGRAM shingles via
+    * PPJoin-style prefix filtering — the scale path d02's bounded probe
+    * set cannot cover.
+    *
+    * Shingles get a global rarity order (document frequency asc,
+    * shingle tiebreak); each doc's prefix is its first
+    * `n - ceil(0.8·n) + 1` shingles in that order. Two sets with
+    * Jaccard ≥ 0.8 MUST share a prefix shingle (pigeonhole on the
+    * overlap bound), so the candidate join runs over the rare-shingle
+    * prefix index only. Trigrams, not words, are the token unit: the
+    * synthetic corpus has a ~31-word vocabulary, so word-level prefixes
+    * degenerate to all-pairs (measured 11.3M candidates at sf0.1),
+    * while the trigram space (~vocab³) makes random-pair overlap
+    * near-zero and prefixes discriminative — the same reason real
+    * near-dup pipelines shingle before filtering. Candidates are
+    * exact-verified through the inverted index restricted to candidate
+    * docs (as d03). The filter is lossless, which the oracle PROVES:
+    * DuckDB computes brute-force all-pairs Jaccard over the same
+    * shingles and the outputs must hash-match. */
+  val ppjoinAllPairs: QueryEntry = QueryEntry(
+    "d10_ppjoin_allpairs",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |ws AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+      |              i -> arr[i] || '_' || arr[i+1] || '_' || arr[i+2]))) AS w FROM t),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |        FROM ws a JOIN ws b ON a.w = b.w
+      |        WHERE b.doc_id > a.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM com JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(arr) - 2),
+          |  i -> concat(element_at(arr, i), '_', element_at(arr, i + 1), '_',
+          |              element_at(arr, i + 2)))""".stripMargin))).as("w"))
+    val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wdf = ws.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // global rarity order; per-doc position within it
+    val ranked = ws.join(wdf, Seq("w"))
+      .withColumn("pos", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, w)"))
+      .join(sz, Seq("doc_id"))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
+      .select(col("doc_id"), col("w"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verify via the inverted index restricted to candidate docs
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shc = ws.join(candDocs, Seq("doc_id"))
+    val common = shc.as("a").join(shc.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("a_id", "b_id"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
-    incrementalDedup, keepBest)
+    incrementalDedup, keepBest, ppjoinAllPairs)
 }
