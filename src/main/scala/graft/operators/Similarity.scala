@@ -49,13 +49,22 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Random-hyperplane LSH ANN: 8 deterministic Rademacher hyperplanes
-    * (plane i's j-th sign = low bit of XXH64(j, seed=i), materialized
-    * driver-side as literal arrays — 8×64 ints), giving an 8-bit
-    * signature; candidates share the query's bucket and are reranked by
-    * exact cosine. Probabilistic recall → rows-only. */
+  /** Random-hyperplane LSH ANN, multi-table: 32 deterministic
+    * Rademacher hyperplanes (plane i's j-th sign = low bit of
+    * XXH64(j, seed=i), materialized driver-side as literal arrays)
+    * banded into 8 tables × 4 bits. A corpus vector is a candidate for
+    * a query if they agree on ALL 4 signs of ANY table — for sign
+    * agreement probability p the candidate rate is 1-(1-p⁴)⁸, ~0.8 for
+    * true neighbors vs ~p⁴·8 ≈ noise for the rest (a single 8-bit
+    * table needs p⁸ agreement — measured recall ~0 on this corpus,
+    * round-3 fix). Candidates travel as narrow (vec_id, band, bucket)
+    * rows; embeddings join back for the exact-cosine rerank only.
+    * Probabilistic recall → rows-only; RecallSpec asserts recall@5
+    * against the s01 brute-force ground truth. */
   val annLsh: QueryEntry = QueryEntry.noOracle("s02_ann_lsh") { (s, d) =>
-    val nPlanes = 8
+    val nPlanes = 32
+    val bandBits = 4
+    val nBands = nPlanes / bandBits
     val dim = 64
     val e = Tables.embeddings(s, d)
     val planes: Seq[Column] = (0 until nPlanes).map { i =>
@@ -64,17 +73,29 @@ object Similarity {
           .hashLong(j.toLong, i.toLong) & 1L) * 2 - 1).toDouble))
       }.toIndexedSeq: _*)
     }
-    val sigBits = (0 until nPlanes).map { i =>
+    val sigBits: Seq[Column] = (0 until nPlanes).map { i =>
       val proj = aggregate(
         zip_with(col("embedding"), planes(i), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+      when(proj > 0, lit(1)).otherwise(lit(0))
     }
-    val sig = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
-    val q = sig.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
-    sig.filter(col("vec_id") >= 10).as("c")
-      .join(broadcast(q), col("sig") === col("qsig"))
+    val bands = (0 until nBands).map { b =>
+      val bucket = (0 until bandBits)
+        .map(j => sigBits(b * bandBits + j) * lit(1 << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    // narrow banded index: embeddings are dropped before the explode
+    val sig = e.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val qb = sig.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
+    val cand = sig.filter(col("vec_id") >= 10)
+      .join(broadcast(qb), Seq("band", "bucket"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
       .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))

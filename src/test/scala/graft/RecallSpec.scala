@@ -1,0 +1,45 @@
+package graft
+
+/** ANN quality gates: the approximate searchers must actually find the
+  * true neighbors. Recall@5 is measured against the s01 brute-force
+  * ground truth on the same corpus — the check a rows-only entry cannot
+  * express in SQL. Measured at round 3: s02 ≈ 0.68, s03 ≈ 0.60 at
+  * sf0.01; thresholds leave margin but would still catch a collapse
+  * like the round-2 single-table LSH (recall ≈ 0). */
+class RecallSpec extends SparkSpec {
+
+  private def topSets(name: String, d: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallAt5(name: String, d: String): Double = {
+    val exact = topSets("s01_ann_bruteforce", d)
+    val approx = topSets(name, d)
+    val per = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("multi-table LSH (s02) recall@5 beats 0.5 at sf0.01") {
+    val r = recallAt5("s02_ann_lsh", sf2)
+    assert(r >= 0.5, s"s02 recall@5 = $r")
+  }
+
+  test("IVF 2-probe (s03) recall@5 beats 0.45 at sf0.01") {
+    val r = recallAt5("s03_ann_ivf", sf2)
+    assert(r >= 0.45, s"s03 recall@5 = $r")
+  }
+
+  test("approximate results are real corpus members with sane ranks") {
+    Seq("s02_ann_lsh", "s03_ann_ivf").foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, sf2).collect()
+      assert(rows.nonEmpty, name)
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 10, s"$name returned a query vector as neighbor")
+        assert(r.getInt(2) >= 1 && r.getInt(2) <= 5, s"$name rank out of range")
+      }
+    }
+  }
+}
