@@ -97,6 +97,9 @@ object Dedup {
     // (doc_id, 32×8B sig, n) is cached — the shingle sets themselves
     // never cross an exchange (round-2 fix: collect_set + cache of full
     // sets materialized the whole corpus content)
+    // session-scoped cache: callers that materialize many queries in
+    // one session (Verify/Bench) clearCache() between entries so the
+    // signature table is not pinned past this query's execution
     val sig = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
@@ -149,7 +152,7 @@ object Dedup {
     simhashDf(s, d).orderBy(col("doc_id"))
   }
 
-  private[operators] def simhashDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashDf(s: SparkSession, d: String): DataFrame =
     // single-pass custom aggregate (functions.SimHashAggregate): one
     // shuffle on doc_id, 64-long buffers combined map-side — replaces
     // both a 64-column aggregate (huge codegen unit) and an

@@ -134,9 +134,10 @@ object TextAnalysis {
     val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
     val nDf = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("__n"))
     // The df table is the corpus vocabulary — GBs at 100 TB, so no
-    // broadcast hint: the shuffle join on `w` is the scale-correct plan
-    // (tfc is already partitioned compatibly from its own groupBy on a
-    // superset key, and AQE still broadcasts when df genuinely fits).
+    // broadcast hint. Both sides re-shuffle on `w` (tfc's groupBy hash
+    // partitions on (doc_id, w), which does NOT satisfy a join on `w`
+    // alone); the win is avoiding a GB-scale broadcast, not shuffle
+    // elision — and AQE still broadcasts when df genuinely fits.
     tfc.join(df, Seq("w"))
       .crossJoin(broadcast(nDf))
       .withColumn("score", (col("tf").cast("double") * col("__n")) / col("df"))

@@ -4,13 +4,18 @@ import java.util
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 TableCatalog exposing parquet-backed tables under three-part
@@ -30,6 +35,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reads — the behaviors the reference's plans show as per-connector
   * pushdown (SURVEY.md §4.1). CTAS and DROP TABLE are supported
   * (loader.py:163-167 surface).
+  *
+  * CTAS provenance is a `_graft_ctas` marker file inside the output
+  * directory naming the creating catalog: `serves`/`dropTable` honor it,
+  * so CTAS output is visible only through the catalog that created it
+  * and DROP can never delete source data (a directory-shaped — e.g.
+  * partitioned — SOURCE dataset carries no marker and is undroppable;
+  * this replaces the round-3 directory-vs-file convention that let any
+  * catalog drop any directory under the shared root).
+  *
+  * `PARTITIONED BY (identity cols)` CTAS is supported: data lands
+  * hive-layout (`col=value/` subdirectories) through the battle-tested
+  * V1 partitioned writer (a [[V1Write]] fallback — V2 [[FileTable]]
+  * writes ignore table partitioning), and subsequent reads serve the
+  * directory through [[ParquetTable]] whose partition discovery + DSv2
+  * runtime filtering give catalog-served facts the same partition
+  * pruning + DPP a 100-TB fact laid out by date would rely on.
+  * Non-identity transforms (bucket/days/…) are rejected loudly instead
+  * of silently ignored.
+  *
+  * Schemaless-source analogue (reference loader.py:362-371 — Mongo
+  * documents have no schema; the loader samples them and persists the
+  * inferred schema in a `_schema` collection): a table present as
+  * `<table>.json` (JSON-lines) instead of `.parquet` is served through
+  * [[JsonTable]]; its schema is inferred by sampling on first load and
+  * persisted to `<root>/_schema/<table>.json`, and every later load —
+  * any session — reads the persisted schema instead of re-inferring.
   */
 class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -58,19 +89,45 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     spark.conf.getOption("spark.sql.graft.root").getOrElse(defaultRoot)
 
   private def pathOf(table: String): String = s"$root/$table.parquet"
+  private def jsonPathOf(table: String): String = s"$root/$table.json"
+  private def isJsonTable(table: String): Boolean =
+    !new java.io.File(pathOf(table)).exists() &&
+      new java.io.File(jsonPathOf(table)).exists()
 
   private def knownNamespace(ns: Array[String]): Boolean =
     ns.length == 1 &&
       (ns(0) == baseNamespace || ns(0) == "default" || extraNamespaces.contains(ns(0)))
 
-  /** CTAS output is a parquet DIRECTORY under the root whereas source
-    * tables are single `.parquet` files, so a directory on disk marks a
-    * table created by some (possibly earlier) session — the durable
-    * CTAS registry, no in-memory state needed. */
-  private def ctasOnDisk(table: String): Boolean = {
-    val f = new java.io.File(pathOf(table))
-    f.exists() && f.isDirectory
+  // --- CTAS provenance marker -------------------------------------------
+
+  private val markerName = "_graft_ctas"
+
+  /** Durable CTAS registry entry: the marker file inside the output
+    * directory records the creating catalog (line 1) and the identity
+    * partition columns (line 2, comma-separated, possibly empty). */
+  private def writeMarker(dir: java.io.File, partCols: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, markerName).toPath,
+      s"catalog=$catalogName\npartitions=${partCols.mkString(",")}\n".getBytes("UTF-8"))
+
+  /** (creatingCatalog, partitionCols) if `table` is CTAS output. */
+  private def ctasMeta(table: String): Option[(String, Seq[String])] = {
+    val f = new java.io.File(new java.io.File(pathOf(table)), markerName)
+    if (!f.exists()) None
+    else {
+      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .flatMap { l => l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None } }
+        .toMap
+      Some((kv.getOrElse("catalog", ""),
+        kv.getOrElse("partitions", "").split(",").filter(_.nonEmpty).toSeq))
+    }
   }
+
+  /** CTAS output of THIS catalog (the per-catalog isolation the
+    * reference's per-connector catalogs have). */
+  private def ctasOnDisk(table: String): Boolean =
+    ctasMeta(table).exists(_._1 == catalogName)
 
   private def serves(table: String): Boolean =
     placement.forall(_.contains(table)) || created.contains(table) || ctasOnDisk(table)
@@ -81,25 +138,40 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
         catalogName +: namespace.toSeq)
     val dir = new java.io.File(root)
     val onDisk = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
-    (onDisk.filter(serves) ++ created.keys).distinct
-      .map(t => Identifier.of(namespace, t))
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".json"))
+      .map(_.getName.stripSuffix(".parquet").stripSuffix(".json"))
+      .filter(_ != "_schema")
+    (onDisk.filter(serves) ++ created.keys).toSeq.distinct
+      .map(t => Identifier.of(namespace, t)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val table = ident.name()
-    val exists = new java.io.File(pathOf(table)).exists()
-    if (!knownNamespace(ident.namespace()) || !serves(table) || !exists)
+    val fullName = s"$catalogName.${ident.namespace().mkString(".")}.$table"
+    def missing() =
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ table)
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.$table",
+    if (!knownNamespace(ident.namespace()) || !serves(table)) missing()
+    if (isJsonTable(table))
+      return JsonTable(fullName, spark.asInstanceOf[ClassicSparkSession],
+        CaseInsensitiveStringMap.empty(), Seq(jsonPathOf(table)),
+        Some(persistedOrInferredSchema(table)), classOf[JsonFileFormat])
+    if (!new java.io.File(pathOf(table)).exists()) missing()
+    val pt = ParquetTable(
+      fullName,
       spark.asInstanceOf[ClassicSparkSession],
       CaseInsensitiveStringMap.empty(),
       Seq(pathOf(table)),
       created.get(table).orElse(None),
       classOf[ParquetFileFormat])
+    ctasMeta(table).map(_._2).filter(_.nonEmpty) match {
+      case Some(partCols) =>
+        // partitioned CTAS table: read through the ParquetTable (its
+        // partition discovery sees the hive layout), write through the
+        // V1 partitioned writer so INSERTs keep the layout
+        new GraftPartitionedTable(pt, pathOf(table), partCols)
+      case None => pt
+    }
   }
 
   override def createTable(
@@ -108,19 +180,24 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val table = ident.name()
+    // identity transforms become hive-layout partition columns; any
+    // other transform is a loud error, never a silent full rewrite
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only identity PARTITIONED BY columns are supported, got $other")
+    }
     val dir = new java.io.File(pathOf(table))
     if (dir.exists())
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         catalogName +: ident.namespace().toSeq :+ table)
     dir.mkdirs()
+    writeMarker(dir, partCols)
     created(table) = schema
-    ParquetTable(
+    new GraftCtasTable(
       s"$catalogName.${ident.namespace().mkString(".")}.$table",
-      spark.asInstanceOf[ClassicSparkSession],
-      CaseInsensitiveStringMap.empty(),
-      Seq(pathOf(table)),
-      Some(schema),
-      classOf[ParquetFileFormat])
+      pathOf(table), schema, partCols)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -128,9 +205,12 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val table = ident.name()
-    // only CTAS output may be dropped — a directory on disk or a table
-    // created this session; source data (single files) never qualifies
-    if (!created.contains(table) && !ctasOnDisk(table)) return false
+    // only CTAS output OF THIS CATALOG may be dropped (the marker is the
+    // durable registry); source data — single files, or directories
+    // without a marker such as externally partitioned datasets — and
+    // other catalogs' CTAS output never qualify
+    if (!ctasOnDisk(table) && !(created.contains(table) && ctasMeta(table).isEmpty))
+      return false
     val dir = new java.io.File(pathOf(table))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
@@ -142,6 +222,28 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // --- schemaless (JSON) tables: infer-and-persist, reference loader.py:362 ---
+
+  private def schemaFile(table: String): java.io.File =
+    new java.io.File(new java.io.File(root, "_schema"), s"$table.json")
+
+  /** Resolve a JSON table's schema: persisted `_schema/<table>.json` if
+    * present (any earlier session may have written it), else infer by
+    * sampling the documents and persist the result for every later
+    * reader — the loader's `_schema` collection, as a directory. */
+  private def persistedOrInferredSchema(table: String): StructType = {
+    val f = schemaFile(table)
+    if (f.exists())
+      DataType.fromJson(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+    else {
+      val inferred = spark.read.json(jsonPathOf(table)).schema
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, inferred.json.getBytes("UTF-8"))
+      inferred
+    }
+  }
 
   // --- namespaces (reference: CREATE SCHEMA IF NOT EXISTS, loader.py:348) ---
 
@@ -171,4 +273,71 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     extraNamespaces.remove(namespace(0))
+}
+
+/** Write half of a (possibly partitioned) CTAS: V2 [[FileTable]] writes
+  * ignore declared table partitioning, so the write goes through the V1
+  * partitioned parquet writer ([[V1Write]] fallback), which produces the
+  * standard hive `col=value/` layout partition discovery and DPP read
+  * back. */
+private class GraftCtasTable(
+    ident: String, path: String, tschema: StructType, partCols: Seq[String])
+  extends Table with SupportsWrite {
+  override def name(): String = ident
+  override def schema(): StructType = tschema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val w = data.write
+                .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+              (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+                .parquet(path)
+            }
+          }
+      }
+    }
+}
+
+/** A partitioned CTAS table after creation: scans delegate to the
+  * wrapped [[ParquetTable]] (hive-layout partition discovery, DSv2
+  * pruning + runtime filtering), INSERTs go through the V1 partitioned
+  * writer so appended data keeps the layout. */
+private class GraftPartitionedTable(
+    parquet: ParquetTable, path: String, partCols: Seq[String])
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = parquet.name
+  override def schema(): StructType = parquet.schema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    (parquet.capabilities().asScala.toSet +
+      TableCapability.V1_BATCH_WRITE).asJava
+  /** Scans go through the native [[ParquetScanBuilder]] (full pushdown:
+    * filters, aggregates, column pruning) but the built scan is wrapped
+    * in [[GraftDppScan]] so runtime partition pruning works — Spark's
+    * own V2 parquet scan implements no runtime-filtering interface. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDppScanBuilder(
+      parquet.newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder])
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              data.write
+                .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+                .partitionBy(partCols: _*).parquet(path)
+          }
+      }
+    }
 }

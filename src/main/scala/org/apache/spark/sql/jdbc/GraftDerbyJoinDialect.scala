@@ -41,4 +41,14 @@ object GraftDerbyJoinDialect {
     JdbcDialects.unregisterDialect(DerbyDialect())
     JdbcDialects.registerDialect(instance)
   }
+
+  /** Restore the stock Derby dialect (tests call this in `finally` so
+    * the global JdbcDialects registry never leaks the swapped dialect
+    * into unrelated suites — plan shape must not depend on suite
+    * execution order). */
+  def unregister(): Unit = synchronized {
+    JdbcDialects.unregisterDialect(instance)
+    JdbcDialects.unregisterDialect(DerbyDialect())
+    JdbcDialects.registerDialect(DerbyDialect())
+  }
 }

@@ -87,6 +87,121 @@ class CatalogSpec extends SparkSpec {
     useRoot(sf1)
   }
 
+  test("partitioned CTAS lands hive layout and reads back partition-pruned") {
+    useRoot(sf1)
+    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf1/nation.parquet"),
+      java.nio.file.Paths.get(s"$root/nation.parquet"))
+    useRoot(root)
+    try {
+      spark.sql(
+        """CREATE TABLE psql.tpcds.nation_part PARTITIONED BY (n_regionkey) AS
+          |SELECT n_nationkey, n_name, n_regionkey FROM psql.tpcds.nation""".stripMargin)
+      // hive col=value layout on disk — what partition discovery and a
+      // 100-TB date-partitioned fact rely on
+      val sub = new java.io.File(s"$root/nation_part.parquet").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(sub.exists(_.startsWith("n_regionkey=")), sub.mkString(","))
+      val all = spark.sql("SELECT * FROM psql.tpcds.nation_part")
+      assert(all.count() == 25)
+      // a partition-key filter must prune at the scan, not post-filter
+      val one = spark.sql(
+        "SELECT n_name FROM psql.tpcds.nation_part WHERE n_regionkey = 2")
+      assert(one.count() == 5)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("n_regionkey=2") || scan.contains("PartitionFilters"), scan)
+      spark.sql("DROP TABLE psql.tpcds.nation_part")
+    } finally useRoot(sf1)
+  }
+
+  test("non-identity partition transforms are rejected loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rej").toString
+    useRoot(root)
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          """CREATE TABLE psql.tpcds.bad_part PARTITIONED BY (bucket(4, n_nationkey)) AS
+            |SELECT 1 AS n_nationkey""".stripMargin)
+      }
+      assert(e.getMessage.contains("identity") || e.getMessage.toLowerCase.contains("bucket"),
+        e.getMessage)
+    } finally useRoot(sf1)
+  }
+
+  test("CTAS provenance isolates catalogs and protects source directories") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iso").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf1/nation.parquet"),
+      java.nio.file.Paths.get(s"$root/nation.parquet"))
+    useRoot(root)
+    try {
+      spark.sql(
+        """CREATE TABLE psql.tpcds.nation_iso AS
+          |SELECT n_nationkey FROM psql.tpcds.nation""".stripMargin)
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      def cat(n: String): TableCatalog =
+        spark.sessionState.catalogManager.catalog(n).asInstanceOf[TableCatalog]
+      val ident = Identifier.of(Array("tpcds"), "nation_iso")
+      // a fresh session has no in-memory created-state: visibility and
+      // drop rights come from the on-disk marker alone
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.graft.root", root)
+      def cat2(n: String): TableCatalog =
+        s2.sessionState.catalogManager.catalog(n).asInstanceOf[TableCatalog]
+      // another catalog can neither see nor drop psql's CTAS output
+      assert(!cat2("mongodb").tableExists(ident))
+      assert(!cat2("elastic").dropTable(ident))
+      assert(new java.io.File(s"$root/nation_iso.parquet").exists())
+      // a marker-less directory (externally partitioned source data) is
+      // never droppable, even though it is directory-shaped
+      val srcDir = new java.io.File(s"$root/extsrc.parquet")
+      new java.io.File(srcDir, "k=1").mkdirs()
+      assert(!cat2("psql").dropTable(Identifier.of(Array("tpcds"), "extsrc")))
+      assert(srcDir.exists())
+      // the creating catalog still drops its own output
+      assert(cat2("psql").dropTable(ident))
+      assert(!new java.io.File(s"$root/nation_iso.parquet").exists())
+    } finally useRoot(sf1)
+  }
+
+  test("schemaless JSON table: schema inferred once and persisted (_schema analogue)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-json").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/docs.json"),
+      "{\"id\": 1, \"body\": \"hello\"}\n{\"id\": 2, \"body\": \"world\"}\n".getBytes("UTF-8"))
+    // a catalog with no placement list serves whatever the root holds —
+    // the schemaless-store stand-in
+    spark.conf.set("spark.sql.catalog.mongoraw", "graft.sources.GraftParquetCatalog")
+    spark.conf.set("spark.sql.catalog.mongoraw.root", root)
+    useRoot(root)
+    try {
+      val df = spark.sql("SELECT id, body FROM mongoraw.tpcds.docs")
+      assert(df.count() == 2)
+      // the inferred schema is persisted beside the data (loader.py:362's
+      // _schema collection, as a directory)
+      val sf = new java.io.File(s"$root/_schema/docs.json")
+      assert(sf.exists(), "persisted schema missing")
+      // later rows with new fields do NOT change the served schema: the
+      // persisted one wins (the reference reads _schema, not the data)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/docs.json"),
+        "{\"id\": 3, \"body\": \"x\", \"extra\": true}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.mongoraw", "graft.sources.GraftParquetCatalog")
+      s2.conf.set("spark.sql.catalog.mongoraw.root", root)
+      s2.conf.set("spark.sql.graft.root", root)
+      val again = s2.sql("SELECT * FROM mongoraw.tpcds.docs")
+      assert(again.columns.toSeq.sorted == Seq("body", "id"))
+      assert(again.count() == 3)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mongoraw")
+      spark.conf.unset("spark.sql.catalog.mongoraw.root")
+      useRoot(sf1)
+    }
+  }
+
   test("federated query spans catalogs with broadcast dims") {
     useRoot(sf1)
     val df = SparkEntry.queries("q19_federated_catalogs")(spark, sf1)

@@ -92,6 +92,9 @@ class JdbcSourceSpec extends SparkSpec {
       assert(q.count() == unfused.count())
       assert(q.count() > 0)
     } finally {
+      // restore the stock dialect too — the registry is JVM-global and
+      // other suites' Derby plans must not depend on execution order
+      org.apache.spark.sql.jdbc.GraftDerbyJoinDialect.unregister()
       Seq("spark.sql.catalog.derby", "spark.sql.catalog.derby.url",
         "spark.sql.catalog.derby.pushDownJoin",
         "spark.sql.catalog.derby.pushDownAggregate").foreach(conf.unset)

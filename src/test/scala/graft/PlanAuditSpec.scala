@@ -104,4 +104,42 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.toLowerCase.contains("dynamicpruning"), plan)
     } finally conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
+
+  // Round-3 verdict gap: DPP was proven only on raw spark.read.parquet
+  // paths, but a 100-TB fact is laid out partitioned and served through
+  // a catalog. The partitioned-CTAS path must give the same runtime
+  // partition pruning through the DSv2 catalog scan.
+  test("dynamic partition pruning fires through a catalog-served partitioned table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-catdpp").toString
+    val conf = spark.conf
+    conf.set("spark.sql.graft.root", root)
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      Tables.orders(spark, sf2).createOrReplaceTempView("orders_src")
+      spark.sql(
+        """CREATE TABLE psql.tpcds.fact_part PARTITIONED BY (o_orderstatus) AS
+          |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders_src""".stripMargin)
+      Seq(("F", 1), ("O", 0), ("P", 0)).toDF("status", "done")
+        .write.mode("overwrite").parquet(s"$root/dim_plain")
+      val fact = spark.table("psql.tpcds.fact_part")
+      val dim = spark.read.parquet(s"$root/dim_plain").filter(col("done") === 1)
+      val q = fact.join(dim, col("o_orderstatus") === col("status"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+      val plan = finalPlan(q)
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      // pruning must drop partitions, never rows: the result equals the
+      // same aggregate computed without any dynamic filtering
+      val expected = Tables.orders(spark, sf2)
+        .filter(col("o_orderstatus") === "F")
+        .agg(sum(col("o_totalprice"))).head().getDouble(0)
+      val got = q.collect()
+      assert(got.length == 1 && math.abs(got(0).getDouble(1) - expected) < 1e-6,
+        s"got ${got.mkString}, expected $expected")
+    } finally {
+      conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      conf.unset("spark.sql.graft.root")
+      spark.catalog.dropTempView("orders_src")
+    }
+  }
 }
