@@ -774,6 +774,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** DISTINCT over an inner join — the reference's q005 partial-
+    * aggregation-through-join shape (results/q005/workers-1/
+    * explain.txt:126: `Aggregate[type = PARTIAL, keys = [d_date_3,
+    * ss_customer_sk]]` UNDER the customer join). The injected
+    * PushPartialDistinctBelowJoin rule places an exchange-free partial
+    * distinct on each join input, so the join exchange ships deduped
+    * (o_custkey, o_orderdate) pairs instead of raw orders rows —
+    * ExtensionsSpec asserts the plan, this entry's oracle proves the
+    * semantics. */
+  lazy val distinctJoin: QueryEntry = QueryEntry(
+    "q70_distinct_join",
+    """SELECT DISTINCT o_orderdate, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 100000
+      |ORDER BY o_orderdate, c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderdate"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("o_orderdate"), col("c_mktsegment"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -784,7 +808,7 @@ object Relational {
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
-    rangeFrameWindow, approxPercentiles)
+    rangeFrameWindow, approxPercentiles, distinctJoin)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -123,6 +123,8 @@ object RewriteExceptAsAggregate extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => RewriteExceptAsAggregate)
+    e.injectOptimizerRule(_ => PushPartialDistinctBelowJoin)
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    e.injectPlannerStrategy(_ => PartialDistinctStrategy)
   }
 }

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+
+/** Partial (exchange-free) distinct: dedup rows per partition on `keys`,
+  * with NO shuffle and NO guarantee of global uniqueness. This is the
+  * Spark expression of the reference engine's `Aggregate[type = PARTIAL]`
+  * below a join (reference: results/q005/workers-1/explain.txt:126 — a
+  * partial distinct on [d_date_3, ss_customer_sk] under the customer
+  * join): it shrinks the join input where duplication is high and costs
+  * no exchange, only a per-partition hash table.
+  *
+  * Per-partition dedup is ADVISORY for correctness: any subset of the
+  * duplicate elimination (including none, e.g. after a sort-based
+  * fallback under memory pressure) leaves the downstream duplicate-
+  * insensitive aggregate's result unchanged — which is what makes the
+  * operator safe to place below a join that multiplies row counts.
+  */
+case class PartialDistinct(keys: Seq[Attribute], child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = keys
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): PartialDistinct =
+    copy(child = newChild)
+}
+
+/** Push a partial distinct below an inner join when the aggregate above
+  * the join is a PURE DISTINCT (grouping keys only, no aggregate
+  * functions) — the reference's q005 pre-aggregation-through-join plan
+  * shape (explain.txt:126). Each join side is reduced to its referenced
+  * columns and deduped per-partition before being joined:
+  *
+  * {{{
+  *   Aggregate [g...]                 Aggregate [g...]
+  *     Join Inner (c)          →        Join Inner (c)
+  *       left                             PartialDistinct [refs(left)]
+  *       right                              left
+  *                                        PartialDistinct [refs(right)]
+  *                                          right
+  * }}}
+  *
+  * Soundness: rows of one side identical on every column referenced by
+  * the grouping keys and the join condition are interchangeable — they
+  * produce identical join matches and identical grouping tuples, so only
+  * multiplicities change, which a distinct ignores. Inner joins only
+  * (dedup of a preserved outer side would also be sound for the distinct
+  * above, but the reference shape is inner and the narrow match keeps
+  * the proof one line). The same argument extends to any duplicate-
+  * insensitive aggregate (min/max/count-distinct); the rule deliberately
+  * stops at pure distinct so existing min/max plans are untouched.
+  *
+  * Runs in the user-provided optimizer batch (post column-pruning, post
+  * distinct→aggregate rewrite). The physical operator is an exchange-free
+  * partial-mode HashAggregateExec (PartialDistinctStrategy), so unlike a
+  * logical Distinct insertion this adds NO shuffle — at 1000 executors
+  * the join exchange ships the deduped rows instead of raw scan output.
+  * Disable with `spark.sql.graft.partialAggBelowJoin=false`.
+  */
+object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
+
+  private def pureDistinct(aggs: Seq[NamedExpression]): Boolean =
+    aggs.forall(a => !a.exists(_.isInstanceOf[AggregateExpression]))
+
+  /** Already duplicate-free (or duplicate-reduced) modulo filters —
+    * the guard that keeps the rule idempotent across the two operator-
+    * optimization fixpoint batches it is spliced into (infer-filters
+    * runs in between and lays `isnotnull` Filters on top of the first
+    * pass's insertions). */
+  private def alreadyDeduped(p: LogicalPlan): Boolean = p match {
+    case _: PartialDistinct => true
+    case _: Aggregate => true
+    case _: Distinct => true
+    case f: Filter => alreadyDeduped(f.child)
+    case _ => false
+  }
+
+  /** A join whose inputs may take a partial distinct: inner, sides not
+    * already distinct-ish, everything deterministic. */
+  private def eligible(j: Join, above: Seq[Expression]): Boolean =
+    j.joinType == Inner &&
+      (above ++ j.condition.toSeq).forall(_.deterministic) &&
+      !alreadyDeduped(j.left) && !alreadyDeduped(j.right)
+
+  /** Rebuild `j` with each side deduped per-partition on its columns
+    * referenced by `above` (the expressions consumed over the join
+    * output) and the join condition. */
+  private def pushed(j: Join, above: Seq[Expression]): Join = {
+    val refs = AttributeSet(
+      above.flatMap(_.references) ++ j.condition.toSeq.flatMap(_.references))
+    def push(side: LogicalPlan): LogicalPlan = {
+      val keys = side.output.filter(refs.contains)
+      if (keys.isEmpty) side else PartialDistinct(keys, side)
+    }
+    j.copy(left = push(j.left), right = push(j.right))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.sql.graft.partialAggBelowJoin", "true").toBoolean)
+      return plan
+    plan.transformDown {
+      case agg @ Aggregate(groups, aggs, j: Join, _)
+          if pureDistinct(aggs) && eligible(j, groups ++ aggs) =>
+        agg.copy(child = pushed(j, groups ++ aggs))
+      // column pruning usually leaves a Project between the distinct's
+      // Aggregate and the Join — dedup keys come from the projection's
+      // input references then
+      case agg @ Aggregate(groups, aggs, p @ Project(projList, j: Join), _)
+          if pureDistinct(aggs) && (groups ++ aggs).forall(_.deterministic) &&
+            eligible(j, projList) =>
+        agg.copy(child = p.copy(child = pushed(j, projList)))
+      // filters land ABOVE an inserted partial distinct when the
+      // infer-filters batch runs after the first insertion; commute
+      // them below it — fewer rows enter the dedup hash table and its
+      // output shrinks (sound: the dedup passes key columns through
+      // unchanged)
+      case f @ Filter(cond, pd: PartialDistinct) if cond.deterministic =>
+        pd.copy(child = f.copy(child = pd.child))
+    }
+  }
+}
+
+/** Plans PartialDistinct as a partial-mode (no required child
+  * distribution → no exchange) keys-only HashAggregateExec — the same
+  * physical operator Spark emits for the map side of a DISTINCT, here
+  * placed below a join instead of below an exchange. Keys-only agg state
+  * is an empty buffer, so this stays inside whole-stage codegen. */
+object PartialDistinctStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PartialDistinct(keys, child) =>
+      HashAggregateExec(
+        requiredChildDistributionExpressions = None,
+        isStreaming = false,
+        numShufflePartitions = None,
+        groupingExpressions = keys,
+        aggregateExpressions = Nil,
+        aggregateAttributes = Nil,
+        initialInputBufferOffset = 0,
+        resultExpressions = keys,
+        child = planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -69,6 +69,60 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  private def distinctOverJoin = {
+    val ord = Tables.orders(spark, sf1)
+    val cust = Tables.customer(spark, sf1)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderdate"), col("c_mktsegment"))
+      .distinct()
+  }
+
+  test("pure DISTINCT over inner join gets partial distinct below the join") {
+    import graft.plans.PartialDistinct
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = distinctOverJoin.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, plan.toString)
+    val pds = plan.collect { case p: PartialDistinct => p }
+    assert(pds.size == 2, plan.toString)
+    // each side deduped on exactly its referenced columns (group ∪ join keys)
+    val keySets = pds.map(_.keys.map(_.name).toSet).toSet
+    assert(keySets == Set(Set("o_custkey", "o_orderdate"), Set("c_custkey", "c_mktsegment")),
+      plan.toString)
+    // physical: partial-mode hash aggregates with NO exchange underneath
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = distinctOverJoin.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val partialOnly = exec.collect {
+      case h: HashAggregateExec
+        if h.aggregateExpressions.isEmpty && h.requiredChildDistributionExpressions.isEmpty => h
+    }
+    assert(partialOnly.size >= 2, exec.toString)
+  }
+
+  test("partial distinct below join does not change the result") {
+    val on = distinctOverJoin.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.graft.partialAggBelowJoin", "false")
+    val off = try {
+      val plan = distinctOverJoin.queryExecution.optimizedPlan
+      assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty, plan.toString)
+      distinctOverJoin.collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.graft.partialAggBelowJoin", "true")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("aggregates with functions are NOT pushed (pure distinct only)") {
+    val ord = Tables.orders(spark, sf1)
+    val cust = Tables.customer(spark, sf1)
+    val df = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("s"))
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty, plan.toString)
+  }
+
   test("chained EXCEPT (q05 shape) still matches its oracle result") {
     val viaExcept = SparkEntry.queries("q05_except_chain_count")(spark, sf2)
       .head().getLong(0)
