@@ -44,13 +44,22 @@ object Clustering {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    val lblType = labels.schema("lbl").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("lbl"))
-      val hop = labels.union(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // each node's PREVIOUS label rides through the hop aggregation
+      // (unique per node, so max() recovers it) — the convergence probe
+      // below then reads it off `next` instead of re-joining against
+      // the previous labels, one exchange less per iteration
+      val hop = labels
+        .select(col("node"), col("lbl"), col("lbl").as("prev"))
+        .union(prop.select(col("node"), col("lbl"),
+          lit(null).cast(lblType).as("prev")))
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
       // pointer jump: every label is a node id of the same component,
       // so lbl[lbl] is defined (left join only guards degenerate input);
       // renamed projection rather than .as() aliases — the hop plan is
@@ -58,14 +67,12 @@ object Clustering {
       val jump = hop.select(col("node").as("jnode"), col("lbl").as("jlbl"))
       val next = hop.join(jump, col("lbl") === col("jnode"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+          col("prev"))
         .localCheckpoint()
       // convergence probe: any node whose label still shrank?
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.lbl") < col("p.lbl"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("lbl") < col("prev")).limit(1).count()
+      labels = next.select(col("node"), col("lbl"))
       converged = changed == 0
       i += 1
     }
