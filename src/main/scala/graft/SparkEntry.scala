@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Clustering.all ++
       operators.Multimodal.all ++
+      operators.Pipeline.all ++
       operators.Loader.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: test-set
+  * decontamination, stratified sampling, token-aware sequence packing,
+  * and repetition-based quality filtering — the corpus-preparation
+  * steps between "raw crawl" and "training shards".
+  *
+  * All four are pure DataFrame compositions (codegen'd built-ins, no
+  * UDFs) with exact DuckDB oracles. Scale notes per operator; the
+  * common thread is that nothing ever carries full document text
+  * through an exchange — shingles travel as sha256 digests, packing
+  * aggregates token COUNTS, sampling exchanges (stratum, digest) pairs.
+  */
+object Pipeline {
+
+  private val ws = split(col("text"), " ")
+
+  /** Test-set decontamination: flag training documents sharing any
+    * word 5-gram with the held-out probe set (doc_id < 50), with the
+    * count of distinct shared shingles as evidence. The n-gram-overlap
+    * decontamination rule used when preparing corpora against
+    * evaluation benchmarks.
+    *
+    * At scale: shingles are sha256 digests (32 bytes) from the map
+    * side, never raw text; the probe set's distinct shingles are tiny
+    * (benchmarks, not corpora) and BROADCAST, so the corpus-side scan
+    * streams once with no shuffle before the per-doc count — which
+    * aggregates only matched (doc_id, digest) pairs. */
+  val decontaminate: QueryEntry = QueryEntry(
+    "p01_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+      |          i -> sha256(array_to_string(ws[i:i+4], ' ')))) AS sh FROM w),
+      |test AS (SELECT DISTINCT sh FROM g WHERE doc_id < 50)
+      |SELECT g.doc_id, COUNT(DISTINCT g.sh) AS shared
+      |FROM g JOIN test USING (sh) WHERE g.doc_id >= 50
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.documents(s, d).select(col("doc_id"),
+      explode(when(size(ws) >= 5,
+        expr("transform(sequence(1, size(split(text, ' ')) - 4), " +
+          "i -> sha2(array_join(slice(split(text, ' '), i, 5), ' '), 256))"))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    val test = g.filter(col("doc_id") < 50).select(col("sh")).distinct()
+    g.filter(col("doc_id") >= 50)
+      .join(broadcast(test), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified exact-quota sampling: per language stratum, keep the
+    * ceil(20%) of documents with the smallest doc_id-digest — a
+    * deterministic, seedless sample that is reproducible across
+    * engines and partitionings (the property a training-data freeze
+    * needs; rand()-based sampling is neither).
+    *
+    * At scale: the rank-within-stratum window hash-partitions on the
+    * stratum key, so parallelism is bounded by stratum count — fine
+    * for language-sized strata on a 1000-executor cluster ONLY when
+    * per-stratum data fits a partition. For huge strata switch the
+    * quota to a digest THRESHOLD (keep dg < quantile) — fully map-side
+    * parallel, approximate quota — or the GroupedTopK physical
+    * operator (plans/GroupedTopK.scala) which computes per-partition
+    * top-K before the stratum exchange. */
+  val stratifiedSample: QueryEntry = QueryEntry(
+    "p02_stratified_sample",
+    """WITH d AS (SELECT doc_id, lang, sha256(CAST(doc_id AS VARCHAR)) AS dg FROM documents),
+      |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dg, doc_id) AS rk,
+      |             COUNT(*) OVER (PARTITION BY lang) AS n FROM d)
+      |SELECT lang, doc_id FROM r WHERE rk <= CEIL(n * 0.2)
+      |ORDER BY lang, doc_id""".stripMargin
+  ) { (s, d) =>
+    val dg = sha2(col("doc_id").cast("string"), 256)
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), dg.as("dg"))
+      .withColumn("rk", row_number().over(byLang.orderBy(col("dg"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rk") <= ceil(col("n") * 0.2))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Token-aware sequence packing: documents are routed to one of 8
+    * independent packing buckets (hash of doc_id), and within each
+    * bucket a running token cumsum assigns contiguous ~2048-token bins
+    * — the streaming-packing approximation of bin packing used to
+    * build fixed-length training sequences. Output is per-bin document
+    * count and token total (the packing manifest).
+    *
+    * At scale the bucket count is the parallelism dial: B buckets pack
+    * independently (window partitions on bucket), so set B ≈ cluster
+    * cores; packing quality is unaffected since bins never span
+    * buckets. The window carries (doc_id, toks) only — token COUNTS,
+    * not text. */
+  val packSequences: QueryEntry = QueryEntry(
+    "p03_pack_sequences",
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+      |                  len(string_split(text, ' ')) AS toks FROM documents),
+      |c AS (SELECT doc_id, bucket, toks,
+      |        SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM t)
+      |SELECT bucket, CAST(FLOOR(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
+      |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"), size(ws).as("toks"))
+      .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prior") / 2048))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .orderBy(col("bucket"), col("bin"))
+  }
+
+  /** Repetition-based quality metrics (the "repetitious text" filter
+    * family): per document, the duplicate-word ratio, the share of the
+    * single most frequent word, and the share of the most frequent
+    * bigram. High values mark boilerplate/spam for removal before
+    * training.
+    *
+    * At scale: the word and bigram frequency maxima aggregate exploded
+    * (doc_id, token) pairs — two shuffles keyed by doc_id whose width
+    * is one token per row; ratios join back on doc_id. All built-ins,
+    * fully codegen'd. */
+  val repetitionScore: QueryEntry = QueryEntry(
+    "p04_repetition_score",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wc AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      |top1 AS (SELECT doc_id, MAX(c) AS topw FROM
+      |           (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2) GROUP BY 1),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |           i -> ws[i] || ' ' || ws[i+1])) AS b FROM w),
+      |top2 AS (SELECT doc_id, MAX(c) AS topb FROM
+      |           (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      |SELECT w.doc_id, len(ws) AS n_words,
+      |       CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_ratio,
+      |       CAST(top1.topw AS DOUBLE) / len(ws) AS top_word_share,
+      |       CAST(top2.topb AS DOUBLE) / (len(ws) - 1) AS top_bigram_share
+      |FROM w JOIN top1 USING (doc_id) JOIN top2 USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), size(ws).as("n_words"),
+      size(array_distinct(ws)).as("n_distinct"))
+    val top1 = docs.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
+    val top2 = docs.select(col("doc_id"),
+        explode(when(size(ws) >= 2, expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1), " +
+            "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topb"))
+    base.join(top1, Seq("doc_id")).join(top2, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_ratio"),
+        (col("topw").cast("double") / col("n_words")).as("top_word_share"),
+        (col("topb").cast("double") / (col("n_words") - 1)).as("top_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryEntry] =
+    Seq(decontaminate, stratifiedSample, packSequences, repetitionScore)
+}
