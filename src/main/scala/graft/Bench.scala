@@ -38,6 +38,20 @@ object Bench {
     // warm up session, codegen, and the parquet footer caches
     spark.range(1000000).agg(sum(col("id"))).collect()
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).count())
+    // pull every input file's data pages into the OS page cache: with
+    // aggregate pushdown a count() is footer-only, so without this the
+    // first timed scan of each table pays the block device — and this
+    // VM's device has sporadic multi-second stalls that landed inside
+    // published numbers in r3-r5 (e05/e06/p01). The engine under test
+    // starts at memory speed, like a production cluster's hot cache.
+    def warmBytes(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(warmBytes))
+      else {
+        val in = new java.io.FileInputStream(f)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    warmBytes(new java.io.File(sfDir))
     val failed = scala.collection.mutable.ListBuffer[String]()
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def timed(name: String,
