@@ -59,14 +59,23 @@ object Pipeline {
     * engines and partitionings (the property a training-data freeze
     * needs; rand()-based sampling is neither).
     *
-    * At scale: the rank-within-stratum window hash-partitions on the
-    * stratum key, so parallelism is bounded by stratum count — fine
-    * for language-sized strata on a 1000-executor cluster ONLY when
-    * per-stratum data fits a partition. For huge strata switch the
-    * quota to a digest THRESHOLD (keep dg < quantile) — fully map-side
-    * parallel, approximate quota — or the GroupedTopK physical
-    * operator (plans/GroupedTopK.scala) which computes per-partition
-    * top-K before the stratum exchange. */
+    * Ranking goes through the GroupedTopK physical operator
+    * (plans/GroupedTopK.scala): a bounded per-stratum heap of the
+    * current-best k rows replaces WindowExec's full per-stratum sort,
+    * so stratum-partition memory is O(max quota) ranked (doc_id, dg)
+    * pairs instead of the whole stratum materialized and sorted. The
+    * heap bound k = the largest stratum's quota, learned in a cheap
+    * pre-pass that scans ONLY the lang column (one scalar to the
+    * driver — plan sizing, not data); each stratum's exact quota is
+    * then enforced by a broadcast join of the per-stratum counts.
+    *
+    * At scale the residual ceiling is the heap itself: exact-quota
+    * ranking of a p% sample fundamentally holds p% of the largest
+    * stratum on one executor. When that stops fitting, the quota
+    * switches to a digest THRESHOLD (keep dg below the stratum's
+    * ~p-quantile digest) — fully map-side parallel, approximate
+    * quota — the documented trade between "exactly ceil(0.2·n) rows"
+    * and unbounded stratum size. */
   val stratifiedSample: QueryEntry = QueryEntry(
     "p02_stratified_sample",
     """WITH d AS (SELECT doc_id, lang, sha256(CAST(doc_id AS VARCHAR)) AS dg FROM documents),
@@ -75,13 +84,21 @@ object Pipeline {
       |SELECT lang, doc_id FROM r WHERE rk <= CEIL(n * 0.2)
       |ORDER BY lang, doc_id""".stripMargin
   ) { (s, d) =>
-    val dg = sha2(col("doc_id").cast("string"), 256)
-    val byLang = Window.partitionBy(col("lang"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), dg.as("dg"))
-      .withColumn("rk", row_number().over(byLang.orderBy(col("dg"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(byLang))
-      .filter(col("rk") <= ceil(col("n") * 0.2))
+    val docs = Tables.documents(s, d)
+    // stratum sizes: column-pruned scan of lang only; strata are
+    // language-sized (a handful of rows), so the max-quota scalar and
+    // the broadcast below are both tiny
+    val counts = docs.groupBy(col("lang"))
+      .agg(ceil(count(lit(1)) * 0.2).as("quota"))
+    val maxQuota = counts.agg(max(col("quota"))).head().getLong(0).toInt
+    val ranked = graft.plans.GroupedTopK.topK(
+      docs.select(col("doc_id"), col("lang"),
+        sha2(col("doc_id").cast("string"), 256).as("dg")),
+      groupCols = Seq("lang"),
+      orderCols = Seq(("dg", false), ("doc_id", false)),
+      k = maxQuota)
+    ranked.join(broadcast(counts), Seq("lang"))
+      .filter(col("rank") <= col("quota"))
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
   }
