@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +186,85 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus mixture statistics: per (lang, source) cell, document
+    * count, token total, and the cell's share of all corpus tokens —
+    * the table a training-mix design starts from (and the denominator
+    * for any up/down-sampling decision).
+    *
+    * At scale: one corpus pass aggregates to |langs|×|sources| cells;
+    * the global total re-aggregates those CELLS (no second corpus
+    * scan), then joins back as a broadcast scalar. The share division
+    * is one integer-valued double over another — bit-identical in any
+    * engine, so the oracle is exact. */
+  val mixtureStats: QueryEntry = QueryEntry(
+    "p05_mixture_stats",
+    """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
+      |                  SUM(len(string_split(text, ' '))) AS toks
+      |           FROM documents GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, CAST(toks AS BIGINT) AS tokens,
+      |       CAST(toks AS DOUBLE) / (SELECT SUM(toks) FROM s) AS token_share
+      |FROM s ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), col("source"), size(ws).as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val total = cells.agg(sum(col("tokens")).as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("__t")).as("token_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Weighted mixture sampling: each source is down-sampled at its own
+    * rate (a literal source→rate table — the "3× books, 0.25× crawl"
+    * knob of a training mix), deterministically and seedlessly: a
+    * document survives iff the first 6 hex chars of sha256(doc_id)
+    * fall below the rate's threshold. Selection is a pure function of
+    * (doc_id, source) — the same frozen sample in any engine, on any
+    * cluster, at any partitioning, which is what makes the mix
+    * reproducible AND lets DuckDB verify it row-for-row.
+    *
+    * At scale: fully map-side — a filter over the scan with no
+    * exchange at all (the one shape guaranteed to survive any corpus
+    * size); the hex-string threshold compare is lexicographic, so no
+    * engine-specific float or integer parsing is involved. */
+  val mixtureSample: QueryEntry = {
+    // rate → 6-hex-digit threshold: keep iff substr(digest,1,6) <= thr.
+    // Computed once here and embedded as LITERALS in both the Spark
+    // plan and the oracle SQL, so both engines compare identical
+    // strings (never re-derive the threshold from a float at runtime).
+    def thr(rate: Double): String =
+      f"${math.min((rate * (1 << 24)).toLong, (1L << 24) - 1)}%06x"
+    val rates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+      "src3" -> 0.1).toMap
+    val defaultRate = 0.25
+    val sqlCase = rates.toSeq.sorted
+      .map { case (src, r) => s"WHEN source = '$src' THEN '${thr(r)}'" }
+      .mkString("CASE ", " ", s" ELSE '${thr(defaultRate)}' END")
+    QueryEntry(
+      "p06_mixture_sample",
+      s"""WITH t AS (SELECT doc_id, lang, source,
+        |                  substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6) AS dg,
+        |                  $sqlCase AS thr
+        |           FROM documents)
+        |SELECT doc_id, lang, source FROM t WHERE dg <= thr
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val thrCol = rates.toSeq.sorted.foldRight(lit(thr(defaultRate)): Column) {
+        case ((src, r), e) => when(col("source") === src, lit(thr(r))).otherwise(e)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(sha2(col("doc_id").cast("string"), 256), 1, 6).as("dg"),
+          thrCol.as("thr"))
+        .filter(col("dg") <= col("thr"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
-    Seq(decontaminate, stratifiedSample, packSequences, repetitionScore)
+    Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
+      mixtureStats, mixtureSample)
 }

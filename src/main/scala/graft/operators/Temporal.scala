@@ -162,7 +162,46 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel (view → click → purchase): per user, the first
+    * view, the first click strictly AFTER that view, and the first
+    * purchase strictly after that click — the product-analytics funnel
+    * where later stages only count when they follow the earlier ones
+    * in time. NULL t2/t3 = user fell out at that stage.
+    *
+    * Stage-wise conditional-min joins, all keyed on user_id: the first
+    * groupBy establishes the hash partitioning and every later join
+    * and groupBy reuses that key, so the funnel deepens without
+    * widening — each stage's input is the (shrinking) survivor set,
+    * never the event log re-scanned per stage pair. Timestamps travel
+    * as integer epoch-millis → exact oracle. */
+  val funnel: QueryEntry = QueryEntry(
+    "e08_funnel",
+    """WITH x AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS t1 FROM x WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT x.user_id, MIN(x.ms) AS t2 FROM x JOIN v USING (user_id)
+      |      WHERE x.event_type = 'click' AND x.ms > v.t1 GROUP BY 1),
+      |p AS (SELECT x.user_id, MIN(x.ms) AS t3 FROM x JOIN c USING (user_id)
+      |      WHERE x.event_type = 'purchase' AND x.ms > c.t2 GROUP BY 1)
+      |SELECT v.user_id, v.t1, c.t2, p.t3
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val x = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = x.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val c = x.join(v, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ms") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    val p = x.join(c, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ms") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
-    slidingWindow, rangeJoin)
+    slidingWindow, rangeJoin, funnel)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.VectorFunctions.cosine_similarity
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** s06 semantic-dedup gates. The operator's claim decomposes into
+  * (a) within-cluster EXACTNESS — among vectors assigned to the same
+  * cluster it reports exactly the pairs with cosine >= threshold, which
+  * a brute-force recomputation pins here — and (b) a measured global
+  * recall against all-pairs brute force, quantifying the cross-cluster
+  * pairs the SemDeDup trade intentionally gives up. */
+class SemDedupSpec extends SparkSpec {
+
+  private val theta = Similarity.semanticThreshold
+
+  /** All-pairs cosine >= theta by brute force (test oracle). */
+  private def brutePairs(dir: String): Set[(Long, Long)] = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosine_similarity(col("ea"), col("eb")) >= theta)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def s06(dir: String): DataFrame =
+    SparkEntry.queries("s06_semantic_dedup")(spark, dir)
+
+  test("s06 equals brute force restricted to same-cluster pairs") {
+    val dir = sf1
+    val got = s06(dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val cluster = Similarity.semanticAssignments(
+        spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = brutePairs(dir)
+      .filter { case (x, y) => cluster(x) == cluster(y) }
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("s06 reported cosines are correct and above threshold") {
+    val e = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val rows = s06(sf1).collect()
+    assert(rows.nonEmpty, "no semantic-dup pairs found at sf0.001")
+    rows.foreach { r =>
+      val expected = cos(e(r.getLong(1)), e(r.getLong(2)))
+      assert(r.getDouble(3) >= theta)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"pair (${r.getLong(1)}, ${r.getLong(2)}) cosine off")
+    }
+  }
+
+  test("s06 global recall vs brute force is measured and sane") {
+    // cross-cluster pairs are the designed loss; with ivfK=8 random-ish
+    // clusters the same-cluster fraction must still capture a
+    // non-trivial share. The floor is a regression tripwire, not a
+    // quality target — a clustering bug (everything in one cell, or
+    // every pair lost) trips it from either side.
+    val all = brutePairs(sf1)
+    val got = s06(sf1).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(all), "s06 reported a pair below threshold")
+    val recall = got.size.toDouble / all.size
+    info(f"s06 recall@theta=$theta: ${got.size}/${all.size} = $recall%.3f")
+    assert(recall >= 0.05, f"recall $recall%.3f collapsed")
+    assert(recall <= 1.0)
+  }
+}
