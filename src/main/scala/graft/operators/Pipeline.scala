@@ -192,10 +192,14 @@ object Pipeline {
     * for any up/down-sampling decision).
     *
     * At scale: one corpus pass aggregates to |langs|×|sources| cells;
-    * the global total re-aggregates those CELLS (no second corpus
-    * scan), then joins back as a broadcast scalar. The share division
-    * is one integer-valued double over another — bit-identical in any
-    * engine, so the oracle is exact. */
+    * the global total is an unpartitioned window over those CELLS —
+    * the one place a single-partition window is the RIGHT tool,
+    * because its input is the cell table (≈100 rows at any corpus
+    * size), and it guarantees the corpus is scanned once (a scalar-
+    * subquery formulation plans a second scan and only AQE exchange
+    * reuse collapses it). The share division is one integer-valued
+    * double over another — bit-identical in any engine, so the oracle
+    * is exact. */
   val mixtureStats: QueryEntry = QueryEntry(
     "p05_mixture_stats",
     """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
@@ -205,14 +209,13 @@ object Pipeline {
       |       CAST(toks AS DOUBLE) / (SELECT SUM(toks) FROM s) AS token_share
       |FROM s ORDER BY lang, source""".stripMargin
   ) { (s, d) =>
-    val cells = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("lang"), col("source"), size(ws).as("toks"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-    val total = cells.agg(sum(col("tokens")).as("__t"))
-    cells.crossJoin(broadcast(total))
       .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
-        (col("tokens").cast("double") / col("__t")).as("token_share"))
+        (col("tokens").cast("double") /
+          sum(col("tokens")).over(Window.partitionBy())).as("token_share"))
       .orderBy(col("lang"), col("source"))
   }
 

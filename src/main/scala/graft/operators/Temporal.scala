@@ -168,12 +168,16 @@ object Temporal {
     * where later stages only count when they follow the earlier ones
     * in time. NULL t2/t3 = user fell out at that stage.
     *
-    * Stage-wise conditional-min joins, all keyed on user_id: the first
-    * groupBy establishes the hash partitioning and every later join
-    * and groupBy reuses that key, so the funnel deepens without
-    * widening — each stage's input is the (shrinking) survivor set,
-    * never the event log re-scanned per stage pair. Timestamps travel
-    * as integer epoch-millis → exact oracle. */
+    * ONE event-log scan and ONE shuffle: the three stage timestamps
+    * are stacked conditional-min windows over the same user_id
+    * partitioning (t2's predicate references t1, t3's references t2 —
+    * each lives in the next projection, same window spec, so Catalyst
+    * plans a single exchange and chains Window operators with no new
+    * shuffle), then one row per user survives via a groupBy that
+    * reuses the existing partitioning. The naive stage-wise-join
+    * formulation (the SQL oracle's shape) scans the log once per
+    * stage; this plan's cost is independent of funnel depth.
+    * Timestamps travel as integer epoch-millis → exact oracle. */
   val funnel: QueryEntry = QueryEntry(
     "e08_funnel",
     """WITH x AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
@@ -186,18 +190,20 @@ object Temporal {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
   ) { (s, d) =>
-    val x = Tables.events(s, d)
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
-    val v = x.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
-    val c = x.join(v, Seq("user_id"))
-      .filter(col("event_type") === "click" && col("ms") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
-    val p = x.join(c, Seq("user_id"))
-      .filter(col("event_type") === "purchase" && col("ms") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ms") > col("t1"),
+          col("ms"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ms") > col("t2"),
+          col("ms"))).over(byUser))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
       .orderBy(col("user_id"))
   }
 
