@@ -36,6 +36,49 @@ object EventsStreaming {
   def hourlyAgg(events: DataFrame): DataFrame =
     Temporal.hourlyAgg(events.withWatermark("ts", "2 hours"))
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelRow(user_id: Long, t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Stateful ordered funnel (view → click → purchase) — the streaming
+    * twin of batch e08_funnel, via flatMapGroupsWithState with THREE
+    * LONGS of state per user (the whole funnel position; nothing grows
+    * with event count). Events are applied in event-time order within
+    * each micro-batch; the strict ms>stage comparisons make the result
+    * identical to the batch conditional-min formulation for in-order
+    * arrival. Emits each user's current (t1, t2, t3) after every
+    * micro-batch, users with at least one view. NoTimeout keeps state
+    * for the bounded test input; an unbounded deployment would add an
+    * event-time timeout to retire completed or expired funnels. */
+  def funnel(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val none = Long.MinValue
+    events.selectExpr("user_id", "event_type", "unix_millis(ts) as ms")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(none, none, none))
+          it.toArray.sortBy(_._3).foreach { case (_, tpe, ms) =>
+            tpe match {
+              case "view" if st.t1 == none => st = st.copy(t1 = ms)
+              case "click" if st.t1 != none && st.t2 == none && ms > st.t1 =>
+                st = st.copy(t2 = ms)
+              case "purchase" if st.t2 != none && st.t3 == none && ms > st.t2 =>
+                st = st.copy(t3 = ms)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          if (st.t1 == none) Iterator.empty
+          else Iterator.single(FunnelRow(uid,
+            Some(st.t1).filter(_ != none),
+            Some(st.t2).filter(_ != none),
+            Some(st.t3).filter(_ != none)))
+      }
+  }
+
   case class SessionState(lastMs: Long, sessions: Long, events: Long)
   case class SessionCount(user_id: Long, sessions: Long, events: Long)
 

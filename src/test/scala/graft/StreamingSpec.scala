@@ -172,4 +172,17 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("streaming funnel equals batch e08_funnel") {
+    val q = EventsStreaming.funnel(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("funnel_out")
+      .selectExpr("user_id", "t1", "t2", "t3")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e08_funnel")(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
