@@ -267,7 +267,35 @@ object Pipeline {
     }
   }
 
+  /** Vocabulary build (tokenizer prep): corpus word frequencies,
+    * thresholded at min-count 5, with contiguous ids assigned by
+    * (count desc, word) — the frequency-sorted id layout tokenizers
+    * expect (low id = frequent token).
+    *
+    * At scale: the corpus-sized work is the (word → count) aggregation
+    * — partial aggregation absorbs most duplicates map-side since word
+    * frequency is Zipfian. Id assignment is a global rank over the
+    * THRESHOLDED VOCABULARY, which is vocab-sized (10⁵–10⁶ rows at any
+    * corpus size — bounded by the lexicon, not the corpus), so the
+    * single-partition sort it needs is as cheap as p05's cell window. */
+  val vocabBuild: QueryEntry = QueryEntry(
+    "p07_vocab_build",
+    """WITH c AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |f AS (SELECT w, COUNT(*) AS n FROM c GROUP BY 1 HAVING COUNT(*) >= 5)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS token_id, w, n
+      |FROM f ORDER BY token_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1).cast("long"))
+      .select(col("token_id"), col("w"), col("n"))
+      .orderBy(col("token_id"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
-      mixtureStats, mixtureSample)
+      mixtureStats, mixtureSample, vocabBuild)
 }

@@ -207,7 +207,33 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention: users cohorted by first-seen day; for each
+    * (cohort day, day offset) the distinct users active that many days
+    * after their cohort day — the retention triangle.
+    *
+    * Same one-scan/one-partitioning shape as e08: the per-user cohort
+    * day is a min window over the user_id partitioning (no self-join,
+    * no second scan), then the triangle is one aggregation. The
+    * count-distinct's dedup happens partial-side per (cohort, offset,
+    * user) before the final exchange. */
+  val retention: QueryEntry = QueryEntry(
+    "e09_retention",
+    """WITH x AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort FROM x GROUP BY 1)
+      |SELECT c.cohort, datediff('day', c.cohort, x.day) AS offset_days,
+      |       COUNT(DISTINCT x.user_id) AS active
+      |FROM x JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .orderBy(col("cohort"), col("offset_days"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
-    slidingWindow, rangeJoin, funnel)
+    slidingWindow, rangeJoin, funnel, retention)
 }
