@@ -124,17 +124,24 @@ object Dedup {
         size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)")).cast("double") / nSig)
       .filter(col("est") >= 0.25)
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
-    // exact verification: recount common shingles via the inverted
-    // index restricted to documents that appear in a plausible pair —
-    // work is linear in candidate-doc shingles, not corpus pairs, and
-    // no full shingle set is ever collected into one row
+    // exact verification restricted to the PLAUSIBLE PAIRS themselves:
+    // expand each pair to its left doc's shingles (Σ|sh(a)| rows over
+    // plausible pairs), then count which of those shingles the right
+    // doc also has via a composite-key (b_id, s) join. Work is linear
+    // in pair-side shingles and every join key embeds a doc id, so a
+    // corpus-hot shingle ("the_fast" in most documents) never forms a
+    // hot bucket — the earlier candidate-DOC self-join on bare `s`
+    // generated all-pairs per shingle bucket and one stop-word 2-gram
+    // put ~|candDocs|² rows on a single task (measured 70% of d03's
+    // runtime at sf0.1).
     val candDocs = plausible.select(col("a_id").as("doc_id"))
       .union(plausible.select(col("b_id").as("doc_id")))
       .distinct()
     val shc = sh.join(candDocs, Seq("doc_id"))
-    val common = shc.as("a").join(shc.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val common = shc.select(col("doc_id").as("a_id"), col("s"))
+      .join(plausible.select(col("a_id"), col("b_id")), Seq("a_id"))
+      .join(shc.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("common"))
     plausible.join(common, Seq("a_id", "b_id"), "left")
       .withColumn("common", coalesce(col("common"), lit(0L)))
