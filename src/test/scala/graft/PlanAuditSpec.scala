@@ -142,4 +142,37 @@ class PlanAuditSpec extends SparkSpec {
       spark.catalog.dropTempView("orders_src")
     }
   }
+
+  test("p06: pure map-side sample — 3-column scan, no exchange before the filter") {
+    val plan = finalPlan(SparkEntry.queries("p06_mixture_sample")(spark, sf1))
+    // text is never read: the digest comes from doc_id, the rate from source
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), plan)
+    // the only exchange is the presentation sort's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("e08: funnel runs on ONE scan and ONE hash exchange") {
+    // AQE's toString appends the initial plan after the final one —
+    // count nodes in the final section only
+    val plan = finalPlan(SparkEntry.queries("e08_funnel")(spark, sf1))
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert("hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("p05: mixture stats single-partitions only the aggregated cells") {
+    val plan = finalPlan(SparkEntry.queries("p05_mixture_stats")(spark, sf1))
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("SinglePartition"), plan)
+  }
+
+  test("s06: no full-corpus pairwise stage — pair join is keyed on cluster") {
+    val plan = finalPlan(SparkEntry.queries("s06_semantic_dedup")(spark, sf1))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is against the broadcast O(k)
+    // centroid relation (assignment); the pair join itself must be an
+    // equi-join on the cluster id
+    assert(plan.contains("cluster"), plan)
+  }
 }
