@@ -278,6 +278,16 @@ object Pipeline {
     * THRESHOLDED VOCABULARY, which is vocab-sized (10⁵–10⁶ rows at any
     * corpus size — bounded by the lexicon, not the corpus), so the
     * single-partition sort it needs is as cheap as p05's cell window. */
+  /** The thresholded, frequency-ranked vocabulary (p07's core; also the
+    * model side of t10's lexical scoring). */
+  private[operators] def vocab(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1).cast("long"))
+
   val vocabBuild: QueryEntry = QueryEntry(
     "p07_vocab_build",
     """WITH c AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -285,12 +295,7 @@ object Pipeline {
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS token_id, w, n
       |FROM f ORDER BY token_id""".stripMargin
   ) { (s, d) =>
-    Tables.documents(s, d)
-      .select(explode(ws).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 5)
-      .withColumn("token_id",
-        (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1).cast("long"))
+    vocab(s, d)
       .select(col("token_id"), col("w"), col("n"))
       .orderBy(col("token_id"))
   }

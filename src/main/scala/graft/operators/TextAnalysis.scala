@@ -237,7 +237,44 @@ object TextAnalysis {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Lexical rank scoring against the corpus-derived vocabulary
+    * (Pipeline.vocab, p07's model): per document, the out-of-vocabulary
+    * ratio and the mean frequency rank of in-vocabulary words — the
+    * unigram-statistics quality filter (spam and boilerplate sit far
+    * from the corpus's rank profile; a rational mean keeps the score
+    * engine-exact where a log-surprisal would drift in the last ulp).
+    *
+    * At scale: the vocabulary is lexicon-bounded, so the word→rank join
+    * is a broadcast against the exploded corpus (map-side, no shuffle
+    * of words); only (doc_id, rank) aggregates. */
+  val rankScore: QueryEntry = QueryEntry(
+    "t10_rank_score",
+    """WITH c AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |f AS (SELECT w, COUNT(*) AS n FROM c GROUP BY 1 HAVING COUNT(*) >= 5),
+      |v AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS token_id, w FROM f),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |j AS (SELECT dw.doc_id, v.token_id FROM dw LEFT JOIN v USING (w))
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |       CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_ratio,
+      |       CASE WHEN COUNT(token_id) = 0 THEN NULL
+      |            ELSE CAST(SUM(token_id) AS DOUBLE) / COUNT(token_id) END AS mean_rank
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val v = Pipeline.vocab(s, d).select(col("w"), col("token_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(v), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum(when(col("token_id").isNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("oov_ratio"),
+        when(count(col("token_id")) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("token_id")).cast("double") / count(col("token_id")))
+          .as("mean_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
-    wordPositions, normalize, tfCosinePairs)
+    wordPositions, normalize, tfCosinePairs, rankScore)
 }
