@@ -241,6 +241,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned incremental dedup — d07's semantics (novel documents
+    * of the second batch) with the plan a 100-TB ingest needs: the seen
+    * set's content hashes aggregate into a COMPACT Bloom filter (KBs)
+    * that broadcasts and prunes the incoming batch MAP-SIDE; only the
+    * bloom-positive sliver (true dups + the filter's false-positive
+    * rate) reaches the exact anti-join that disconfirms false
+    * positives. Bloom-negatives are guaranteed novel (no false
+    * negatives), so the output is EXACT — same oracle as d07 — while
+    * the join input shrinks from the whole batch to ~|dups| + ε·|batch|
+    * (vs d07, whose anti-join shuffles every incoming digest). Uses the
+    * same BloomFilterAggregate/MightContain pair Spark's optimizer
+    * injects for runtime join pruning, driven explicitly. */
+  val bloomIncrementalDedup: QueryEntry = QueryEntry(
+    "d12_bloom_incremental_dedup",
+    """WITH seen AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 250),
+      |new AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id >= 250)
+      |SELECT n.doc_id FROM new n
+      |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = n.digest)
+      |ORDER BY n.doc_id""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.BloomFunctions.{bloom_agg, might_contain}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .withColumn("h", xxh(0L, col("digest")))
+    val seen = docs.filter(col("doc_id") < 250).select(col("digest"), col("h"))
+    // might_contain requires the filter side as a CONSTANT — a scalar
+    // subquery, evaluated once and inlined (the broadcast of a 1-row
+    // sketch, by other means)
+    val bf = seen.agg(bloom_agg(col("h"), 4096L, 32768L)).scalar()
+    val flagged = Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .filter(col("doc_id") >= 250)
+      .withColumn("h", xxh(0L, col("digest")))
+      .withColumn("hit", might_contain(bf, col("h")))
+    val clearedMapSide = flagged.filter(!col("hit")).select(col("doc_id"))
+    val disconfirmed = flagged.filter(col("hit"))
+      .join(seen.select(col("digest")).distinct(), Seq("digest"), "left_anti")
+      .select(col("doc_id"))
+    clearedMapSide.union(disconfirmed).orderBy(col("doc_id"))
+  }
+
   /** Keep-best dedup policy: within each exact-duplicate group keep
     * the highest-quality representative (longest doc, doc_id tiebreak)
     * via single-pass struct-max — the "which copy survives" decision a
@@ -340,5 +381,5 @@ object Dedup {
 
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
-    incrementalDedup, keepBest, ppjoinAllPairs)
+    incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup)
 }
