@@ -282,6 +282,56 @@ object Dedup {
     clearedMapSide.union(disconfirmed).orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (the MOSS document-fingerprinting scheme):
+    * hash every word 3-gram, slide a window of 4 hashes, keep each
+    * window's minimum — guaranteeing any shared run of ≥ 6 words
+    * between two documents shares a fingerprint, with ~2/(w+1) of
+    * positions selected. The locality-sensitive substring-matching
+    * primitive for contamination/plagiarism detection, complementing
+    * t04 (whole-document rolling hash) and d03 (set-similarity
+    * signatures). sha256 k-gram hashes make the winnowed minima
+    * identical in any engine (lexicographic min over identical hex
+    * strings) → exact oracle.
+    *
+    * Plan shape: k-gram hashes explode to (doc_id, pos, h) rows and
+    * the window minimum is an incremental windowed `min` over
+    * (doc_id, pos) — O(n·w) row-local work after ONE exchange on
+    * doc_id. The tempting all-array formulation (a `transform` over
+    * window starts calling `array_min(slice(hs, ...))`) is an O(n²)
+    * HASHING trap: CollapseProject inlines the hs-building transform
+    * into every window's lambda, so each window recomputes every
+    * sha256 in the document (measured 90 s vs 3 s at sf0.1). Emitted
+    * rows are (doc_id, 64-char fp), ~0.4 per word. */
+  val winnowing: QueryEntry = QueryEntry(
+    "d13_winnowing",
+    """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |k AS (SELECT doc_id, list_transform(range(1, len(arr) - 1),
+      |             i -> sha256(array_to_string(arr[i:i+2], ' '))) AS hs
+      |      FROM a WHERE len(arr) >= 3),
+      |w AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+      |             THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+      |             ELSE [list_min(hs)] END AS wins FROM k)
+      |SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
+      |ORDER BY doc_id, fp""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kg = Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 3)
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(arr) - 2), i -> sha2(concat_ws(' ', slice(arr, i, 3)), 256))"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val win4 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    kg.withColumn("nk", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(win4))
+      .filter((col("nk") >= 4 && col("pos") <= col("nk") - 4) ||
+        (col("nk") < 4 && col("pos") === 0))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** Keep-best dedup policy: within each exact-duplicate group keep
     * the highest-quality representative (longest doc, doc_id tiebreak)
     * via single-pass struct-max — the "which copy survives" decision a
@@ -381,5 +431,6 @@ object Dedup {
 
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
-    incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup)
+    incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
+    winnowing)
 }
