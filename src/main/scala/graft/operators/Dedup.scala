@@ -79,8 +79,12 @@ object Dedup {
     Tables.documents(s, d)
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 2)
+      // zip_with over two pre-shifted slices: the array arguments bind
+      // ONCE per row, where a lambda referencing `arr` (inlined by
+      // CollapseProject to split(text)) would re-split the text per
+      // element — per-document quadratic (see d13's scaladoc)
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))")))
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), (a, b) -> concat(a, '_', b))")))
         .as("s"))
 
   /** MinHash + LSH near-dup candidates: 32 seed-varied XXH64 min-hashes
@@ -319,7 +323,9 @@ object Dedup {
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       .withColumn("hs", expr(
-        "transform(sequence(1, size(arr) - 2), i -> sha2(concat_ws(' ', slice(arr, i, 3)), 256))"))
+        "zip_with(zip_with(slice(arr, 1, size(arr) - 2), slice(arr, 2, size(arr) - 2), " +
+          "(a, b) -> concat(a, ' ', b)), slice(arr, 3, size(arr) - 2), " +
+          "(ab, c) -> sha2(concat(ab, ' ', c), 256))"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val byDoc = Window.partitionBy(col("doc_id"))
     val win4 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
@@ -394,9 +400,9 @@ object Dedup {
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(arr) - 2),
-          |  i -> concat(element_at(arr, i), '_', element_at(arr, i + 1), '_',
-          |              element_at(arr, i + 2)))""".stripMargin))).as("w"))
+        """zip_with(zip_with(slice(arr, 1, size(arr) - 2), slice(arr, 2, size(arr) - 2),
+          |  (a, b) -> concat(a, '_', b)), slice(arr, 3, size(arr) - 2),
+          |  (x, c) -> concat(x, '_', c))""".stripMargin))).as("w"))
     val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val wdf = ws.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // global rarity order; per-doc position within it

@@ -42,9 +42,13 @@ object Pipeline {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   ) { (s, d) =>
     val g = Tables.documents(s, d).select(col("doc_id"),
-      explode(when(size(ws) >= 5,
-        expr("transform(sequence(1, size(split(text, ' ')) - 4), " +
-          "i -> sha2(array_join(slice(split(text, ' '), i, 5), ' '), 256))"))
+      explode(when(size(ws) >= 5, expr(
+          "zip_with(zip_with(zip_with(zip_with(" +
+            "slice(split(text, ' '), 1, size(split(text, ' ')) - 4), " +
+            "slice(split(text, ' '), 2, size(split(text, ' ')) - 4), (a, b) -> concat(a, ' ', b)), " +
+            "slice(split(text, ' '), 3, size(split(text, ' ')) - 4), (x, c) -> concat(x, ' ', c)), " +
+            "slice(split(text, ' '), 4, size(split(text, ' ')) - 4), (x, d) -> concat(x, ' ', d)), " +
+            "slice(split(text, ' '), 5, size(split(text, ' ')) - 4), (x, e) -> sha2(concat(x, ' ', e), 256))"))
         .otherwise(array().cast("array<string>"))).as("sh"))
     val test = g.filter(col("doc_id") < 50).select(col("sh")).distinct()
     g.filter(col("doc_id") >= 50)
@@ -173,8 +177,9 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
     val top2 = docs.select(col("doc_id"),
         explode(when(size(ws) >= 2, expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1), " +
-            "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+          "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+            "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+            "(a, b) -> concat(a, ' ', b))"))
           .otherwise(array().cast("array<string>"))).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("topb"))

@@ -160,8 +160,10 @@ object TextAnalysis {
     Tables.documents(s, d)
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 2)
+      // slices bind once; an element_at(arr, i) lambda would re-split
+      // the text per element (CollapseProject inlining — d13 scaladoc)
       .select(explode(expr(
-        "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))"))
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), (a, b) -> concat(a, '_', b))"))
         .as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg"))
