@@ -11,12 +11,22 @@ package graft
   *
   * Measurement protocol (hardened round 4 after r3 shipped a phantom 7×
   * "regression" on five scan-heavy queries that re-ran at r2 levels with
-  * zero code change): THREE timed runs per query, publish the min —
-  * this VM's block device has sporadic multi-second stalls and a wider
-  * sample window is the only defense against a stall covering every
-  * sample. A fourth tie-break run fires when the spread is still >3×.
-  * ALL raw samples are written to `bench_samples.json` so a published
-  * number can be audited for stall-shaped outliers after the fact.
+  * zero code change): one UNTIMED warm execution, then THREE timed runs
+  * per query, publish the min — this VM's block device has sporadic
+  * multi-second stalls and a wider sample window is the only defense
+  * against a stall covering every sample. A fourth tie-break run fires
+  * when the spread is still >3×. ALL raw samples are written to
+  * `bench_samples.json` so a published number can be audited for
+  * stall-shaped outliers after the fact.
+  *
+  * The untimed warm run (added round 7) exists because min-of-3 does NOT
+  * defeat C2 compilation ramp: the round-6 driver run published d03 at
+  * 10.4 s (samples 23.7 → 15.4 → 10.4, monotonically cooling) against a
+  * 4.4 s committed number — the suite's heaviest string-hash kernels were
+  * still compiling through all three samples. One full execution before
+  * the clock starts lets HotSpot finish tiering on exactly the code paths
+  * being measured; it costs ~+30% bench wall and buys numbers that
+  * reflect the plan, not the JIT.
   *
   * Output: the full per-query line goes to stdout first and to
   * `bench_last.json`; a COMPACT summary line (total + the five headline
@@ -69,7 +79,11 @@ object Bench {
       if (ok) Some(dt) else None
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val base = (1 to 3).flatMap(_ => timed(name, fn))
+      // untimed warm execution: compiles this query's codegen + C2 paths
+      // before the clock starts (see scaladoc). Result discarded; a warm
+      // failure skips the timed runs and records the query as failed.
+      val warmed = timed(name, fn).isDefined
+      val base = if (warmed) (1 to 3).flatMap(_ => timed(name, fn)) else Seq.empty[Double]
       if (base.isEmpty) { failed += name; None }
       else {
         // residual guard: when even three samples disagree by >3x the

@@ -98,16 +98,20 @@ object Dedup {
     // one grouped pass computes the 32-permutation signature via the
     // single-pass MinHashAggregate (2 hash evals per shingle instead of
     // 32 — the dominant cost at corpus scale) + set size; only
-    // (doc_id, 32×8B sig, n) is cached — the shingle sets themselves
-    // never cross an exchange (round-2 fix: collect_set + cache of full
-    // sets materialized the whole corpus content)
-    // session-scoped cache: callers that materialize many queries in
-    // one session (Verify/Bench) clearCache() between entries so the
-    // signature table is not pinned past this query's execution
+    // (doc_id, 32×8B sig, n) is materialized — the shingle sets
+    // themselves never cross an exchange (round-2 fix: collect_set +
+    // cache of full sets materialized the whole corpus content).
+    // localCheckpoint (not cache): the signature table is reused three
+    // times below, but a returned-lazy DataFrame gives no hook to
+    // unpersist a cache after the caller materializes — cache() pinned
+    // the blocks for the whole session for any caller that didn't
+    // clearCache() (round-6 advice). localCheckpoint materializes
+    // eagerly and its blocks are dropped by the ContextCleaner as soon
+    // as the plan is unreferenced — no caller contract needed.
     val sig = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
-      .cache()
+      .localCheckpoint()
     // the banded relation carries ONLY (doc_id, band, bh) through the
     // exchange; signatures join back in for candidate pairs only
     val bands = (0 until nSig / 2).map(b =>
