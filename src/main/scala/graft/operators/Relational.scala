@@ -798,6 +798,34 @@ object Relational {
       .orderBy(col("o_orderdate"), col("c_mktsegment"))
   }
 
+  /** min/max + DISTINCT-aggregate over an inner join — exercises the
+    * round-8 generalization of PushPartialDistinctBelowJoin from pure
+    * distinct to every duplicate-insensitive aggregate: each join input
+    * is deduped per-partition on its (group ∪ join ∪ agg-arg) columns
+    * with no exchange before the join ships rows (the reference q005
+    * shape, results/q005/workers-1/explain.txt:126-128, which
+    * pre-aggregates 137.8M rows below the customer join).
+    * ExtensionsSpec asserts the plan; this oracle proves the
+    * semantics survive the rewrite. */
+  lazy val minMaxJoin: QueryEntry = QueryEntry(
+    "q71_minmax_join",
+    """SELECT c_mktsegment,
+      |       MIN(o_orderdate) AS first_order,
+      |       MAX(o_totalprice) AS max_price,
+      |       COUNT(DISTINCT o_orderpriority) AS pris
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("o_orderdate")).as("first_order"),
+        max(col("o_totalprice")).as("max_price"),
+        countDistinct(col("o_orderpriority")).as("pris"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -808,7 +836,7 @@ object Relational {
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
-    rangeFrameWindow, approxPercentiles, distinctJoin)
+    rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,9 +32,13 @@ case class PartialDistinct(keys: Seq[Attribute], child: LogicalPlan)
 }
 
 /** Push a partial distinct below an inner join when the aggregate above
-  * the join is a PURE DISTINCT (grouping keys only, no aggregate
-  * functions) — the reference's q005 pre-aggregation-through-join plan
-  * shape (explain.txt:126). Each join side is reduced to its referenced
+  * the join is DUPLICATE-INSENSITIVE — a pure DISTINCT (grouping keys
+  * only, no aggregate functions), or one whose every aggregate call
+  * ignores input multiplicity: `min`, `max`, or any explicit
+  * `DISTINCT` aggregate (`count(DISTINCT …)`, `sum(DISTINCT …)`) —
+  * the reference's q005 pre-aggregation-through-join plan shape
+  * (explain.txt:126, which pre-aggregates 137.8M rows below the
+  * customer join). Each join side is reduced to its referenced
   * columns and deduped per-partition before being joined:
   *
   * {{{
@@ -46,15 +50,25 @@ case class PartialDistinct(keys: Seq[Attribute], child: LogicalPlan)
   *                                          right
   * }}}
   *
-  * Soundness: rows of one side identical on every column referenced by
-  * the grouping keys and the join condition are interchangeable — they
-  * produce identical join matches and identical grouping tuples, so only
-  * multiplicities change, which a distinct ignores. Inner joins only
-  * (dedup of a preserved outer side would also be sound for the distinct
-  * above, but the reference shape is inner and the narrow match keeps
-  * the proof one line). The same argument extends to any duplicate-
-  * insensitive aggregate (min/max/count-distinct); the rule deliberately
-  * stops at pure distinct so existing min/max plans are untouched.
+  * Soundness: rows of one side identical on every column referenced
+  * ABOVE the join — grouping keys, aggregate arguments (and aggregate
+  * FILTER clauses; `NamedExpression.references` covers both), and the
+  * join condition — are interchangeable: they produce identical join
+  * matches and identical (group, agg-input) tuples, so dropping
+  * duplicates changes only multiplicities, which distinct / min / max /
+  * DISTINCT-aggregates ignore by definition. Duplicate-SENSITIVE calls
+  * (sum, count, avg, percentile …) disqualify the whole aggregate.
+  * Inner joins only (dedup of a preserved outer side would also be
+  * sound, but the reference shape is inner and the narrow match keeps
+  * the proof one line).
+  *
+  * With aggregate functions present the dedup keys widen to include
+  * the aggregate argument columns, so the per-partition reduction is
+  * smaller than in the pure-distinct case — but the insertion stays
+  * advisory and exchange-free, so the worst case (keys nearly unique
+  * per partition) costs one codegen'd hash probe per row while the
+  * best case ships orders of magnitude fewer rows into the join
+  * exchange, exactly the trade the reference engine makes in q005.
   *
   * Runs in the user-provided optimizer batch (post column-pruning, post
   * distinct→aggregate rewrite). The physical operator is an exchange-free
@@ -65,8 +79,16 @@ case class PartialDistinct(keys: Seq[Attribute], child: LogicalPlan)
   */
 object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
 
-  private def pureDistinct(aggs: Seq[NamedExpression]): Boolean =
-    aggs.forall(a => !a.exists(_.isInstanceOf[AggregateExpression]))
+  /** Every aggregate call (possibly none — the pure-distinct case)
+    * ignores input duplicates: min, max, or an explicit DISTINCT
+    * aggregate. */
+  private def duplicateInsensitive(aggs: Seq[NamedExpression]): Boolean =
+    aggs.forall(_.collect { case ae: AggregateExpression => ae }.forall { ae =>
+      ae.isDistinct || (ae.aggregateFunction match {
+        case _: Min | _: Max => true
+        case _ => false
+      })
+    })
 
   /** Already duplicate-free (or duplicate-reduced) modulo filters —
     * the guard that keeps the rule idempotent across the two operator-
@@ -106,13 +128,13 @@ object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
       return plan
     plan.transformDown {
       case agg @ Aggregate(groups, aggs, j: Join, _)
-          if pureDistinct(aggs) && eligible(j, groups ++ aggs) =>
+          if duplicateInsensitive(aggs) && eligible(j, groups ++ aggs) =>
         agg.copy(child = pushed(j, groups ++ aggs))
       // column pruning usually leaves a Project between the distinct's
       // Aggregate and the Join — dedup keys come from the projection's
       // input references then
       case agg @ Aggregate(groups, aggs, p @ Project(projList, j: Join), _)
-          if pureDistinct(aggs) && (groups ++ aggs).forall(_.deterministic) &&
+          if duplicateInsensitive(aggs) && (groups ++ aggs).forall(_.deterministic) &&
             eligible(j, projList) =>
         agg.copy(child = p.copy(child = pushed(j, projList)))
       // filters land ABOVE an inserted partial distinct when the

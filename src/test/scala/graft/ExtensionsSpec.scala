@@ -114,13 +114,83 @@ class ExtensionsSpec extends SparkSpec {
     assert(on == off && on.nonEmpty)
   }
 
-  test("aggregates with functions are NOT pushed (pure distinct only)") {
+  test("duplicate-SENSITIVE aggregates (sum/count/avg) are NOT pushed") {
     val ord = Tables.orders(spark, sf1)
     val cust = Tables.customer(spark, sf1)
-    val df = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
-      .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("s"))
+    val sensitive = Seq(
+      sum(col("o_totalprice")).as("s"),
+      count(lit(1)).as("s"),
+      avg(col("o_totalprice")).as("s"),
+      // one duplicate-insensitive call does NOT rescue a sensitive one
+      sum(col("o_totalprice")).as("s")) // paired with max below
+    for ((aggCol, i) <- sensitive.zipWithIndex) {
+      val base = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+      val df = if (i == 3) base.agg(aggCol, max(col("o_totalprice")).as("m"))
+        else base.agg(aggCol)
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty, plan.toString)
+    }
+  }
+
+  private def minMaxOverJoin = {
+    val ord = Tables.orders(spark, sf1)
+    val cust = Tables.customer(spark, sf1)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("o_orderdate")).as("first_order"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  test("min/max over inner join gets partial distinct below the join, keys include agg args") {
+    import graft.plans.PartialDistinct
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = minMaxOverJoin.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.size == 1, plan.toString)
+    val pds = plan.collect { case p: PartialDistinct => p }
+    assert(pds.size == 2, plan.toString)
+    // dedup keys = that side's (group ∪ join ∪ aggregate-argument) columns
+    val keySets = pds.map(_.keys.map(_.name).toSet).toSet
+    assert(keySets == Set(
+      Set("o_custkey", "o_orderdate", "o_totalprice"),
+      Set("c_custkey", "c_mktsegment")), plan.toString)
+  }
+
+  test("min/max push below join does not change the result") {
+    val on = minMaxOverJoin.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.graft.partialAggBelowJoin", "false")
+    val off = try {
+      val plan = minMaxOverJoin.queryExecution.optimizedPlan
+      assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty, plan.toString)
+      minMaxOverJoin.collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.graft.partialAggBelowJoin", "true")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("DISTINCT aggregates over a join are pushed and unchanged") {
+    def df = {
+      val ord = Tables.orders(spark, sf1)
+      val cust = Tables.customer(spark, sf1)
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_orderpriority")).as("pris"))
+    }
     val plan = df.queryExecution.optimizedPlan
-    assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty, plan.toString)
+    assert(plan.collect { case p: graft.plans.PartialDistinct => p }.size == 2, plan.toString)
+    val on = df.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.graft.partialAggBelowJoin", "false")
+    val off = try df.collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.graft.partialAggBelowJoin", "true")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("single-table min/max (q16 shape) stays PartialDistinct-free") {
+    for (name <- Seq("q16_min_max_avg", "q24_percentiles")) {
+      val plan = SparkEntry.queries(name)(spark, sf1)
+        .queryExecution.optimizedPlan
+      assert(plan.collect { case p: graft.plans.PartialDistinct => p }.isEmpty,
+        s"$name: $plan")
+    }
   }
 
   test("chained EXCEPT (q05 shape) still matches its oracle result") {
