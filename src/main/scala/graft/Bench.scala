@@ -26,7 +26,13 @@ package graft
   * still compiling through all three samples. One full execution before
   * the clock starts lets HotSpot finish tiering on exactly the code paths
   * being measured; it costs ~+30% bench wall and buys numbers that
-  * reflect the plan, not the JIT.
+  * reflect the plan, not the JIT. The warm duration is recorded in
+  * `bench_samples.json` under `"<name>:warm"` — excluded from the min,
+  * kept because the warm-vs-timed gap IS the JIT-ramp signal that
+  * diagnosed d03 — and a warm-run failure does NOT fail the query: the
+  * timed attempts still run, so one transient stall on this VM cannot
+  * sink the suite (round-8 advice; a query only fails when all three
+  * timed attempts fail).
   *
   * Output: the full per-query line goes to stdout first and to
   * `bench_last.json`; a COMPACT summary line (total + the five headline
@@ -80,10 +86,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // untimed warm execution: compiles this query's codegen + C2 paths
-      // before the clock starts (see scaladoc). Result discarded; a warm
-      // failure skips the timed runs and records the query as failed.
-      val warmed = timed(name, fn).isDefined
-      val base = if (warmed) (1 to 3).flatMap(_ => timed(name, fn)) else Seq.empty[Double]
+      // before the clock starts (see scaladoc). Duration audited under
+      // "<name>:warm", never in the min; a warm failure falls through to
+      // the timed attempts (transient-stall defense).
+      timed(name, fn).foreach(w => samples(name + ":warm") = Seq(w))
+      val base = (1 to 3).flatMap(_ => timed(name, fn))
       if (base.isEmpty) { failed += name; None }
       else {
         // residual guard: when even three samples disagree by >3x the

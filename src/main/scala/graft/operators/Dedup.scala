@@ -106,8 +106,17 @@ object Dedup {
     // unpersist a cache after the caller materializes — cache() pinned
     // the blocks for the whole session for any caller that didn't
     // clearCache() (round-6 advice). localCheckpoint materializes
-    // eagerly and its blocks are dropped by the ContextCleaner as soon
-    // as the plan is unreferenced — no caller contract needed.
+    // eagerly; its blocks are dropped by the ContextCleaner once a
+    // driver GC collects the checkpointed RDD reference (NOT by
+    // spark.catalog.clearCache(), which covers only cached plans) —
+    // weaker than deterministic unpersist, but bounded: O(docs × 256 B)
+    // per live plan, no caller contract. Scale caveats: the eager
+    // materialization runs the signature job even for plan-only
+    // tooling (an explain shows Scan ExistingRDD where the aggregate
+    // subtree was), and checkpoint blocks forgo lineage — an executor
+    // lost mid-query recomputes the stage instead of recovering
+    // per-partition. Both are the right trade for a thrice-reused
+    // bounded table (same posture as Clustering's iteration tables).
     val sig = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
