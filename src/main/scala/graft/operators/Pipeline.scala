@@ -305,7 +305,115 @@ object Pipeline {
       .orderBy(col("token_id"))
   }
 
+  /** One BPE round of the DuckDB oracle: count adjacent symbol pairs
+    * weighted by word frequency, pick the winner (count desc, pair
+    * lexicographic), apply the merge via literal string replace over
+    * the delimiter-wrapped symbol encoding (see [[bpeMerges]]). */
+  private def bpeOracleRound(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT l.sy[i.i] AS pa, l.sy[i.i+1] AS pb, CAST(SUM(l.n) AS BIGINT) AS c
+       |  FROM (SELECT string_split(substring(ws, 2, length(ws)-2), chr(31)||chr(31)) AS sy, n FROM $prev) l,
+       |       UNNEST(range(1, len(l.sy))) AS i(i)
+       |  GROUP BY 1, 2),
+       |b$r AS (SELECT pa, pb, c FROM p$r ORDER BY c DESC, pa, pb LIMIT 1),
+       |w$r AS (SELECT replace(ws, chr(31)||pa||chr(31)||chr(31)||pb||chr(31), chr(31)||pa||pb||chr(31)) AS ws, n
+       |        FROM $prev CROSS JOIN b$r)""".stripMargin
+  }
+
+  private val bpeSteps = 10
+
+  /** The 10 merge rounds unrolled as chained CTEs — DuckDB replays the
+    * exact algorithm (same tiebreak, same leftmost-nonoverlapping
+    * replace semantics), making the full merge SEQUENCE exact-oracled. */
+  private val bpeOracle: String =
+    """WITH w0 AS (
+      |  SELECT regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS ws, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |""".stripMargin +
+      (1 to bpeSteps).map(bpeOracleRound).mkString(",\n") + "\n" +
+      "SELECT * FROM (\n" +
+      (1 to bpeSteps).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, pa, pb, pa||pb AS merged, c AS cnt FROM b$r")
+        .mkString("\nUNION ALL ") +
+      "\n) ORDER BY step"
+
+  /** BPE merge-training core over a (w, n) word-frequency relation.
+    *
+    * Symbol sequences are encoded as a single STRING with every symbol
+    * wrapped in a U+001F delimiter pair ("ab" → ␟a␟␟b␟), so applying a
+    * merge is one codegen'd literal `replace` of ␟a␟␟b␟ with ␟ab␟ —
+    * and because each symbol carries its OWN delimiters, consecutive
+    * matches share no boundary characters, which makes SQL replace's
+    * leftmost-nonoverlapping scan EXACTLY standard BPE merge semantics
+    * ("aaa" + (a,a) → "aa","a") in both engines with no regex and no
+    * UDF.
+    *
+    * Each round: explode adjacent pairs (lexicon-bounded, see below),
+    * one grouped count, one TakeOrdered argmax — a single winner row
+    * read on the driver (the p02-quota O(1) pattern), then a map-side
+    * replace + `localCheckpoint`. The checkpoint per round is the
+    * d03/Clustering posture: it truncates the 10-round lineage (no
+    * quadratic plan re-derivation, no re-execution of earlier rounds'
+    * argmax jobs) and its blocks are ContextCleaner-released; an
+    * executor lost mid-round recomputes that round's stage.
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency aggregate a
+    * caller supplies — Zipfian, so map-side partials absorb most of
+    * it). Every merge round is bounded by the LEXICON's total character
+    * count (Σ |word| over distinct words — ~10⁶–10⁷ rows at any corpus
+    * size), not the corpus: pair counting stays corpus-linear overall
+    * and vocab-linear per round. */
+  private[graft] def bpeMerges(
+      words0: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
+    val s = words0.sparkSession
+    import s.implicits._
+    val S = "\u001F" // chr(31); never occurs in document text
+    var words = words0
+      .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("ws"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to steps) {
+      val winner = words
+        .select(col("n"),
+          split(col("ws").substr(lit(2), length(col("ws")) - 2), S + S).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), col("sy"),
+          explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+        .select(col("n"), element_at(col("sy"), col("i")).as("pa"),
+          element_at(col("sy"), col("i") + 1).as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (winner.nonEmpty) {
+        val (pa, pb, c) =
+          (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
+        merges += ((step.toLong, pa, pb, pa + pb, c))
+        words = words
+          .select(replace(col("ws"), lit(S + pa + S + S + pb + S),
+            lit(S + pa + pb + S)).as("ws"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("step", "pa", "pb", "merged", "cnt").orderBy(col("step"))
+  }
+
+  /** BPE-merge tokenizer training: learn the first 10 merge rules from
+    * corpus word frequencies — the capstone on p07's vocabulary
+    * (Sennrich et al. 2016's algorithm, driver-coordinated the way
+    * Clustering's k-means is: one bounded relational job per round).
+    * Deterministic tiebreak: count desc, then pair lexicographic. */
+  val bpeTrain: QueryEntry = QueryEntry("p08_bpe_train", bpeOracle) { (s, d) =>
+    bpeMerges(
+      Tables.documents(s, d)
+        .select(explode(ws).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      bpeSteps)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
-      mixtureStats, mixtureSample, vocabBuild)
+      mixtureStats, mixtureSample, vocabBuild, bpeTrain)
 }
