@@ -187,39 +187,56 @@ object Similarity {
     * duplicates (s06). */
   val semanticThreshold = 0.35
 
-  /** Corpus → nearest trained centroid, the shared assignment step of
-    * s03 (probing) and s06 (cluster-restricted dedup). Output:
-    * (vec_id, embedding, cluster). */
-  private[graft] def semanticAssignments(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  /** Clusters each vector probes in s06's pair generation. 1 = classic
+    * SemDeDup (primary cell only); 2 recovers the near-boundary pairs
+    * whose members' top-2 cells overlap — the dominant share of the
+    * cross-cluster loss — at ≤ (probes²/1)× the pair-join work. */
+  val semanticProbes = 2
+
+  /** Corpus → `probes` nearest trained centroids, the shared
+    * assignment step of s03 (query probing) and s06 (cluster-restricted
+    * dedup). Output: (vec_id, embedding, cluster), one row per probed
+    * cell — `probes = 1` is plain nearest-centroid assignment. */
+  private[graft] def semanticAssignments(
+      e: org.apache.spark.sql.DataFrame,
+      probes: Int = 1): org.apache.spark.sql.DataFrame =
     e.crossJoin(broadcast(ivfCentroids(e)))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= probes)
       .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
 
-  /** Semantic (embedding-space) dedup, SemDeDup-style: k-means cluster
-    * the corpus, then score pairwise cosine ONLY within each cluster
-    * and report pairs above [[semanticThreshold]] — near-duplicate
-    * meaning, not near-duplicate text, which neither exact digests nor
-    * shingle LSH can see. Missed pairs are exactly the cross-cluster
-    * ones (the SemDeDup trade); SemDedupSpec pins the within-cluster
-    * result to a brute-force recomputation and measures global recall.
+  /** Semantic (embedding-space) dedup, SemDeDup-style with multi-probe
+    * assignment: k-means cluster the corpus, assign each vector to its
+    * top-[[semanticProbes]] cells, then score pairwise cosine ONLY
+    * within each cell and report pairs above [[semanticThreshold]] —
+    * near-duplicate meaning, not near-duplicate text, which neither
+    * exact digests nor shingle LSH can see. A pair is found iff the two
+    * vectors co-occur in SOME probed cell; multi-probe widens that to
+    * top-2 cells, recovering the near-boundary pairs single-probe
+    * SemDeDup loses. Pairs found in both shared cells are deduped AFTER
+    * the threshold filter (cheap — only survivors reach the groupBy),
+    * reporting the smallest generating cell id. SemDedupSpec pins the
+    * result to brute force restricted to probe-set-intersecting pairs
+    * (exactness of the candidate space) and measures global recall.
     *
     * At scale: pair generation is a self-join on the cluster id, so
-    * work is Σ|cell|² instead of n² — and k grows with the corpus
-    * (≈√n; fixed at [[ivfK]] here) keeping cells bounded, the same
-    * O(k·dim)-state argument as s03. Assignment is one broadcast pass;
-    * no full-corpus pairwise stage exists anywhere in the plan.
+    * work is probes²·Σ|cell|² instead of n² — and k grows with the
+    * corpus (≈√n; fixed at [[ivfK]] here) keeping cells bounded, the
+    * same O(k·dim)-state argument as s03. Assignment is one broadcast
+    * pass; no full-corpus pairwise stage exists anywhere in the plan.
     * Probabilistic clustering boundary → rows-only entry. */
   val semanticDedup: QueryEntry = QueryEntry.noOracle("s06_semantic_dedup") { (s, d) =>
-    val assigned = semanticAssignments(Tables.embeddings(s, d))
+    val assigned = semanticAssignments(Tables.embeddings(s, d), semanticProbes)
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", cosine_similarity(col("ea"), col("eb")))
       .filter(col("cos") >= semanticThreshold)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("cluster")).as("cluster"), max(col("cos")).as("cos"))
       .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
   }

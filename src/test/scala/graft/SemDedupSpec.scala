@@ -6,11 +6,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** s06 semantic-dedup gates. The operator's claim decomposes into
-  * (a) within-cluster EXACTNESS — among vectors assigned to the same
-  * cluster it reports exactly the pairs with cosine >= threshold, which
-  * a brute-force recomputation pins here — and (b) a measured global
-  * recall against all-pairs brute force, quantifying the cross-cluster
-  * pairs the SemDeDup trade intentionally gives up. */
+  * (a) candidate-space EXACTNESS — among vectors whose probed cluster
+  * sets intersect it reports exactly the pairs with cosine >= threshold,
+  * which a brute-force recomputation pins here — and (b) a measured
+  * global recall against all-pairs brute force, quantifying the
+  * residual cross-cluster pairs the SemDeDup trade gives up, plus the
+  * assertion that multi-probe assignment strictly dominates the
+  * single-probe candidate space it replaced. */
 class SemDedupSpec extends SparkSpec {
 
   private val theta = Similarity.semanticThreshold
@@ -29,18 +31,29 @@ class SemDedupSpec extends SparkSpec {
   private def s06(dir: String): DataFrame =
     SparkEntry.queries("s06_semantic_dedup")(spark, dir)
 
-  test("s06 equals brute force restricted to same-cluster pairs") {
+  /** vec_id → its probed cluster set at the given probe width. */
+  private def probeSets(dir: String, probes: Int): Map[Long, Set[Long]] =
+    Similarity.semanticAssignments(
+        spark.read.parquet(s"$dir/embeddings.parquet"), probes)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  test("s06 equals brute force restricted to probe-intersecting pairs") {
     val dir = sf1
     val got = s06(dir).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
-    val cluster = Similarity.semanticAssignments(
-        spark.read.parquet(s"$dir/embeddings.parquet"))
-      .select(col("vec_id"), col("cluster"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = probeSets(dir, Similarity.semanticProbes)
     val expected = brutePairs(dir)
-      .filter { case (x, y) => cluster(x) == cluster(y) }
+      .filter { case (x, y) => (probed(x) & probed(y)).nonEmpty }
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("s06 output pairs are unique (multi-probe dedup)") {
+    val rows = s06(sf1).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == rows.toSet.size,
+      "a pair generated in two shared cells leaked through undeduped")
   }
 
   test("s06 reported cosines are correct and above threshold") {
@@ -67,17 +80,25 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("s06 global recall vs brute force is measured and sane") {
-    // cross-cluster pairs are the designed loss; with ivfK=8 random-ish
-    // clusters the same-cluster fraction must still capture a
-    // non-trivial share. The floor is a regression tripwire, not a
-    // quality target — a clustering bug (everything in one cell, or
-    // every pair lost) trips it from either side.
+    // residual cross-cluster pairs (top-2 cells disjoint) are the
+    // designed loss. The floor is a regression tripwire, not a quality
+    // target — a clustering bug (everything in one cell, or every pair
+    // lost) trips it from either side. Multi-probe must also dominate
+    // the single-probe candidate space it replaced.
     val all = brutePairs(sf1)
     val got = s06(sf1).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got.subsetOf(all), "s06 reported a pair below threshold")
+    val single = probeSets(sf1, 1)
+    val singleRecall = all.count { case (x, y) =>
+      (single(x) & single(y)).nonEmpty }.toDouble / all.size
     val recall = got.size.toDouble / all.size
-    info(f"s06 recall@theta=$theta: ${got.size}/${all.size} = $recall%.3f")
-    assert(recall >= 0.05, f"recall $recall%.3f collapsed")
+    info(f"s06 recall@theta=$theta: ${got.size}/${all.size} = $recall%.3f " +
+      f"(single-probe candidate recall $singleRecall%.3f)")
+    assert(recall >= singleRecall,
+      f"multi-probe recall $recall%.3f fell below single-probe $singleRecall%.3f")
+    // measured 0.770 at sf0.001 with probes=2 (vs 0.319 single-probe);
+    // the 0.5 floor would catch a silent regression to single-probe.
+    assert(recall >= 0.50, f"recall $recall%.3f collapsed")
     assert(recall <= 1.0)
   }
 }
