@@ -351,6 +351,90 @@ object Dedup {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** d14: a fingerprint seen in more than this many documents is
+    * boilerplate (license headers, templates) and is dropped before
+    * pair generation — MOSS's noise-suppression rule, which doubles as
+    * the hot-key skew guard: join fan-out per fingerprint is bounded
+    * by maxDf², independent of corpus size (the d03 hot-shingle
+    * argument). */
+  val cloneMaxDf = 32
+
+  /** d14: minimum shared fingerprints for a reported clone pair. The
+    * sf0.01 corpus is sharply bimodal (noise pairs share 1–3, true
+    * clones ≥ 8), so 3 keeps the borderline visible without flooding. */
+  val cloneMinShared = 3
+
+  /** Winnowing clone-pair detection (d14) — the contamination-detection
+    * CONSUMER of d13: join documents on shared winnowed fingerprints
+    * and rank candidate substring-clone pairs by shared-fingerprint
+    * count, with positional evidence (first/last shared-fingerprint
+    * window position in each document, bounding the clone region).
+    * This is the MOSS report step: d13 answers "what are the
+    * fingerprints", d14 answers "which document pairs share enough of
+    * them to be clones, and where".
+    *
+    * Pipeline: d13's k-gram → window-min stream, keeping the 1-based
+    * window position; per-(doc, fp) the earliest position survives;
+    * fingerprints in > [[cloneMaxDf]] docs are dropped (boilerplate +
+    * skew guard — see the constant); the fp-keyed self-join then
+    * aggregates per pair. sha256 makes every fingerprint identical in
+    * any engine → exact oracle. At 100 TB: rows crossing the exchanges
+    * are (doc_id, 64-char fp, pos) triples — never documents — and the
+    * df guard caps per-key join blow-up, so pair generation is
+    * index-join-shaped like d02/d10, not all-pairs. */
+  val clonePairs: QueryEntry = QueryEntry(
+    "d14_clone_pairs",
+    s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |k AS (SELECT doc_id, list_transform(range(1, len(arr) - 1),
+      |             i -> sha256(array_to_string(arr[i:i+2], ' '))) AS hs
+      |      FROM a WHERE len(arr) >= 3),
+      |idx AS (SELECT doc_id, hs,
+      |               unnest(range(1, CASE WHEN len(hs) >= 4 THEN len(hs) - 2 ELSE 2 END)) AS pos
+      |        FROM k),
+      |f0 AS (SELECT doc_id, pos, list_min(hs[pos:pos+3]) AS fp FROM idx),
+      |fps AS (SELECT doc_id, fp, MIN(pos) AS pos FROM f0 GROUP BY 1, 2),
+      |df AS (SELECT fp, COUNT(*) AS ndocs FROM fps GROUP BY 1),
+      |keep AS (SELECT f.doc_id, f.fp, f.pos FROM fps f JOIN df USING (fp)
+      |         WHERE df.ndocs <= $cloneMaxDf)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared,
+      |       MIN(a.pos) AS a_start, MAX(a.pos) AS a_end,
+      |       MIN(b.pos) AS b_start, MAX(b.pos) AS b_end
+      |FROM keep a JOIN keep b ON a.fp = b.fp AND b.doc_id > a.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $cloneMinShared
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kg = Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 3)
+      .withColumn("hs", expr(
+        "zip_with(zip_with(slice(arr, 1, size(arr) - 2), slice(arr, 2, size(arr) - 2), " +
+          "(a, b) -> concat(a, ' ', b)), slice(arr, 3, size(arr) - 2), " +
+          "(ab, c) -> sha2(concat(ab, ' ', c), 256))"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val win4 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    val fps = kg.withColumn("nk", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(win4))
+      .filter((col("nk") >= 4 && col("pos") <= col("nk") - 4) ||
+        (col("nk") < 4 && col("pos") === 0))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("fp"))
+      .groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("pos"))
+    val keep = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") <= cloneMaxDf)
+        .select(col("fp")),
+      Seq("fp"))
+    keep.as("a").join(keep.as("b"),
+        col("a.fp") === col("b.fp") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.pos")).as("a_start"), max(col("a.pos")).as("a_end"),
+        min(col("b.pos")).as("b_start"), max(col("b.pos")).as("b_end"))
+      .filter(col("shared") >= cloneMinShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Keep-best dedup policy: within each exact-duplicate group keep
     * the highest-quality representative (longest doc, doc_id tiebreak)
     * via single-pass struct-max — the "which copy survives" decision a
@@ -451,5 +535,5 @@ object Dedup {
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
-    winnowing)
+    winnowing, clonePairs)
 }
