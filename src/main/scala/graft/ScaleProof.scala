@@ -32,7 +32,8 @@ object ScaleProof {
     "p01_decontaminate", "p02_stratified_sample", "p03_pack_sequences",
     "p04_repetition_score", "p05_mixture_stats", "p06_mixture_sample",
     "p07_vocab_build", "s06_semantic_dedup", "t10_rank_score",
-    "d12_bloom_incremental_dedup", "d13_winnowing")
+    "d12_bloom_incremental_dedup", "d13_winnowing", "d14_clone_pairs",
+    "p08_bpe_train")
 
   private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = docs
     .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
