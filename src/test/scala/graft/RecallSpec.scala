@@ -32,8 +32,17 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.45, s"s03 recall@5 = $r")
   }
 
+  test("PQ ADC + rerank (s07) recall@5 beats 0.6 at sf0.01") {
+    // candidates = 50 of ~5000 corpus vectors (1%) at sf0.01; the
+    // floor catches an ADC scoring collapse (see info line for the
+    // measured value).
+    val r = recallAt5("s07_ann_pq", sf2)
+    info(f"s07 recall@5 = $r%.3f")
+    assert(r >= 0.6, s"s07 recall@5 = $r")
+  }
+
   test("approximate results are real corpus members with sane ranks") {
-    Seq("s02_ann_lsh", "s03_ann_ivf").foreach { name =>
+    Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq").foreach { name =>
       val rows = SparkEntry.queries(name)(spark, sf2).collect()
       assert(rows.nonEmpty, name)
       rows.foreach { r =>
