@@ -323,21 +323,43 @@ object Pipeline {
 
   private val bpeSteps = 10
 
-  /** The 10 merge rounds unrolled as chained CTEs — DuckDB replays the
-    * exact algorithm (same tiebreak, same leftmost-nonoverlapping
-    * replace semantics), making the full merge SEQUENCE exact-oracled. */
-  private val bpeOracle: String =
+  /** The shared oracle prelude: lexicon word frequencies wrapped into
+    * the delimiter encoding, then the [[bpeSteps]] merge rounds
+    * unrolled as chained CTEs — DuckDB replays the exact algorithm
+    * (same tiebreak, same leftmost-nonoverlapping replace semantics).
+    * After it, `w<bpeSteps>` holds every lexicon word fully merged. */
+  private val bpeCtePrefix: String =
     """WITH w0 AS (
       |  SELECT regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS ws, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE w <> '' GROUP BY 1),
       |""".stripMargin +
-      (1 to bpeSteps).map(bpeOracleRound).mkString(",\n") + "\n" +
+      (1 to bpeSteps).map(bpeOracleRound).mkString(",\n")
+
+  /** p08 oracle: the full merge SEQUENCE, exact. */
+  private val bpeOracle: String =
+    bpeCtePrefix + "\n" +
       "SELECT * FROM (\n" +
       (1 to bpeSteps).map(r =>
         s"SELECT CAST($r AS BIGINT) AS step, pa, pb, pa||pb AS merged, c AS cnt FROM b$r")
         .mkString("\nUNION ALL ") +
       "\n) ORDER BY step"
+
+  /** p09 oracle: decode each fully-merged lexicon entry back to its
+    * word (delimiters strip to the original characters — merges only
+    * ever concatenate), count its symbols, and join the per-word token
+    * count onto the corpus word occurrences. */
+  private val bpeEncodeOracle: String =
+    bpeCtePrefix + ",\n" +
+      s"""enc AS (
+        |  SELECT replace(ws, chr(31), '') AS w,
+        |         len(string_split(substring(ws, 2, length(ws)-2), chr(31)||chr(31))) AS toks
+        |  FROM w$bpeSteps),
+        |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT doc_id, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words
+        |FROM occ JOIN enc USING (w) WHERE w <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** BPE merge-training core over a (w, n) word-frequency relation.
     *
@@ -369,6 +391,18 @@ object Pipeline {
       words0: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
     val s = words0.sparkSession
     import s.implicits._
+    bpeTrainRounds(words0, steps).toDF("step", "pa", "pb", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  /** The training loop behind [[bpeMerges]], returning the learned
+    * rounds as local (step, pa, pb, merged, cnt) rows -- each round's
+    * winner is a single driver-read row by construction, so the rule
+    * list is driver-local for free and p09's encoder can splice the
+    * merges into a literal replace chain. */
+  private[graft] def bpeTrainRounds(
+      words0: org.apache.spark.sql.DataFrame,
+      steps: Int): Seq[(Long, String, String, String, Long)] = {
     val S = "\u001F" // chr(31); never occurs in document text
     var words = words0
       .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("ws"), col("n"))
@@ -396,7 +430,7 @@ object Pipeline {
           .localCheckpoint()
       }
     }
-    merges.result().toDF("step", "pa", "pb", "merged", "cnt").orderBy(col("step"))
+    merges.result()
   }
 
   /** BPE-merge tokenizer training: learn the first 10 merge rules from
@@ -413,7 +447,48 @@ object Pipeline {
       bpeSteps)
   }
 
+  /** BPE tokenizer APPLICATION (p09) — encode the corpus with the
+    * rules p08 learns, reporting per-document token counts under the
+    * trained tokenizer (the sizing signal every training pipeline
+    * needs before packing/pricing a corpus).
+    *
+    * The encode is LEXICON-bounded, never corpus-bounded: each
+    * distinct word is wrapped into the delimiter encoding and pushed
+    * through the [[bpeSteps]] merges as one chained, codegen'd
+    * literal-replace expression (no per-round jobs — the rules are
+    * already driver-local from training), and the corpus only pays a
+    * broadcast join of (word → token count) onto its word
+    * occurrences plus one doc_id-keyed aggregation. At 100 TB the
+    * lexicon is ~10⁶–10⁷ rows regardless of corpus size, so encoding
+    * work is a rounding error next to the occurrence scan, and no
+    * document text ever crosses an exchange. Greedy left-to-right
+    * merge application is exactly SQL replace's leftmost-
+    * nonoverlapping scan in both engines (see [[bpeMerges]]), so the
+    * token counts are exact-oracled. */
+  val bpeEncode: QueryEntry = QueryEntry("p09_bpe_encode", bpeEncodeOracle) { (s, d) =>
+    val S = "\u001F"
+    val lex = Tables.documents(s, d)
+      .select(explode(ws).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val rules = bpeTrainRounds(lex, bpeSteps)
+    var wsCol: org.apache.spark.sql.Column =
+      regexp_replace(col("w"), "(.)", S + "$1" + S)
+    rules.foreach { case (_, pa, pb, _, _) =>
+      wsCol = replace(wsCol, lit(S + pa + S + S + pb + S), lit(S + pa + pb + S))
+    }
+    val enc = lex.select(col("w"),
+      size(split(wsCol.substr(lit(2), length(wsCol) - 2), S + S)).as("toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(ws).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(enc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("toks")).as("n_tokens"), count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
-      mixtureStats, mixtureSample, vocabBuild, bpeTrain)
+      mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode)
 }

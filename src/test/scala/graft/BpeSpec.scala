@@ -75,4 +75,47 @@ class BpeSpec extends SparkSpec {
     assert(got(0) == ((1L, "a", "a", "aa", 12L)), got.mkString(","))
     assert(got(1) == ((2L, "aa", "aa", "aaaa", 4L)), got.mkString(","))
   }
+
+  /** Reference encoder: apply the trained merges greedily left-to-right
+    * (same loop as [[naive]]'s application step) and count symbols. */
+  private def naiveEncode(word: String, rules: Seq[(String, String)]): Int = {
+    var syms = word.map(_.toString).toVector
+    for ((pa, pb) <- rules) {
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+          nb += pa + pb; i += 2
+        } else { nb += syms(i); i += 1 }
+      }
+      syms = nb.result()
+    }
+    syms.length
+  }
+
+  test("p09 token counts match the independent encoder on a synthetic corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe9").toString
+    val docs = Seq(
+      1L -> "low low low low low lower lower",
+      2L -> "newest newest newest newest newest newest widest",
+      3L -> "widest widest lowest newest")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wordFreq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val rules = naive(wordFreq, 10).map { case (a, b, _) => (a, b) }
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      id -> ((id, words.map(w => naiveEncode(w, rules).toLong).sum, words.length.toLong))
+    }.toMap
+    val got = SparkEntry.queries("p09_bpe_encode")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+  }
 }
