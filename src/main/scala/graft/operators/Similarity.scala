@@ -375,6 +375,98 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-PQ ANN (s08) — the composition the s07 scaladoc promises and
+    * the FAISS workhorse index: s03's fixed-[[ivfK]] coarse quantizer
+    * prunes the corpus to each query's [[ivfProbes]] nearest cells, and
+    * within them scoring runs on [[pqSubspaces]]-byte RESIDUAL codes
+    * (PQ trained on x − c(x), which has far less variance than x, the
+    * standard fidelity win). The ADC decomposition keeps everything a
+    * broadcast-table lookup in exact decimal:
+    *
+    *   dot(q, x̂) = dot(q, c) + Σ_sub pdot(qid, sub, code)
+    *   ‖x̂‖²     = ‖c‖² + 2·Σ_sub cdot(cell, sub, code) + Σ_sub csq(sub, code)
+    *
+    * where pdot is O(queries·M·k), cdot O(cells·M·k), and the per-cell
+    * scalars O(cells) — all corpus-independent broadcast state. The
+    * scan phase touches ~nprobe/k of the corpus's 8-byte codes; the
+    * exact cosine reranks only [[pqCandidates]] survivors per query.
+    * Probabilistic recall → rows-only; RecallSpec gates recall@5
+    * (bounded above by s03's probed-cell recall, approached from below
+    * as the top-C rerank absorbs ADC ranking error). */
+  val annIvfPq: QueryEntry = QueryEntry.noOracle("s08_ann_ivfpq") { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    // coarse assignment + the query probe list (s03's shapes)
+    val scoredCells = e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+    val assigned = scoredCells.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ce"))
+    // residuals r = x − c(x), then PQ codes trained ON the residuals
+    val residuals = assigned.select(col("vec_id"),
+      zip_with(col("embedding"), col("ce"),
+        (x, c) => x.cast("double") - c).as("embedding"))
+    val (codebook, rcodes) = pqTrain(residuals)
+    val codes = rcodes.join(
+      assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // broadcast lookup state, all decimal-exact:
+    // csq(sub, cl) = ‖centroid‖², cdot(cell, sub, cl) = dot(c_cell, centroid)
+    val cellSub = cent
+      .select(col("cid").as("cell"), posexplode(col("ce")).as(Seq("dim", "cx")))
+      .select(col("cell"), (col("dim") / pqSubDim).cast("int").as("sub"),
+        (col("dim") % pqSubDim).as("sdim"), col("cx"))
+    val cdot = cellSub.join(codebook, Seq("sub", "sdim"))
+      .groupBy(col("cell"), col("sub"), col("cl"))
+      .agg(sum((col("cx") * col("c")).cast(DecimalType(28, 18))).as("cdot"))
+    val csq = codebook.groupBy(col("sub"), col("cl"))
+      .agg(sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
+    val cnorm = cellSub.groupBy(col("cell"))
+      .agg(sum((col("cx") * col("cx")).cast(DecimalType(28, 18))).as("cnormsq"))
+    // query side: probed cells, the per-(query, cell) dot(q, c)
+    // scalar, and the cell-independent pdot(qid, sub, cl) table
+    val probeList = scoredCells.filter(col("vec_id") < 10 && col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val qsub = subExploded(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
+    val qc = qsub.join(broadcast(probeList), Seq("qid"))
+      .join(broadcast(cellSub), Seq("cell", "sub", "sdim"))
+      .groupBy(col("qid"), col("cell"))
+      .agg(sum((col("qx") * col("cx")).cast(DecimalType(28, 18))).as("qc"))
+    val pdot = qsub.join(codebook, Seq("sub", "sdim"))
+      .groupBy(col("qid"), col("sub"), col("cl"))
+      .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"))
+    // ADC scan restricted to probed cells: narrow code rows only
+    val cand = codes.filter(col("vec_id") >= 10)
+      .join(broadcast(probeList), Seq("cell"))
+      .join(broadcast(pdot), Seq("qid", "sub", "cl"))
+      .join(broadcast(cdot), Seq("cell", "sub", "cl"))
+      .join(broadcast(csq), Seq("sub", "cl"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg(sum(col("pdot")).as("rdot"), sum(col("cdot")).as("crdot"),
+        sum(col("csq")).as("rsq"))
+      .join(broadcast(qc), Seq("qid", "cell"))
+      .join(broadcast(cnorm), Seq("cell"))
+      .withColumn("ascore",
+        (col("qc") + col("rdot")).cast("double") /
+          sqrt((col("cnormsq") + lit(2) * col("crdot") + col("rsq")).cast("double")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("arn") <= pqCandidates)
+      .select(col("qid"), col("vec_id"))
+    val qe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).join(broadcast(qe), Seq("qid"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
-    Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup, annPq)
+    Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
+      annPq, annIvfPq)
 }

@@ -41,8 +41,16 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.6, s"s07 recall@5 = $r")
   }
 
+  test("IVF-PQ (s08) recall@5 beats 0.45 at sf0.01") {
+    // bounded above by s03's 2-probe cell recall; the top-50 exact
+    // rerank absorbs residual-ADC ranking error, so the floors match.
+    val r = recallAt5("s08_ann_ivfpq", sf2)
+    info(f"s08 recall@5 = $r%.3f")
+    assert(r >= 0.45, s"s08 recall@5 = $r")
+  }
+
   test("approximate results are real corpus members with sane ranks") {
-    Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq").foreach { name =>
+    Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq", "s08_ann_ivfpq").foreach { name =>
       val rows = SparkEntry.queries(name)(spark, sf2).collect()
       assert(rows.nonEmpty, name)
       rows.foreach { r =>
