@@ -532,8 +532,46 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Asymmetric set CONTAINMENT of a probe set in the corpus (d15):
+    * containment(A→B) = |A∩B| / |A| over distinct word sets, probe
+    * docs doc_id < 100, threshold 0.9. This is the dedup/contamination
+    * signal symmetric Jaccard structurally misses: a short document
+    * fully embedded in a long one has containment 1.0 but Jaccard
+    * |A|/|B| ≈ 0 — exactly the "benchmark question pasted inside a web
+    * page" shape decontamination needs. Same inverted-index join as
+    * d02 (narrow (doc_id, word) rows, map-side partial counts), only
+    * the normalizer changes; at full-corpus scale the probe side is
+    * the benchmark (tiny, broadcastable) and the corpus streams once. */
+  val containment: QueryEntry = QueryEntry(
+    "d15_containment",
+    """WITH ws AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |        FROM ws a JOIN ws b ON a.w = b.w
+      |        WHERE a.doc_id < 100 AND b.doc_id <> a.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id, common,
+      |       CAST(common AS DOUBLE) / sa.n AS containment
+      |FROM com JOIN sz sa ON a_id = sa.doc_id
+      |WHERE CAST(common AS DOUBLE) / sa.n >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    ws.as("a").join(ws.as("b"),
+        col("a.w") === col("b.w") &&
+          col("b.doc_id") =!= col("a.doc_id") && col("a.doc_id") < 100)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n")), Seq("a_id"))
+      .withColumn("containment", col("common").cast("double") / col("n"))
+      .filter(col("containment") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("common"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
-    winnowing, clonePairs)
+    winnowing, clonePairs, containment)
 }

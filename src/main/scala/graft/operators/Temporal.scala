@@ -233,7 +233,35 @@ object Temporal {
       .orderBy(col("cohort"), col("offset_days"))
   }
 
+  /** Last-observation-carried-forward gap fill (e10): per user in
+    * event-time order, carry the last non-null measurement forward
+    * with an IGNORE NULLS running window — the telemetry/feature-store
+    * densification primitive ('view' events carry no amount here, so
+    * they inherit the user's previous priced event). Window state is
+    * one value per user regardless of gap length, the frame never
+    * re-scans (running frame, not full-partition), and the single
+    * exchange is the user_id window partitioning. */
+  val locfFill: QueryEntry = QueryEntry(
+    "e10_locf_fill",
+    """SELECT event_id, user_id,
+      |       last_value(v IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS filled
+      |FROM (SELECT event_id, user_id, ts,
+      |             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .select(col("event_id"), col("user_id"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
-    slidingWindow, rangeJoin, funnel, retention)
+    slidingWindow, rangeJoin, funnel, retention, locfFill)
 }

@@ -276,7 +276,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-coverage fluency scoring (t11) — t10's unigram rank filter
+    * lifted to a bigram language model with exact-rational statistics:
+    * per document, the share of its adjacent word pairs that are
+    * "common" in the corpus bigram table (count ≥ 5) and the mean
+    * corpus frequency of its bigrams. Word-salad and shuffled
+    * boilerplate score low on coverage even when every unigram is
+    * in-vocabulary — the next signal a quality pipeline reaches for
+    * after t01/t10 — and the rational mean keeps the score
+    * engine-exact where log-probability LM scoring would drift in the
+    * last ulp (the same determinism argument as t10).
+    *
+    * At scale: the bigram model is lexicon²-bounded in theory but
+    * Zipf-truncated in practice (a min-count filter keeps the table
+    * broadcastable; here the full table joins by shuffle on the bigram
+    * key, the d02 inverted-index shape). Only (doc_id, count) pairs
+    * aggregate; document text never crosses an exchange. */
+  val bigramCoverage: QueryEntry = QueryEntry(
+    "t11_bigram_coverage",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+      |              i -> arr[i] || '_' || arr[i+1])) AS b FROM t),
+      |cf AS (SELECT b, COUNT(*) AS n FROM bg GROUP BY 1)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CASE WHEN cf.n >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage,
+      |       CAST(SUM(cf.n) AS DOUBLE) / COUNT(*) AS mean_df
+      |FROM bg JOIN cf USING (b)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), " +
+          "(a, b) -> concat(a, '_', b))")).as("b"))
+    val cf = bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    bg.join(cf, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(when(col("n") >= 5, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("coverage"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
-    wordPositions, normalize, tfCosinePairs, rankScore)
+    wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage)
 }
