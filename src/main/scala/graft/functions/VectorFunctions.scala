@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * DuckDB oracle uses — results are bit-identical to the composed form. */
 object VectorFunctions {
 
-  /** cosine(a, b) over array<float>/array<double> columns → double.
-    * Null input array, differing array lengths, any null element, or a
-    * zero-norm input (undefined cosine) → null — mirroring the
-    * zip_with+aggregate formulation's null semantics rather than
-    * returning a truncated or NaN value. */
+  /** cosine(a, b) over array<float>/array<double>/array<tinyint>
+    * columns → double. Null input array, differing array lengths, any
+    * null element, or a zero-norm input (undefined cosine) → null —
+    * mirroring the zip_with+aggregate formulation's null semantics
+    * rather than returning a truncated or NaN value. The tinyint form
+    * lets scalar-quantized int8 codes (s09) score inside the same
+    * codegen'd loop — no interpreted transform-to-double in the hot
+    * path. */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
 
@@ -37,12 +40,18 @@ object VectorFunctions {
 
     override def checkInputDataTypes(): TypeCheckResult = {
       def ok(e: Expression) = e.dataType match {
-        case ArrayType(FloatType | DoubleType, _) => true
+        case ArrayType(FloatType | DoubleType | ByteType, _) => true
         case _ => false
       }
       if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity needs array<float|double>, got ${left.dataType}, ${right.dataType}")
+        s"cosine_similarity needs array<float|double|tinyint>, got ${left.dataType}, ${right.dataType}")
+    }
+
+    private def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
     }
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -52,12 +61,16 @@ object VectorFunctions {
       if (arrB.numElements() != n) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      val fa = elemType(left) == FloatType
-      val fb = elemType(right) == FloatType
+      def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+        case FloatType => arr.getFloat(i).toDouble
+        case ByteType  => arr.getByte(i).toDouble
+        case _         => arr.getDouble(i)
+      }
+      val ta = elemType(left); val tb = elemType(right)
       while (i < n) {
         if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
-        val x: Double = if (fa) arrA.getFloat(i).toDouble else arrA.getDouble(i)
-        val y: Double = if (fb) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+        val x = get(arrA, i, ta)
+        val y = get(arrB, i, tb)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
@@ -66,8 +79,8 @@ object VectorFunctions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val getA = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-      val getB = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      val getA = getter(elemType(left))
+      val getB = getter(elemType(right))
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")

@@ -488,7 +488,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-filter funnel with first-fail attribution (p10): every
+    * document gets exactly one verdict — the FIRST rule it fails in
+    * pipeline order (too short → too repetitive → words too short) or
+    * 'pass' — and the output is the funnel report (docs and corpus
+    * share per verdict) that tells a pipeline owner which rule is
+    * eating their data. First-fail attribution (vs. flag-all) is what
+    * makes shares sum to 1 and rule-reordering experiments readable.
+    * All three rules are integer cross-multiplications of exact counts
+    * (word count, distinct-word count, char count), so no float
+    * threshold can straddle an ulp and the oracle is exact.
+    *
+    * At scale: one corpus scan computes the per-doc signals map-side
+    * (array ops on the already-read text, no exchange), the verdict
+    * CASE collapses to ≤4 cells before any shuffle, and the corpus
+    * total for the share arrives by BROADCAST of a scalar aggregate —
+    * not a single-partition window (ExchangeAuditSpec's tripwire
+    * stays clean). */
+  val qualityFunnel: QueryEntry = QueryEntry(
+    "p10_quality_funnel",
+    """WITH s AS (SELECT n_chars, len(string_split(text, ' ')) AS nw,
+      |                  len(list_distinct(string_split(text, ' '))) AS nd
+      |           FROM documents),
+      |r AS (SELECT CASE WHEN nw < 20 THEN 'too_short'
+      |                  WHEN (nw - nd) * 20 > 13 * nw THEN 'repetitive'
+      |                  WHEN (n_chars - nw + 1) * 5 < 20 * nw THEN 'short_words'
+      |                  ELSE 'pass' END AS verdict FROM s),
+      |c AS (SELECT verdict, COUNT(*) AS n_docs FROM r GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM documents)
+      |SELECT verdict, n_docs, CAST(n_docs AS DOUBLE) / total AS share
+      |FROM c CROSS JOIN t ORDER BY verdict""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sig = docs.select(col("n_chars"), size(ws).as("nw"),
+      size(array_distinct(ws)).as("nd"))
+    val cells = sig.select(
+      when(col("nw") < 20, "too_short")
+        .when((col("nw") - col("nd")) * 20 > col("nw") * 13, "repetitive")
+        .when((col("n_chars") - col("nw") + 1) * 5 < col("nw") * 20, "short_words")
+        .otherwise("pass").as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("verdict"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).as("share"))
+      .orderBy(col("verdict"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
-      mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode)
+      mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
+      qualityFunnel)
 }

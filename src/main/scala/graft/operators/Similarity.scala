@@ -466,7 +466,68 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s09's rerank depth: int8 direction error is tiny (≤ 0.4% per
+    * dim), so a shallow exact rerank already recovers the true top-5. */
+  val sqCandidates = 20
+
+  /** Scalar-quantized int8 ANN (s09) — the simplest compressed-scan
+    * index and the one production systems reach for before PQ:
+    * per-vector symmetric quantization code_i = round(x_i / s) with
+    * s = max|x_i| / 127, giving a 1-byte-per-dimension corpus (d bytes
+    * vs 4d float — a 4× scan-I/O cut with no training phase, no
+    * codebook state, and per-vector — not per-batch — error bounds).
+    * Cosine is invariant to per-vector scaling, so the approximate
+    * phase scores the integer CODES directly — cos(q, s·c) = cos(q, c)
+    * — in the same codegen'd CosineSimilarity loop as the float path
+    * (the expression accepts array<tinyint>; no interpreted
+    * reconstruction in the hot loop). The scale column still ships
+    * with the codes: it is what a dot-product or L2 consumer would
+    * need, and the SqSpec reconstruction gate proves the pair is a
+    * faithful 1-byte encoding. Exact cosine reranks the top
+    * [[sqCandidates]] survivors per query.
+    *
+    * At 100 TB: encode is one corpus pass (the HOF encode cost is paid
+    * once, off the query path); every search after that streams d
+    * bytes/vector with no exchange until the per-query top-C window on
+    * candidate IDs. Probabilistic ranking → rows-only; RecallSpec
+    * gates recall@5 against s01 and SqSpec gates the quantization
+    * invariants. */
+  val annSq: QueryEntry = QueryEntry.noOracle("s09_ann_sq") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val coded = sqEncode(e.filter(col("vec_id") >= 10))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = coded.crossJoin(broadcast(q))
+      .withColumn("ascore", cosine_similarity(col("qe"), col("codes")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("arn") <= sqCandidates)
+      .select(col("qid"), col("vec_id"))
+    cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The int8 encode behind [[annSq]]: (vec_id, scale, codes) with
+    * codes ∈ [-127, 127]^d and scale = max|x|/127 (floored away from
+    * zero so an all-zero vector encodes to zero codes instead of
+    * NaN). Kept package-visible so SqSpec can gate the encoding
+    * invariants directly. */
+  private[graft] def sqEncode(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    e.select(col("vec_id"), col("embedding"),
+        (greatest(array_max(transform(col("embedding"), x => abs(x))), lit(1e-30f))
+          .cast("double") / 127d).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("tinyint")).as("codes"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
-      annPq, annIvfPq)
+      annPq, annIvfPq, annSq)
 }

@@ -261,7 +261,42 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Event-type transition matrix (e11): per user in event-time order,
+    * count each (event_type → next event_type) step across the whole
+    * stream, with the row-conditional transition probability — the
+    * first-order Markov model behavioral pipelines fit before anomaly
+    * scoring or funnel design. Counts are integers and the probability
+    * is one integer-valued division, so the oracle is exact.
+    *
+    * At scale: the LEAD window ships only (user_id, ts, event_id,
+    * event_type) — no value/props payload — through the one user_id
+    * exchange; the aggregate collapses to at most |types|² cells with
+    * map-side partials, and the share window runs over those CELLS
+    * partitioned by src (a hash exchange on an O(types²) table, never
+    * a global funnel). */
+  val transitions: QueryEntry = QueryEntry(
+    "e11_transitions",
+    """WITH x AS (SELECT event_type AS src,
+      |                  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |           FROM events)
+      |SELECT src, dst, COUNT(*) AS n,
+      |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |FROM x WHERE dst IS NOT NULL
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
-    slidingWindow, rangeJoin, funnel, retention, locfFill)
+    slidingWindow, rangeJoin, funnel, retention, locfFill, transitions)
 }

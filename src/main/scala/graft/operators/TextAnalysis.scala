@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -321,7 +322,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Longest adjacent repeated-word run per document (t12) — the
+    * degenerate-generation detector: a model (or scraper) stuck in a
+    * loop emits "the the the …", which frequency-based signals (p04's
+    * top-word share) dilute on long documents but a run-length scan
+    * catches at any length. Gaps-and-islands: position minus the
+    * per-(doc, word) rank is constant exactly along a consecutive run,
+    * so runs fall out of one GROUP BY — no self-join, no quadratic
+    * pass. Reports the max run, the word achieving it (ties:
+    * lexicographic), and how many runs ≥ 2 the document has; all
+    * integers, so the oracle is exact.
+    *
+    * At scale: words travel as narrow (doc_id, pos, w) rows through
+    * the doc-keyed window exchange (the t07 shape — a document's
+    * positions must co-locate, but documents spread freely); the run
+    * table collapses map-side and everything after is O(runs), not
+    * O(words). */
+  val maxRun: QueryEntry = QueryEntry(
+    "t12_max_run",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |p AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos, arr[pos + 1] AS w
+      |      FROM t, UNNEST(range(len(arr))) AS u(pos)),
+      |g AS (SELECT doc_id, w,
+      |             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+      |      FROM p),
+      |r AS (SELECT doc_id, w, COUNT(*) AS run FROM g GROUP BY doc_id, w, grp),
+      |best AS (SELECT doc_id, run AS max_run, w AS run_word FROM (
+      |           SELECT doc_id, w, run,
+      |                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY run DESC, w) AS rn
+      |           FROM r) WHERE rn = 1),
+      |stats AS (SELECT doc_id, CAST(SUM(CASE WHEN run >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |          FROM r GROUP BY doc_id)
+      |SELECT best.doc_id, max_run, run_word, n_runs
+      |FROM best JOIN stats USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val r = p
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("w"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    val best = r
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("run").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("run").as("max_run"), col("w").as("run_word"))
+    val stats = r.groupBy(col("doc_id"))
+      .agg(sum(when(col("run") >= 2, 1).otherwise(0)).cast("long").as("n_runs"))
+    best.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
-    wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage)
+    wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
+    maxRun)
 }

@@ -49,8 +49,19 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.45, s"s08 recall@5 = $r")
   }
 
+  test("int8 scalar quantization (s09) recall@5 beats 0.9 at sf0.01") {
+    // int8 preserves vector direction to ≤ 0.4% per dim, and the
+    // top-20 exact rerank absorbs what little ADC ordering error is
+    // left — a drop below 0.9 means the encode or the code-scoring
+    // path broke, not that the index got unlucky.
+    val r = recallAt5("s09_ann_sq", sf2)
+    info(f"s09 recall@5 = $r%.3f")
+    assert(r >= 0.9, s"s09 recall@5 = $r")
+  }
+
   test("approximate results are real corpus members with sane ranks") {
-    Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq", "s08_ann_ivfpq").foreach { name =>
+    Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq", "s08_ann_ivfpq",
+        "s09_ann_sq").foreach { name =>
       val rows = SparkEntry.queries(name)(spark, sf2).collect()
       assert(rows.nonEmpty, name)
       rows.foreach { r =>
