@@ -33,7 +33,11 @@ object ScaleProof {
     "p04_repetition_score", "p05_mixture_stats", "p06_mixture_sample",
     "p07_vocab_build", "s06_semantic_dedup", "t10_rank_score",
     "d12_bloom_incremental_dedup", "d13_winnowing", "d14_clone_pairs",
-    "p08_bpe_train", "s07_ann_pq")
+    "p08_bpe_train", "s07_ann_pq", "s08_ann_ivfpq", "s09_ann_sq",
+    "d15_containment", "t11_bigram_coverage", "t12_max_run",
+    "p09_bpe_encode", "p10_quality_funnel",
+    "e03_sessionize", "e08_funnel", "e09_retention", "e10_locf_fill",
+    "e11_transitions")
 
   private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = docs
     .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
@@ -62,6 +66,20 @@ object ScaleProof {
         slice(col("embedding"), lit(1), col("c")))).as("embedding"),
       col("label"))
 
+  /** Copy c's events keep their timestamps but get disjoint user_id /
+    * event_id ranges — each copy is an identical, independent user
+    * population, so per-user session/funnel/transition structure is
+    * exactly 10 × the sf0.1 structure (users never straddle copies;
+    * windows partition by user_id). This extends the falsifier to the
+    * temporal family, which rounds ≤ 7 never scale-tested. */
+  private def scaleEvents(ev: DataFrame, copies: Int): DataFrame = ev
+    .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+    .select(
+      (col("event_id") + col("c").cast("long") * 10000000L).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("c").cast("long") * 10000000L).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale10")
     val names = if (args.length > 1) args.drop(1).toSeq else defaultNames
@@ -73,6 +91,10 @@ object ScaleProof {
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       scaleEmb(spark.read.parquet(s"$sf/embeddings.parquet"), 10)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+      scaleEvents(spark.read.parquet(s"$sf/events.parquet"), 10)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     def time(name: String, dir: String): Double = {

@@ -356,19 +356,28 @@ object TextAnalysis {
       |SELECT best.doc_id, max_run, run_word, n_runs
       |FROM best JOIN stats USING (doc_id) ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val p = Tables.documents(s, d)
+    // two branches over the run table, joined on doc_id. The argmax
+    // branch's row_number() ≤ 1 plans a WindowGroupLimit (bounded
+    // per-partition top-1 heap, no full sort) and the stats branch is
+    // a plain long hash aggregate — measured 2.5 s on the 10× corpus.
+    // The tempting single-pass fusions both lose: min(struct(-run, w))
+    // and a fixed-width string-encoded min are immutable-buffer
+    // aggregates, so they fall out of HashAggregateExec into
+    // SortAggregate + full sorts of the exploded corpus (7.7 s and
+    // 17.9 s at 10× respectively). The duplicated scan+explode is the
+    // cheap part; the sorts are not.
+    def runs = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val r = p
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))))
       .groupBy(col("doc_id"), col("w"), col("grp"))
       .agg(count(lit(1)).as("run"))
-    val best = r
+    val best = runs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("run").desc, col("w"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("run").as("max_run"), col("w").as("run_word"))
-    val stats = r.groupBy(col("doc_id"))
+    val stats = runs.groupBy(col("doc_id"))
       .agg(sum(when(col("run") >= 2, 1).otherwise(0)).cast("long").as("n_runs"))
     best.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
