@@ -283,6 +283,12 @@ object Similarity {
   /** Candidates per query surviving the ADC scan into exact rerank. */
   val pqCandidates = 50
 
+  /** Codebook-training sample size target (the [[semanticTrainSample]]
+    * recipe): training sees ~this many vectors regardless of corpus
+    * size, so the Lloyd passes are corpus-independent — the FAISS
+    * posture, where only the single ENCODE pass touches every vector. */
+  val pqTrainSample = 2048
+
   /** Subspace-exploded view: (vec_id, sub, sdim, x), x widened to
     * double (exact for float32 input). */
   private def subExploded(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -293,19 +299,30 @@ object Similarity {
         col("xf").cast("double").as("x"))
 
   /** Train the product-quantization codebook (first-k init + one Lloyd
-    * iteration per subspace, ALL subspaces in one relational pass) and
-    * encode the corpus under it. Returns (codebook, codes):
+    * iteration per subspace, ALL subspaces in one relational pass,
+    * over the deterministic `vec_id % sampleMod == 0` sample) and
+    * encode the corpus under it. Training on a bounded sample makes
+    * the Lloyd passes corpus-independent; only the final encode
+    * assignment scans every vector — before round 8's sample fix both
+    * Lloyd assigns ran over the full corpus, doubling the 100-TB scan
+    * count for no codebook-quality gain. Returns (codebook, codes):
     * codebook = (sub, cl, sdim, c) with ≤ [[pqSubspaces]]·[[pqK]]
     * centroids — O(M·k·d/M) = O(k·d) state, corpus-independent, always
     * broadcastable; codes = (vec_id, sub, cl), the 8-byte-per-vector
     * compressed corpus. Distances sum in DECIMAL so assignment argmins
     * are partitioning-independent (the s05/lloydStep recipe). */
-  private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame)
+  private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame,
+      sampleMod: Long = 1L)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val v = subExploded(e)
-    def assign(cb: org.apache.spark.sql.DataFrame) =
-      v.join(broadcast(cb), Seq("sub", "sdim"))
+    // training sample: ids 0, m, 2m, … — deterministic, pushes below
+    // any upstream window/join on vec_id (the trainCentroids recipe)
+    val vs = if (sampleMod == 1L) v
+      else subExploded(e.filter(col("vec_id") % sampleMod === 0))
+    def assign(in: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame) =
+      in.join(broadcast(cb), Seq("sub", "sdim"))
         .withColumn("sq",
           ((col("x") - col("c")) * (col("x") - col("c"))).cast(DecimalType(28, 18)))
         .groupBy(col("vec_id"), col("sub"), col("cl"))
@@ -314,13 +331,13 @@ object Similarity {
           "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("sub"), col("cl"))
-    val c0 = v.filter(col("vec_id") < pqK)
+    val c0 = vs.filter(col("vec_id") < pqK * sampleMod)
       .select(col("sub"), col("vec_id").as("cl"), col("sdim"), col("x").as("c"))
-    val c1 = v.join(assign(c0), Seq("vec_id", "sub"))
+    val c1 = vs.join(assign(vs, c0), Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("cl"), col("sdim"))
       .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("c"))
-    (c1, assign(c1))
+    (c1, assign(v, c1))
   }
 
   /** Product-quantization ANN (s07) — the compressed-scan scale path:
@@ -345,7 +362,8 @@ object Similarity {
   val annPq: QueryEntry = QueryEntry.noOracle("s07_ann_pq") { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, d)
-    val (codebook, codes) = pqTrain(e)
+    // footer-only count (aggregate pushdown) sizing the training sample
+    val (codebook, codes) = pqTrain(e, math.max(1L, e.count() / pqTrainSample))
     // per-(query, sub, centroid) partial dot + centroid sq-norm:
     // O(queries·M·k) rows, broadcastable by construction
     val pdot = subExploded(e.filter(col("vec_id") < 10))
@@ -408,7 +426,11 @@ object Similarity {
     val residuals = assigned.select(col("vec_id"),
       zip_with(col("embedding"), col("ce"),
         (x, c) => x.cast("double") - c).as("embedding"))
-    val (codebook, rcodes) = pqTrain(residuals)
+    // sample-trained on residuals: the vec_id % m filter pushes below
+    // the coarse-assignment window, so training never assigns the full
+    // corpus to cells twice
+    val (codebook, rcodes) = pqTrain(residuals,
+      math.max(1L, e.count() / pqTrainSample))
     val codes = rcodes.join(
       assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     // broadcast lookup state, all decimal-exact:

@@ -12,7 +12,9 @@ class PqSpec extends SparkSpec {
 
   private lazy val trained = {
     val e = spark.read.parquet(s"$sf2/embeddings.parquet")
-    val (codebook, codes) = Similarity.pqTrain(e)
+    // same sample sizing as the s07/s08 queries — gate what ships
+    val (codebook, codes) = Similarity.pqTrain(
+      e, math.max(1L, e.count() / Similarity.pqTrainSample))
     (e.count(), codebook.collect(), codes)
   }
 
