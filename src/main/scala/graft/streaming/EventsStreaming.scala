@@ -79,6 +79,44 @@ object EventsStreaming {
       }
   }
 
+  case class TransState(lastMs: Long, lastEventId: Long, lastType: String)
+  case class TransStep(src: String, dst: String)
+
+  /** Stateful event-type transition counter — the streaming twin of
+    * batch e11_transitions. Per-user state is ONE (ms, event_id, type)
+    * triple: the stream's trailing edge. Each micro-batch emits the
+    * user's new adjacent (src → dst) steps in (event-time, event_id)
+    * order — including the step that straddles the batch boundary,
+    * which is why the trailing edge is the state — and a downstream
+    * streaming aggregation maintains the running transition matrix.
+    * In-order arrival makes the counts identical to the batch LEAD
+    * formulation (StreamingSpec equates them); an unbounded deployment
+    * would add an event-time timeout to retire idle users. */
+  def transitions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = events
+      .selectExpr("user_id", "event_type", "unix_millis(ts) as ms", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long, Long)],
+            state: GroupState[TransState]) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._4))
+          var st = state.getOption.getOrElse(
+            TransState(Long.MinValue, Long.MinValue, ""))
+          val out = Seq.newBuilder[TransStep]
+          sorted.foreach { case (_, tpe, ms, eid) =>
+            if (st.lastMs != Long.MinValue) out += TransStep(st.lastType, tpe)
+            st = TransState(ms, eid, tpe)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    steps.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+  }
+
   case class SessionState(lastMs: Long, sessions: Long, events: Long)
   case class SessionCount(user_id: Long, sessions: Long, events: Long)
 

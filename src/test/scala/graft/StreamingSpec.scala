@@ -173,6 +173,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming transition matrix equals batch e11_transitions") {
+    val q = EventsStreaming.transitions(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trans_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("trans_out")
+      .selectExpr("src", "dst", "n")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e11_transitions")(spark, sf1)
+      .selectExpr("src", "dst", "n")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming funnel equals batch e08_funnel") {
     val q = EventsStreaming.funnel(EventsStreaming.readStream(spark, streamDir))
       .writeStream.outputMode("append")
