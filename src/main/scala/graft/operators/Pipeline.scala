@@ -535,8 +535,56 @@ object Pipeline {
       .orderBy(col("verdict"))
   }
 
+  /** Temperature-reweighted mixture shares (p11): per (lang, source)
+    * cell, the natural share n/total and the α = 0.5 temperature share
+    * √n / Σ√n — the unigram-LM-style rebalancing that upsamples tail
+    * domains and flattens head domains when designing a multilingual /
+    * multi-source training mix (α = 1 is natural sampling, α = 0 is
+    * uniform; √ is the conventional midpoint). The only FP hazard is
+    * Σ√n, whose value depends on ADDITION ORDER: both engines compute
+    * it as an EXPLICIT left fold over the cells sorted by (lang,
+    * source) — Spark `aggregate(array_sort(collect_list(…)))`, DuckDB
+    * `list_reduce(list(… ORDER BY …))` — the same addition sequence,
+    * hence the same double. (A window running-sum is NOT enough:
+    * DuckDB evaluates window aggregates with a segment tree, whose
+    * tree-shaped addition order diverged from Spark's fold in the last
+    * ulp — caught by the oracle on first run.) √ of an integer and the
+    * final divisions are single correctly-rounded IEEE ops, so the
+    * oracle is exact.
+    *
+    * At scale: the corpus collapses to |langs|×|sources| cells in one
+    * scan (p05's shape); the fold is a SCALAR aggregate over those
+    * O(100) cells (structural single-partition — one partial row per
+    * upstream partition), broadcast back, interpreted-HOF only over
+    * the cell array. */
+  val mixtureTemperature: QueryEntry = QueryEntry(
+    "p11_mixture_temperature",
+    """WITH c AS (SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2),
+      |a AS (SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang, source),
+      |                         (x, y) -> x + y) AS den,
+      |             SUM(n_docs) AS total FROM c)
+      |SELECT lang, source, n_docs,
+      |       CAST(n_docs AS DOUBLE) / total AS share,
+      |       sqrt(CAST(n_docs AS DOUBLE)) / den AS t_share
+      |FROM c CROSS JOIN a ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val denom = cells.agg(
+      expr("aggregate(array_sort(collect_list(struct(lang, source, w))), " +
+        "0D, (acc, s) -> acc + s.w)").as("den"),
+      sum(col("n_docs")).as("total"))
+    cells.crossJoin(broadcast(denom))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).as("share"),
+        (col("w") / col("den")).as("t_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
-      qualityFunnel)
+      qualityFunnel, mixtureTemperature)
 }

@@ -296,7 +296,46 @@ object Temporal {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Per-user inter-event gap statistics (e12): count, max, and EXACT
+    * median of the millisecond gaps between consecutive events — the
+    * cadence profile behind bot detection and session-threshold tuning
+    * (e03's 30-minute gap is exactly the kind of constant this query
+    * calibrates). Gaps are integer epoch differences, and the exact
+    * median of integers is x or x.5 — both engines interpolate the
+    * middle pair identically, so the oracle is exact (the approx-
+    * percentile family q46 is gated separately and differently).
+    *
+    * At scale: one user_id window exchange on narrow rows, then a
+    * grouped exact-percentile aggregate whose per-user state is that
+    * user's gap list — bounded by per-user event count, never by the
+    * stream; a heavy-hitter user is the signal to switch that user to
+    * the t-digest approx variant. */
+  val gapStats: QueryEntry = QueryEntry(
+    "e12_gap_stats",
+    """WITH g AS (SELECT user_id,
+      |                  epoch_ms(ts) - LAG(epoch_ms(ts))
+      |                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |           FROM events)
+      |SELECT user_id, COUNT(gap) AS n_gaps,
+      |       MAX(gap) AS max_gap,
+      |       median(gap) AS median_gap
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(col("gap")).as("n_gaps"),
+        max(col("gap")).as("max_gap"),
+        median(col("gap")).as("median_gap"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
-    slidingWindow, rangeJoin, funnel, retention, locfFill, transitions)
+    slidingWindow, rangeJoin, funnel, retention, locfFill, transitions,
+    gapStats)
 }
