@@ -119,8 +119,15 @@ object Similarity {
     * and the broadcast O(n). Here the relation has ≤ ivfK rows
     * (IvfSpec asserts == ivfK on testdata), so assignment is one
     * O(n·k) broadcast pass at any scale. */
+  /** Coarse-quantizer training, sample-bounded like [[pqTrain]]: the
+    * Lloyd mean-update sees ~[[pqTrainSample]] vectors (deterministic
+    * vec_id % m sample; footer-only count sizes m), so only the
+    * assignment pass ever scans the corpus — k centroids fit from a
+    * bounded sample are statistically the same quantizer at any corpus
+    * size (the FAISS training posture). */
   private[graft] def ivfCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    Clustering.trainCentroids(e, ivfK, iters = 1)
+    Clustering.trainCentroids(e, ivfK, iters = 1,
+      sampleMod = math.max(1L, e.count() / pqTrainSample))
 
   /** IVF ANN: k Lloyd-trained centroids partition the corpus into
     * Voronoi cells by cosine; queries probe their `ivfProbes` nearest
