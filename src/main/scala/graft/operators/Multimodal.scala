@@ -111,5 +111,67 @@ object Multimodal {
       .orderBy(col("doc_id"), col("fidx"))
   }
 
-  val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample)
+  /** Rows per inference batch in [[batchEmbed]] — the accelerator's
+    * batch dimension, NOT a Spark partition count. */
+  val embedBatchSize = 32
+
+  /** Batched embedding-inference plumbing (m04): the fixed-size-batch
+    * shape every GPU/accelerator inference step needs — rows are
+    * grouped into batches of [[embedBatchSize]] inside each partition
+    * (`iterator.grouped`, the Scala analogue of mapInPandas' batch
+    * iterator), the whole batch crosses the "model" boundary at once,
+    * and each row comes back with its embedding plus its batch
+    * coordinates (ordinal + size, the observability columns a real
+    * pipeline logs). The encoder is a deterministic STUB (no model
+    * runtimes in this environment) producing an 8-dim feature vector
+    * from payload bytes alone — so results are independent of batch
+    * composition, which is exactly the property batched inference must
+    * preserve and MultimodalBatchSpec asserts.
+    *
+    * Determinism at any parallelism: an explicit hash repartition +
+    * sort-within-partitions pins (partition membership, row order) →
+    * batch assignment is a pure function of doc_id, invariant to
+    * spark.sql.shuffle.partitions (DeterminismSpec runs it like every
+    * entry). At 100 TB: one exchange (the repartition a real deploy
+    * sizes to its accelerator fleet), then map-only batching; no state
+    * outlives a partition, last partial batch per partition is the
+    * only short one. */
+  val batchEmbed: QueryEntry = QueryEntry.noOracle("m04_batch_embed") { (s, d) =>
+    val in = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(8, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bidx", IntegerType, nullable = false),
+      StructField("bsize", IntegerType, nullable = false),
+      StructField("emb", ArrayType(FloatType, containsNull = false), nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(embedBatchSize).zipWithIndex.flatMap { case (batch, bidx) =>
+        // STUB batch encoder: a real implementation would run the
+        // whole batch through a model here; this deterministic fake
+        // derives each row's vector from ITS payload only (batch
+        // composition must never leak into results)
+        batch.map { r =>
+          Row(r.getLong(0), bidx, batch.size, stubEmbed(r.getAs[Array[Byte]](1)))
+        }
+      }
+    }.orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stand-in for a batch model encoder: 8 floats from
+    * byte-range sums — a pure per-payload function. */
+  private def stubEmbed(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % 8) += (payload(i) & 0xFF)
+      i += 1
+    }
+    acc.map(v => (v % 1000L).toFloat / 1000f)
+  }
+
+  val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample,
+    batchEmbed)
 }

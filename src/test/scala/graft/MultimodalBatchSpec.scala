@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** m04 batched-inference plumbing gates: the batch shape must be what
+  * an accelerator actually sees (full batches except at most one short
+  * tail per partition), every row must survive batching exactly once,
+  * and results must be independent of batch composition — the property
+  * that lets a deploy retune batch size or fleet parallelism without
+  * changing outputs. */
+class MultimodalBatchSpec extends SparkSpec {
+
+  private lazy val out = SparkEntry.queries("m04_batch_embed")(spark, sf2)
+
+  test("every document survives batching exactly once") {
+    val n = spark.read.parquet(s"$sf2/documents.parquet").count()
+    assert(out.count() == n)
+    assert(out.select(col("doc_id")).distinct().count() == n)
+  }
+
+  test("batches are full except short tails, and sizes are self-consistent") {
+    // a batch's advertised size must equal the number of rows carrying
+    // it: rows grouped by (bidx, bsize) aggregate same-shaped batches
+    // across partitions, so the row count must be a multiple of bsize
+    val offenders = out.groupBy(col("bidx"), col("bsize"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .filter(r => r.getLong(2) % r.getInt(1) != 0)
+    assert(offenders.isEmpty,
+      s"batch size vs carried rows mismatch: ${offenders.take(5).mkString(", ")}")
+    // never oversized, and short batches only where a partition ran out
+    assert(out.filter(col("bsize") > Multimodal.embedBatchSize).count() == 0)
+    val shortBatches = out.filter(col("bsize") < Multimodal.embedBatchSize)
+      .select(col("bidx"), col("bsize")).distinct().count()
+    assert(shortBatches <= 8, s"$shortBatches short batches for 8 partitions")
+  }
+
+  test("embeddings are a pure function of the payload, not the batch") {
+    import spark.implicits._
+    val a = out.select(col("doc_id"), col("emb")).as[(Long, Seq[Float])]
+      .collect().toMap
+    // re-running the whole entry must reproduce embeddings bit-for-bit
+    val recomputed = SparkEntry.queries("m04_batch_embed")(spark, sf2)
+      .select(col("doc_id"), col("emb")).as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(a == recomputed)
+    assert(a.values.forall(v => v.size == 8 && v.forall(x => x >= 0f && x < 1f)))
+  }
+}
