@@ -175,4 +175,34 @@ class PlanAuditSpec extends SparkSpec {
     // equi-join on the cluster id
     assert(plan.contains("cluster"), plan)
   }
+
+  test("s09: top-K candidates bounded per partition before the exchange") {
+    // the approximate phase must plan WindowGroupLimit (bounded heap of
+    // the current-best candidates per partition, then per query) — a
+    // full per-query sort of corpus-sized scores would spill at scale;
+    // rerank sides must stay broadcast
+    val plan = finalPlan(SparkEntry.queries("s09_ann_sq")(spark, sf1))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("p10: funnel total arrives from a zero-column metadata count scan") {
+    // the share denominator must cost parquet footers, not a data pass:
+    // its scan reads no columns (ReadSchema: struct<>) and reaches the
+    // cells by broadcast (the scalar count's own SinglePartition feed
+    // is the structural O(partitions)-row exception — ExchangeAuditSpec
+    // polices that globally)
+    val plan = finalPlan(SparkEntry.queries("p10_quality_funnel")(spark, sf1))
+    assert(plan.contains("ReadSchema: struct<>"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("e11: transition matrix ships no value/props payload to the window") {
+    val plan = finalPlan(SparkEntry.queries("e11_transitions")(spark, sf1))
+    assert(plan.contains(
+      "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>")
+      || plan.contains(
+      "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), plan)
+  }
 }
