@@ -826,6 +826,33 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** UNPIVOT / melt (q72): wide per-status metrics back to tidy long
+    * form via Dataset.unpivot — the inverse of q26's PIVOT and the
+    * wide-metrics → long-form reshaping every feature-store ingest
+    * does. Values all cast to double (counts are integer-valued, so
+    * the cast is exact and the oracle's UNION ALL form matches
+    * bit-for-bit). At scale: a map-only row expansion of an
+    * already-aggregated ≤|status|×|metrics| table. */
+  lazy val unpivotMetrics: QueryEntry = QueryEntry(
+    "q72_unpivot",
+    """WITH m AS (SELECT o_orderstatus,
+      |                  CAST(COUNT(*) AS DOUBLE) AS cnt,
+      |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |           FROM orders GROUP BY 1)
+      |SELECT o_orderstatus, 'cnt' AS metric, cnt AS value FROM m
+      |UNION ALL
+      |SELECT o_orderstatus, 'total', total FROM m
+      |ORDER BY o_orderstatus, metric""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .unpivot(Array(col("o_orderstatus")), Array(col("cnt"), col("total")),
+        "metric", "value")
+      .orderBy(col("o_orderstatus"), col("metric"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -836,7 +863,8 @@ object Relational {
     dateFunctions, tpchQ3, tpchQ5, correlatedScalarSubquery, inSubquery,
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
-    rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin)
+    rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
+    unpivotMetrics)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the
