@@ -318,33 +318,54 @@ object Similarity {
     * broadcastable; codes = (vec_id, sub, cl), the 8-byte-per-vector
     * compressed corpus. Distances sum in DECIMAL so assignment argmins
     * are partitioning-independent (the s05/lloydStep recipe). */
+  /** Subvector view: (vec_id, sub, xs) with xs the sub'th
+    * [[pqSubDim]]-dim slice (element type preserved — SquaredL2 widens
+    * per element in codegen) — one row per (vector, subspace), 8×
+    * fewer rows than the per-dimension explode, and the shape
+    * [[graft.functions.VectorFunctions.SquaredL2]] consumes. */
+  private def subVec(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(embedding, sub * $pqSubDim + 1, $pqSubDim)").as("xs"))
+
   private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame,
       sampleMod: Long = 1L)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.VectorFunctions.squared_l2
     import org.apache.spark.sql.types.DecimalType
-    val v = subExploded(e)
     // training sample: ids 0, m, 2m, … — deterministic, pushes below
     // any upstream window/join on vec_id (the trainCentroids recipe)
-    val vs = if (sampleMod == 1L) v
-      else subExploded(e.filter(col("vec_id") % sampleMod === 0))
+    val es = if (sampleMod == 1L) e else e.filter(col("vec_id") % sampleMod === 0)
+    // assignment: per-(vector, subspace) row × broadcast (sub, cl)
+    // centroid ARRAYS, distance as one codegen'd fixed-order fold —
+    // a pure per-row double, partitioning-independent by construction
+    // (the original per-dimension explode summed across rows and
+    // needed decimal to stay order-free; this shape is 8× fewer rows
+    // with no decimal in the corpus pass)
     def assign(in: org.apache.spark.sql.DataFrame,
-        cb: org.apache.spark.sql.DataFrame) =
-      in.join(broadcast(cb), Seq("sub", "sdim"))
-        .withColumn("sq",
-          ((col("x") - col("c")) * (col("x") - col("c"))).cast(DecimalType(28, 18)))
-        .groupBy(col("vec_id"), col("sub"), col("cl"))
-        .agg(sum(col("sq")).as("dist"))
+        cbArr: org.apache.spark.sql.DataFrame) =
+      subVec(in).join(broadcast(cbArr), Seq("sub"))
+        .withColumn("dist", squared_l2(col("xs"), col("cs")))
         .withColumn("rk", expr(
           "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("sub"), col("cl"))
-    val c0 = vs.filter(col("vec_id") < pqK * sampleMod)
-      .select(col("sub"), col("vec_id").as("cl"), col("sdim"), col("x").as("c"))
-    val c1 = vs.join(assign(vs, c0), Seq("vec_id", "sub"))
+    // dims are unique per (sub, cl), so the struct sort is total
+    def toArrays(cb: org.apache.spark.sql.DataFrame) =
+      cb.groupBy(col("sub"), col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("sdim"), col("c")))),
+          s => s("c")).as("cs"))
+    val c0 = subVec(es).filter(col("vec_id") < pqK * sampleMod)
+      .select(col("sub"), col("vec_id").as("cl"), col("xs").as("cs"))
+    // mean update stays decimal-exact: it SUMS ACROSS the (bounded)
+    // sample's rows, where accumulation order is partition-dependent
+    val c1 = subExploded(es).join(assign(es, c0), Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("cl"), col("sdim"))
       .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("c"))
-    (c1, assign(v, c1))
+    (c1, assign(e, toArrays(c1)))
   }
 
   /** Product-quantization ANN (s07) — the compressed-scan scale path:
