@@ -66,6 +66,7 @@ object GraftSession {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.TrinoFunctions.register(spark)
+    functions.VectorFunctions.register(spark)
     spark
   }
 }

@@ -35,4 +35,20 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(viaDf == viaSql, s"$name SQL/DataFrame mismatch")
     }
   }
+
+  test("vector expressions are callable from SQL text") {
+    import graft.functions.VectorFunctions.{cosine_similarity, squared_l2}
+    import org.apache.spark.sql.functions.col
+    Tables.registerViews(spark, sf1)
+    val viaSql = sorted(spark.sql(
+      """SELECT vec_id,
+        |       cosine_similarity(embedding, embedding) AS c,
+        |       squared_l2(embedding, embedding) AS d
+        |FROM embeddings WHERE vec_id < 20""".stripMargin))
+    val viaDf = sorted(Tables.embeddings(spark, sf1).filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        cosine_similarity(col("embedding"), col("embedding")).as("c"),
+        squared_l2(col("embedding"), col("embedding")).as("d")))
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
 }
