@@ -38,7 +38,7 @@ object ScaleProof {
     "p09_bpe_encode", "p10_quality_funnel",
     "e03_sessionize", "e08_funnel", "e09_retention", "e10_locf_fill",
     "e11_transitions", "e12_gap_stats", "p11_mixture_temperature",
-    "m04_batch_embed")
+    "m02_decode_features", "m04_batch_embed")
 
   private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = docs
     .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))

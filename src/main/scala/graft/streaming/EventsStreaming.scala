@@ -117,6 +117,43 @@ object EventsStreaming {
     steps.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
   }
 
+  case class LocfState(lastMs: Long, lastEventId: Long, lastV: Double, hasV: Boolean)
+  case class LocfRow(event_id: Long, user_id: Long, filled: Option[Double])
+
+  /** Stateful last-observation-carried-forward fill — the streaming
+    * twin of batch e10_locf_fill and the shape a streaming feature
+    * store runs continuously. Per-user state is the trailing
+    * (ms, event_id, last non-null value) edge — O(1) regardless of gap
+    * length, exactly like the batch window's running frame. Each
+    * micro-batch emits its events (event-time order within the batch)
+    * with the carried value; 'view' events carry no amount and inherit
+    * the user's previous priced event, or null before any. In-order
+    * arrival gives batch-identical output (StreamingSpec equates). */
+  def locfFill(events: DataFrame): Dataset[LocfRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "unix_millis(ts) as ms",
+        "CASE WHEN event_type = 'view' THEN CAST(NULL AS DOUBLE) ELSE value END as v")
+      .as[(Long, Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Option[Double])],
+            state: GroupState[LocfState]) =>
+          var st = state.getOption.getOrElse(
+            LocfState(Long.MinValue, Long.MinValue, 0.0, hasV = false))
+          val out = Seq.newBuilder[LocfRow]
+          it.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, eid, ms, v) =>
+            v.foreach(x => st = st.copy(lastV = x, hasV = true))
+            st = st.copy(lastMs = ms, lastEventId = eid)
+            out += LocfRow(eid, uid, if (st.hasV) Some(st.lastV) else None)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class SessionState(lastMs: Long, sessions: Long, events: Long)
   case class SessionCount(user_id: Long, sessions: Long, events: Long)
 

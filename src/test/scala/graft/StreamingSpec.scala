@@ -173,6 +173,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming LOCF fill equals batch e10_locf_fill") {
+    val q = EventsStreaming.locfFill(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("locf_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("locf_out")
+      .selectExpr("event_id", "user_id", "filled")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e10_locf_fill")(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming transition matrix equals batch e11_transitions") {
     val q = EventsStreaming.transitions(EventsStreaming.readStream(spark, streamDir))
       .writeStream.outputMode("complete")
