@@ -365,7 +365,49 @@ object Similarity {
       .groupBy(col("sub"), col("cl"), col("sdim"))
       .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("c"))
-    (c1, assign(e, toArrays(c1)))
+    // dense-remap centroid ids to 0..k−1 per subspace (init ids are
+    // sample vec_ids): codes become true small ints and the ADC flat
+    // LUT key sub·k + code stays compact. Window runs over ≤ M·k·d/M
+    // codebook rows, hash-partitioned by sub.
+    val c1d = c1.withColumn("cl",
+      (expr("dense_rank() OVER (PARTITION BY sub ORDER BY cl)") - 1).cast("long"))
+    (c1d, assign(e, toArrays(c1d)))
+  }
+
+  /** Codes in the FAISS storage layout: ONE row per vector with its
+    * [[pqSubspaces]] codes as an array in subspace order — the 8-byte
+    * payload the compressed scan actually reads. */
+  private def codesToArray(codes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cl")))),
+        s => s("cl")).as("codes8"))
+
+  /** Σ_sub lut[sub·k + codes8[sub]] as a FIXED 8-term codegen'd sum —
+    * a pure per-row double, partitioning-independent by construction.
+    * The LUT is a DENSE array (possible because centroid ids are
+    * dense-remapped 0..k−1), so each term is an O(1) array index —
+    * a map-typed LUT measured 5× slower end-to-end because Spark maps
+    * are unsorted arrays and element_at(map, key) linear-scans all
+    * M·k entries per lookup. element_at on arrays is 1-based. */
+  private def lutSum(lut: Column): Column =
+    (0 until pqSubspaces).map(sub =>
+      element_at(lut,
+        (element_at(col("codes8"), sub + 1) + lit(sub * pqK + 1)).cast("int")))
+      .reduce(_ + _)
+
+  /** (sub, cl, v) rows → a dense M·k-slot double array indexed
+    * sub·k+cl (0-based slot; unassigned slots null, never referenced
+    * because codes only carry live centroid ids). Aggregate-then-
+    * expand: the map is built once per GROUP (O(M·k) rows), the dense
+    * expansion costs M·k map probes at construction — not per corpus
+    * row. */
+  private def lutArr(v: Column): Column = {
+    val m = map_from_entries(collect_list(struct(
+      (col("sub") * pqK + col("cl")).cast("int").as("k"),
+      v.cast("double").as("v"))))
+    transform(sequence(lit(0), lit(pqSubspaces * pqK - 1)),
+      i => element_at(m, i.cast("int")))
   }
 
   /** Product-quantization ANN (s07) — the compressed-scan scale path:
@@ -376,9 +418,13 @@ object Similarity {
     * codebook reconstruction: subspaces are orthogonal, so q·x̂ =
     * Σ_sub pdot(sub, code) and ‖x̂‖² = Σ_sub ‖c_sub‖² — both table
     * lookups. The per-query table is (M·k) entries built against the
-    * O(k·d) codebook; ADC itself is a broadcast join from narrow
-    * (vec_id, sub, code) rows + one shuffle summing M decimal addends
-    * per (query, vector), exact and partitioning-independent.
+    * O(k·d) codebook, flattened to an int-keyed lookup MAP; ADC itself
+    * is a map-only scan of ONE row per vector (its 8 codes as an
+    * array) against the broadcast LUTs, scoring with a fixed 8-term
+    * codegen'd sum — no shuffle, no aggregation, and the per-row
+    * fixed-order double sum is partitioning-independent (the earlier
+    * shape shuffled 8 rows per (query, vector) into a decimal
+    * aggregate for the same guarantee at 8× the rows).
     *
     * At 100 TB: the float corpus is read ONCE (train + encode); every
     * search after that scans 8 B/vector instead of 256 B — the FAISS
@@ -400,12 +446,11 @@ object Similarity {
       .groupBy(col("qid"), col("sub"), col("cl"))
       .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"),
         sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
-    val cand = codes.filter(col("vec_id") >= 10)
-      .join(broadcast(pdot), Seq("sub", "cl"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("csq")).as("asq"))
-      .withColumn("ascore",
-        col("adot").cast("double") / sqrt(col("asq").cast("double")))
+    val lut = pdot.groupBy(col("qid"))
+      .agg(lutArr(col("pdot")).as("pmap"), lutArr(col("csq")).as("qmap"))
+    val cand = codesToArray(codes.filter(col("vec_id") >= 10))
+      .crossJoin(broadcast(lut))
+      .withColumn("ascore", lutSum(col("pmap")) / sqrt(lutSum(col("qmap"))))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
       .filter(col("arn") <= pqCandidates)
@@ -459,8 +504,6 @@ object Similarity {
     // corpus to cells twice
     val (codebook, rcodes) = pqTrain(residuals,
       math.max(1L, e.count() / pqTrainSample))
-    val codes = rcodes.join(
-      assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     // broadcast lookup state, all decimal-exact:
     // csq(sub, cl) = ‖centroid‖², cdot(cell, sub, cl) = dot(c_cell, centroid)
     val cellSub = cent
@@ -487,20 +530,30 @@ object Similarity {
     val pdot = qsub.join(codebook, Seq("sub", "sdim"))
       .groupBy(col("qid"), col("sub"), col("cl"))
       .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"))
-    // ADC scan restricted to probed cells: narrow code rows only
-    val cand = codes.filter(col("vec_id") >= 10)
+    // broadcast LUT maps (the s07 flattening): per-query pdot, per-cell
+    // cdot, and the global csq — lookups keyed sub·k + code
+    val pLut = pdot.groupBy(col("qid")).agg(lutArr(col("pdot")).as("pmap"))
+    val cLut = cdot.groupBy(col("cell")).agg(lutArr(col("cdot")).as("cmap"))
+    val sqLut = csq.groupBy().agg(lutArr(col("csq")).as("sqmap"))
+    // ADC scan restricted to probed cells: ONE row per (query, vector)
+    // carrying the vector's 8-code array, scored by three fixed 8-term
+    // codegen'd LUT sums — map-only after the broadcast joins, no
+    // shuffle, no aggregation (the earlier shape shuffled 8 rows per
+    // (query, vector) into decimal sums for the same
+    // partitioning-independence a per-row fixed-order fold gives free)
+    val codesArr = codesToArray(rcodes.filter(col("vec_id") >= 10))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val cand = codesArr
       .join(broadcast(probeList), Seq("cell"))
-      .join(broadcast(pdot), Seq("qid", "sub", "cl"))
-      .join(broadcast(cdot), Seq("cell", "sub", "cl"))
-      .join(broadcast(csq), Seq("sub", "cl"))
-      .groupBy(col("qid"), col("vec_id"), col("cell"))
-      .agg(sum(col("pdot")).as("rdot"), sum(col("cdot")).as("crdot"),
-        sum(col("csq")).as("rsq"))
+      .join(broadcast(pLut), Seq("qid"))
+      .join(broadcast(cLut), Seq("cell"))
+      .crossJoin(broadcast(sqLut))
       .join(broadcast(qc), Seq("qid", "cell"))
       .join(broadcast(cnorm), Seq("cell"))
       .withColumn("ascore",
-        (col("qc") + col("rdot")).cast("double") /
-          sqrt((col("cnormsq") + lit(2) * col("crdot") + col("rsq")).cast("double")))
+        (col("qc").cast("double") + lutSum(col("pmap"))) /
+          sqrt(col("cnormsq").cast("double") + lit(2) * lutSum(col("cmap")) +
+            lutSum(col("sqmap"))))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
       .filter(col("arn") <= pqCandidates)
