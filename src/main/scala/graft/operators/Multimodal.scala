@@ -136,7 +136,7 @@ object Multimodal {
     * sizes to its accelerator fleet), then map-only batching; no state
     * outlives a partition, last partial batch per partition is the
     * only short one. */
-  val batchEmbed: QueryEntry = QueryEntry.noOracle("m04_batch_embed") { (s, d) =>
+  def batchEmbedRaw(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val in = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .repartition(8, col("doc_id"))
@@ -157,7 +157,22 @@ object Multimodal {
           Row(r.getLong(0), bidx, batch.size, stubEmbed(r.getAs[Array[Byte]](1)))
         }
       }
-    }.orderBy(col("doc_id"))
+    }
+  }
+
+  /** Driver-facing m04 entry: the verified raw-array pipeline
+    * ([[batchEmbedRaw]], gated by MultimodalBatchSpec) projected to
+    * harness-sortable scalars — the `array<float>` embedding becomes a
+    * sha2 digest of its canonical JSON rendering, so downstream tooling
+    * that factorizes columns (pandas, the driver's rows-only check) can
+    * handle every column while the digest still pins the vector values
+    * bit-for-bit. Floats are 1e-3-quantized by construction (see
+    * [[stubEmbed]]) so the JSON rendering is stable. */
+  val batchEmbed: QueryEntry = QueryEntry.noOracle("m04_batch_embed") { (s, d) =>
+    batchEmbedRaw(s, d)
+      .select(col("doc_id"), col("bidx"), col("bsize"),
+        sha2(to_json(col("emb")), 256).as("emb_digest"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic stand-in for a batch model encoder: 8 floats from

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * changing outputs. */
 class MultimodalBatchSpec extends SparkSpec {
 
-  private lazy val out = SparkEntry.queries("m04_batch_embed")(spark, sf2)
+  private lazy val out = Multimodal.batchEmbedRaw(spark, sf2)
 
   test("every document survives batching exactly once") {
     val n = spark.read.parquet(s"$sf2/documents.parquet").count()
@@ -40,11 +40,29 @@ class MultimodalBatchSpec extends SparkSpec {
     import spark.implicits._
     val a = out.select(col("doc_id"), col("emb")).as[(Long, Seq[Float])]
       .collect().toMap
-    // re-running the whole entry must reproduce embeddings bit-for-bit
-    val recomputed = SparkEntry.queries("m04_batch_embed")(spark, sf2)
+    // re-running the whole raw pipeline must reproduce embeddings bit-for-bit
+    val recomputed = Multimodal.batchEmbedRaw(spark, sf2)
       .select(col("doc_id"), col("emb")).as[(Long, Seq[Float])]
       .collect().toMap
     assert(a == recomputed)
     assert(a.values.forall(v => v.size == 8 && v.forall(x => x >= 0f && x < 1f)))
+  }
+
+  test("driver entry digests the raw embeddings and carries only scalars") {
+    import spark.implicits._
+    val entry = SparkEntry.queries("m04_batch_embed")(spark, sf2)
+    // no array/struct/map columns may reach the driver harness
+    assert(entry.schema.fields.forall(f =>
+      f.dataType.typeName match {
+        case "array" | "map" | "struct" => false
+        case _ => true
+      }), s"non-scalar column in m04 entry schema: ${entry.schema.treeString}")
+    // the digest must pin the raw vectors: recompute it from the raw path
+    val expected = out
+      .select(col("doc_id"), sha2(to_json(col("emb")), 256).as("d"))
+      .as[(Long, String)].collect().toMap
+    val got = entry.select(col("doc_id"), col("emb_digest"))
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
   }
 }
