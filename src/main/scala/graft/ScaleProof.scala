@@ -4,22 +4,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Empirical scale check for the dedup/ANN/pipeline families (dev
-  * tool): build a 10× corpus from sf0.1 and compare per-query wall
-  * time against sf0.1 in the same JVM. A query whose cost grows much
-  * faster than the 10× row growth has a super-linear term that would
+  * tool): build a `copies`× corpus from sf0.1 and compare per-query
+  * wall time against sf0.1 in the same JVM. A query whose cost grows
+  * much faster than the row growth has a super-linear term that would
   * kill it at 100 TB — this is the cheapest falsifier for every "at
   * scale" claim in the operator scaladocs.
   *
-  * The 10× corpus is 10 copies of sf0.1 documents/embeddings with
-  * disjoint id ranges; copies c>0 get every WORD prefixed with the
+  * The scaled corpus is `copies` copies of sf0.1 documents/embeddings
+  * with disjoint id ranges; copies c>0 get every WORD prefixed with the
   * copy tag, so no shingle/trigram ever matches across copies and the
-  * duplicate-pair structure is exactly 10 × the sf0.1 structure
-  * (verbatim replication would instead create 45 cross-copy dup pairs
-  * per document — quadratic by construction, not a scale test).
-  * Embedding copies keep their vectors (ANN probe sets pin vec_id <
-  * 10, so query count stays fixed while the corpus grows 10×).
+  * duplicate-pair structure is exactly copies × the sf0.1 structure
+  * (verbatim replication would instead create C(copies,2) cross-copy
+  * dup pairs per document — quadratic by construction, not a scale
+  * test). Embedding copies get per-copy orthogonal transforms (see
+  * [[scaleEmb]]), so ANN probe sets pin vec_id < 10 and query count
+  * stays fixed while the corpus grows.
   *
-  * Usage: runMain graft.ScaleProof [outDir] [name ...]
+  * Usage: runMain graft.ScaleProof [outDir] [--copies N] [name ...]
   */
 object ScaleProof {
 
@@ -40,63 +41,107 @@ object ScaleProof {
     "e11_transitions", "e12_gap_stats", "p11_mixture_temperature",
     "m02_decode_features", "m04_batch_embed")
 
-  private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = docs
-    .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
-    .select(
-      (col("doc_id") + col("c").cast("long") * 10000000L).as("doc_id"),
-      when(col("c") === 0, col("text")).otherwise(array_join(
-        transform(split(col("text"), " "),
-          w => concat(lit("c"), col("c"), lit("_"), w)), " ")).as("text"),
-      col("lang"), col("source"), col("n_chars"))
+  /** Copy id-range stride. Copies only stay disjoint while every base
+    * id is below it — asserted at corpus-build time, so a grown base
+    * corpus fails loudly instead of silently colliding ids and
+    * invalidating the ×copies-structure claim. */
+  private val idOffset = 10000000L
 
-  /** Copy c's vectors are circularly shifted by c coordinates — an
-    * orthogonal permutation, so every WITHIN-copy cosine is exactly the
-    * sf0.1 value (each copy carries an identical duplicate-pair
-    * structure) while CROSS-copy cosines scramble to noise. This is the
-    * embedding analogue of the word-prefix trick: before round 8 copies
-    * kept vectors verbatim, so cross-copy cos=1 pairs made the true
-    * pair structure grow quadratically in the copy count and s06's
-    * ratio measured that adversarial truth (3.6 single-probe, 9.5
+  private def assertIdsBelowOffset(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      val mx = df.agg(max(col(c))).head.getLong(0)
+      require(mx < idOffset,
+        s"base corpus $c max $mx >= copy stride $idOffset — raise idOffset")
+    }
+
+  private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = {
+    assertIdsBelowOffset(docs, Seq("doc_id"))
+    docs
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select(
+        (col("doc_id") + col("c").cast("long") * idOffset).as("doc_id"),
+        when(col("c") === 0, col("text")).otherwise(array_join(
+          transform(split(col("text"), " "),
+            w => concat(lit("c"), col("c"), lit("_"), w)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Copy c's vectors get an ORTHOGONAL per-copy transform — circular
+    * shift by c mod dim, with an alternating sign flip once shifts wrap
+    * (copies ≥ dim) — so every WITHIN-copy cosine is exactly the sf0.1
+    * value (each copy carries an identical duplicate-pair structure)
+    * while CROSS-copy cosines scramble to noise. This is the embedding
+    * analogue of the word-prefix trick: before round 8 copies kept
+    * vectors verbatim, so cross-copy cos=1 pairs made the true pair
+    * structure grow quadratically in the copy count and s06's ratio
+    * measured that adversarial truth (3.6 single-probe, 9.5
     * multi-probe), not the operator's scaling. ANN probe sets still pin
     * vec_id < 10 (copy 0), so query count stays fixed. */
-  private def scaleEmb(emb: DataFrame, copies: Int): DataFrame = emb
-    .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
-    .select((col("vec_id") + col("c").cast("long") * 10000000L).as("vec_id"),
-      when(col("c") === 0, col("embedding")).otherwise(concat(
-        slice(col("embedding"), col("c") + 1, size(col("embedding")) - col("c")),
-        slice(col("embedding"), lit(1), col("c")))).as("embedding"),
-      col("label"))
+  private def scaleEmb(emb: DataFrame, copies: Int): DataFrame = {
+    require(copies <= 128,
+      "per-copy orthogonal transforms are distinct only for <= 128 copies")
+    assertIdsBelowOffset(emb, Seq("vec_id"))
+    val dim = 64
+    emb
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select((col("vec_id") + col("c").cast("long") * idOffset).as("vec_id"),
+        when(col("c") === 0, col("embedding")).otherwise {
+          val sh = (col("c") % dim).cast("int")
+          val rot = concat(
+            slice(col("embedding"), sh + lit(1), size(col("embedding")) - sh),
+            slice(col("embedding"), lit(1), sh))
+          // copies dim..2·dim−1 reuse shifts 0..dim−1: an alternating
+          // sign flip (itself orthogonal) keeps those copies' cross-copy
+          // cosines scrambled instead of verbatim-identical
+          when(col("c") < dim, rot).otherwise(
+            transform(rot, (x, i) => when(i % 2 === 0, x).otherwise(-x)))
+        }.as("embedding"),
+        col("label"))
+  }
 
   /** Copy c's events keep their timestamps but get disjoint user_id /
     * event_id ranges — each copy is an identical, independent user
     * population, so per-user session/funnel/transition structure is
-    * exactly 10 × the sf0.1 structure (users never straddle copies;
+    * exactly copies × the sf0.1 structure (users never straddle copies;
     * windows partition by user_id). This extends the falsifier to the
     * temporal family, which rounds ≤ 7 never scale-tested. */
-  private def scaleEvents(ev: DataFrame, copies: Int): DataFrame = ev
-    .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
-    .select(
-      (col("event_id") + col("c").cast("long") * 10000000L).as("event_id"),
-      col("ts"),
-      (col("user_id") + col("c").cast("long") * 10000000L).as("user_id"),
-      col("event_type"), col("value"), col("props"))
+  private def scaleEvents(ev: DataFrame, copies: Int): DataFrame = {
+    assertIdsBelowOffset(ev, Seq("event_id", "user_id"))
+    ev
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select(
+        (col("event_id") + col("c").cast("long") * idOffset).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("c").cast("long") * idOffset).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
 
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("target/scale10")
-    val names = if (args.length > 1) args.drop(1).toSeq else defaultNames
+    val copies = args.sliding(2).collectFirst {
+      case Array("--copies", n) => n.toInt }.getOrElse(10)
+    val rest = {
+      val i = args.indexOf("--copies")
+      if (i < 0) args.toSeq else args.toSeq.patch(i, Nil, 2)
+    }
+    val outDir = rest.headOption.getOrElse(s"target/scale$copies")
+    val names = if (rest.length > 1) rest.drop(1) else defaultNames
     val sf = "/root/testdata/sf0.1"
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
-      scaleDocs(spark.read.parquet(s"$sf/documents.parquet"), 10)
-        .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-      scaleEmb(spark.read.parquet(s"$sf/embeddings.parquet"), 10)
+    // build only the tables the selected queries read (a 100× docs
+    // table is GBs — skip it for an embeddings-only spot run)
+    val needsDocs = names.exists(n =>
+      !n.startsWith("s0") || n == "s04_embed_doc_search")
+    val needsEvents = names.exists(_.startsWith("e"))
+    if (!new java.io.File(s"$outDir/embeddings.parquet").exists())
+      scaleEmb(spark.read.parquet(s"$sf/embeddings.parquet"), copies)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
-    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
-      scaleEvents(spark.read.parquet(s"$sf/events.parquet"), 10)
+    if (needsDocs && !new java.io.File(s"$outDir/documents.parquet").exists())
+      scaleDocs(spark.read.parquet(s"$sf/documents.parquet"), copies)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (needsEvents && !new java.io.File(s"$outDir/events.parquet").exists())
+      scaleEvents(spark.read.parquet(s"$sf/events.parquet"), copies)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    }
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -106,13 +151,14 @@ object ScaleProof {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JIT/codegen warmup on the small dir
-    time(names.head, sf)
-    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"10x"}%8s  ratio")
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${copies + "x"}%8s  ratio")
     names.foreach { n =>
+      // same-query warm-up before the 1× measurement: without it the 1×
+      // run pays this query's codegen/JIT and the ratio reads below 1
+      time(n, sf)
       val t1 = math.min(time(n, sf), time(n, sf))
-      val t10 = math.min(time(n, outDir), time(n, outDir))
-      println(f"$n%-24s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1f")
+      val tN = math.min(time(n, outDir), time(n, outDir))
+      println(f"$n%-24s $t1%8.2f $tN%8.2f  ${tN / t1}%5.1f")
     }
     spark.stop()
   }

@@ -125,9 +125,12 @@ object Similarity {
     * assignment pass ever scans the corpus — k centroids fit from a
     * bounded sample are statistically the same quantizer at any corpus
     * size (the FAISS training posture). */
-  private[graft] def ivfCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def ivfCentroids(e: org.apache.spark.sql.DataFrame,
+      n: Long = -1L): org.apache.spark.sql.DataFrame = {
+    val cnt = if (n >= 0L) n else e.count()
     Clustering.trainCentroids(e, ivfK, iters = 1,
-      sampleMod = math.max(1L, e.count() / pqTrainSample))
+      sampleMod = math.max(1L, cnt / pqTrainSample))
+  }
 
   /** IVF ANN: k Lloyd-trained centroids partition the corpus into
     * Voronoi cells by cosine; queries probe their `ivfProbes` nearest
@@ -214,31 +217,89 @@ object Similarity {
     * SemDedupSpec gates pin the exact historical behavior. */
   val semanticTrainSample = 2048
 
-  /** s06's coarse quantizer: cell count and training sample both scale
-    * with the corpus (one cheap parquet-footer count() picks them).
-    * s03 keeps the fixed-[[ivfK]] quantizer — with constant k its
-    * n·k assignment is linear and probing touches ~nprobe/k of the
-    * data, so nothing there needs to grow. */
-  private[graft] def semanticCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val n = e.count()
-    val k = math.max(ivfK, math.ceil(n.toDouble / semanticCellTarget).toInt)
-    val m = math.max(1L, n / semanticTrainSample)
-    Clustering.trainCentroids(e, k, iters = 1, sampleMod = m)
-  }
+  /** Coarse groups each vector descends into during hierarchical
+    * assignment. 1 = pure tree descent; 2 recovers vectors whose true
+    * nearest fine cell sits just across a coarse boundary — the same
+    * boundary-loss argument as [[semanticProbes]], one level up. */
+  val semanticCoarseProbes = 2
+
+  /** Fine-cell count at which [[semanticAssignments]] switches from the
+    * flat n·k pass to coarse-then-fine. Below it k is within a small
+    * constant of [[ivfK]] — the flat pass is already linear and cheaper
+    * than training a second quantizer level. */
+  val semanticHierarchicalMinCells = 64
 
   /** Corpus → `probes` nearest trained centroids, the shared
     * assignment step of s03 (query probing) and s06 (cluster-restricted
     * dedup). Output: (vec_id, embedding, cluster), one row per probed
-    * cell — `probes = 1` is plain nearest-centroid assignment. */
+    * cell — `probes = 1` is plain nearest-centroid assignment.
+    *
+    * Because s06's cell count k = ⌈n/[[semanticCellTarget]]⌉ grows
+    * with the corpus, a flat nearest-centroid pass is O(n·k) =
+    * O(n²/target) — the one all-pairs-shaped term the operator family
+    * otherwise avoids. Above [[semanticHierarchicalMinCells]] cells the
+    * assignment therefore goes HIERARCHICAL (the IVF-PQ layering):
+    * group the k fine centroids into k₁ = ⌈√k⌉ coarse cells (Lloyd
+    * over the centroids themselves — O(k·k₁), driver-free), send each
+    * vector to its [[semanticCoarseProbes]] nearest coarse cells
+    * (O(n·k₁)), and rank only those cells' fine centroids
+    * (O(n·probes·k/k₁) in expectation). Total O(n·√k) centroid
+    * comparisons instead of O(n·k); recursing the same construction
+    * gives O(n·log k) if √k itself ever outgrows a broadcast. The
+    * descent is approximate (a vector's true nearest fine cell can sit
+    * in an unprobed coarse cell) — SemDedupSpec forces this path on
+    * testdata and gates candidate-space exactness, assignment
+    * cardinality, and end-to-end recall under it. */
   private[graft] def semanticAssignments(
       e: org.apache.spark.sql.DataFrame,
-      probes: Int = 1): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(semanticCentroids(e)))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= probes)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      probes: Int = 1,
+      hierarchical: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
+    val n = e.count()
+    val k = math.max(ivfK, math.ceil(n.toDouble / semanticCellTarget).toInt)
+    val m = math.max(1L, n / semanticTrainSample)
+    val cent = Clustering.trainCentroids(e, k, iters = 1, sampleMod = m)
+    val useHier = hierarchical.getOrElse(k >= semanticHierarchicalMinCells)
+    if (!useHier) {
+      e.crossJoin(broadcast(cent))
+        .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+        .filter(col("crn") <= probes)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    } else {
+      val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      // fine centroids re-id'd densely (cids are init-sample vec_ids)
+      // so trainCentroids' first-k init sees ids 0..k₁-1; the window
+      // runs over k rows — KB-scale, single-partition is fine
+      val fine = cent.withColumn("rid",
+        row_number().over(Window.orderBy(col("cid"))).cast("long") - 1)
+      val coarse = Clustering.trainCentroids(
+          fine.select(col("rid").as("vec_id"), col("ce").as("embedding")), k1)
+        .select(col("cid").as("gid"), col("ce").as("ge"))
+      // fine centroid → its ONE nearest coarse group: O(k·k₁) rows
+      val fineGroup = fine.crossJoin(broadcast(coarse))
+        .withColumn("gs", cosine_similarity(col("ge"), col("ce")))
+        .withColumn("grn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("gs").desc, col("gid"))))
+        .filter(col("grn") === 1)
+        .select(col("gid"), col("cid"), col("ce"))
+      // vector → top coarse groups: the only corpus-wide centroid scan,
+      // O(n·k₁) = O(n·√k) cosines
+      val vg = e.crossJoin(broadcast(coarse))
+        .withColumn("gs", cosine_similarity(col("ge"), col("embedding")))
+        .withColumn("grn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("gs").desc, col("gid"))))
+        .filter(col("grn") <= semanticCoarseProbes)
+        .select(col("vec_id"), col("embedding"), col("gid"))
+      // vector → top `probes` fine cells among its probed groups only
+      vg.join(broadcast(fineGroup), Seq("gid"))
+        .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+        .filter(col("crn") <= probes)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    }
+  }
 
   /** Semantic (embedding-space) dedup, SemDeDup-style with multi-probe
     * assignment: k-means cluster the corpus, assign each vector to its
@@ -265,7 +326,14 @@ object Similarity {
     * anywhere in the plan. Probabilistic clustering boundary →
     * rows-only entry. */
   val semanticDedup: QueryEntry = QueryEntry.noOracle("s06_semantic_dedup") { (s, d) =>
-    val assigned = semanticAssignments(Tables.embeddings(s, d), semanticProbes)
+    semanticPairs(semanticAssignments(Tables.embeddings(s, d), semanticProbes))
+  }
+
+  /** s06's pair stage over a (vec_id, embedding, cluster) assignment
+    * relation — factored out so SemDedupSpec can run the identical
+    * pipeline over forced-flat and forced-hierarchical assignments. */
+  private[graft] def semanticPairs(
+      assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, Seq("cluster"))
@@ -487,7 +555,9 @@ object Similarity {
   val annIvfPq: QueryEntry = QueryEntry.noOracle("s08_ann_ivfpq") { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
+    // one footer-only count sizes BOTH quantizers' training samples
+    val n = e.count()
+    val cent = ivfCentroids(e, n)
     // coarse assignment + the query probe list (s03's shapes)
     val scoredCells = e.crossJoin(broadcast(cent))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
@@ -503,7 +573,7 @@ object Similarity {
     // the coarse-assignment window, so training never assigns the full
     // corpus to cells twice
     val (codebook, rcodes) = pqTrain(residuals,
-      math.max(1L, e.count() / pqTrainSample))
+      math.max(1L, n / pqTrainSample))
     // broadcast lookup state, all decimal-exact:
     // csq(sub, cl) = ‖centroid‖², cdot(cell, sub, cl) = dot(c_cell, centroid)
     val cellSub = cent
@@ -550,10 +620,16 @@ object Similarity {
       .crossJoin(broadcast(sqLut))
       .join(broadcast(qc), Seq("qid", "cell"))
       .join(broadcast(cnorm), Seq("cell"))
-      .withColumn("ascore",
-        (col("qc").cast("double") + lutSum(col("pmap"))) /
-          sqrt(col("cnormsq").cast("double") + lit(2) * lutSum(col("cmap")) +
-            lutSum(col("sqmap"))))
+      // ‖x̂‖² is a fixed-order double sum that can round to a tiny
+      // negative near zero; sqrt would then yield NaN, which Spark
+      // sorts ABOVE every double descending — clamp at 0 and rank
+      // degenerate reconstructions last instead of first
+      .withColumn("dsq", greatest(lit(0d),
+        col("cnormsq").cast("double") + lit(2) * lutSum(col("cmap")) +
+          lutSum(col("sqmap"))))
+      .withColumn("ascore", when(col("dsq") > 0d,
+        (col("qc").cast("double") + lutSum(col("pmap"))) / sqrt(col("dsq")))
+        .otherwise(lit(Double.MinValue)))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
       .filter(col("arn") <= pqCandidates)

@@ -41,6 +41,13 @@ class PqSpec extends SparkSpec {
     val stray = codes.select(col("sub"), col("cl")).distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1))).filterNot(live.contains)
     assert(stray.isEmpty, s"codes referencing untrained centroids: ${stray.take(5)}")
+    // the ADC LUT is a dense array indexed sub·k + cl: every centroid
+    // id must sit in [0, k) or lutSum would silently read a null slot
+    // (candidates dropping with no failure signal). With codes ⊆
+    // codebook proven above, gating the codebook's ids gates the codes'.
+    val badIds = cb.map(_.getLong(1)).filter(cl => cl < 0 || cl >= Similarity.pqK)
+    assert(badIds.isEmpty,
+      s"dense-remap invariant broken: centroid ids outside [0, ${Similarity.pqK}): ${badIds.take(5)}")
   }
 
   test("ADC ordering puts reconstruction-identical vectors in score ties") {

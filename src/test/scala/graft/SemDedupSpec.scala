@@ -79,6 +79,58 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  /** Forced-hierarchical assignment (the path auto-selected above
+    * [[Similarity.semanticHierarchicalMinCells]] fine cells — testdata
+    * is below it, so these gates force the branch). */
+  private def hierAssign(dir: String, probes: Int) =
+    Similarity.semanticAssignments(
+      spark.read.parquet(s"$dir/embeddings.parquet"), probes, Some(true))
+
+  test("hierarchical assignment: every vector lands in 1..probes distinct cells") {
+    val rows = hierAssign(sf1, Similarity.semanticProbes)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = spark.read.parquet(s"$sf1/embeddings.parquet").count()
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.size == n, s"${n - byVec.size} vectors lost in the descent")
+    byVec.foreach { case (v, rs) =>
+      val cells = rs.map(_._2).toSet
+      assert(cells.size == rs.length, s"vector $v assigned to a cell twice")
+      assert(cells.nonEmpty && cells.size <= Similarity.semanticProbes,
+        s"vector $v probes ${cells.size} cells")
+    }
+  }
+
+  test("s06 under forced-hierarchical assignment keeps candidate-space exactness") {
+    // the exactness contract must hold whichever assignment branch ran:
+    // reported pairs == brute force restricted to pairs whose
+    // (hierarchically) probed cluster sets intersect
+    val assigned = hierAssign(sf1, Similarity.semanticProbes)
+    val got = Similarity.semanticPairs(assigned).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val probed = assigned.select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = brutePairs(sf1)
+      .filter { case (x, y) => (probed(x) & probed(y)).nonEmpty }
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("hierarchical recall vs brute force is measured and sane") {
+    val all = brutePairs(sf1)
+    val got = Similarity.semanticPairs(
+        hierAssign(sf1, Similarity.semanticProbes)).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(all), "hierarchical s06 reported a pair below threshold")
+    val recall = got.size.toDouble / all.size
+    info(f"s06 hierarchical recall: ${got.size}/${all.size} = $recall%.3f")
+    // the coarse descent may lose pairs the flat pass keeps; measured
+    // 0.743 at sf0.001 (vs 0.770 flat) — the floor is a collapse
+    // tripwire, same recipe as the flat-path test below
+    assert(recall >= 0.50, f"hierarchical recall $recall%.3f collapsed")
+  }
+
   test("s06 global recall vs brute force is measured and sane") {
     // residual cross-cluster pairs (top-2 cells disjoint) are the
     // designed loss. The floor is a regression tripwire, not a quality
