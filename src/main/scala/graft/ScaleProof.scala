@@ -39,7 +39,8 @@ object ScaleProof {
     "p09_bpe_encode", "p10_quality_funnel",
     "e03_sessionize", "e08_funnel", "e09_retention", "e10_locf_fill",
     "e11_transitions", "e12_gap_stats", "p11_mixture_temperature",
-    "m02_decode_features", "m04_batch_embed")
+    "m02_decode_features", "m04_batch_embed",
+    "d16_paragraph_dedup", "d17_paragraph_neardup")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

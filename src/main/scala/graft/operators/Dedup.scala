@@ -570,8 +570,140 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Paragraph granularity for d16/d17: documents chunk into fixed
+    * [[paraWords]]-word paragraphs (the testdata corpus carries no
+    * newline delimiters; a fixed word stride is the deterministic
+    * stand-in — swap the chunker for a `split(text, '\n\n')` explode
+    * when the corpus has real paragraph breaks, everything downstream
+    * is delimiter-agnostic). */
+  val paraWords = 20
+
+  /** d16/d17 chunk key packing: doc_id * paraKeyStride + para_idx must
+    * be collision-free, so a document may carry at most this many
+    * paragraphs (20M words at stride 1e6 — far past any real page).
+    * Packing (not a struct) keeps the survivor rule a plain MIN that
+    * both engines order identically. */
+  val paraKeyStride = 1000000L
+
+  /** (doc_id, para_idx, para) — one row per paragraph, map-only.
+    *
+    * The chunk array is built under a let-binding: `transform(array(
+    * split(text)), arr -> ...)` binds the split result to a lambda
+    * variable, so references inside the inner lambda are variable
+    * lookups, not re-evaluations. Referencing a projected alias of
+    * split() instead would be inlined by CollapseProject and re-split
+    * the text once per chunk — per-document quadratic, the d13 pitfall
+    * (measured 90 s vs 3 s there). */
+  private[graft] def paragraphs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(array(split(text, ' ')), arr ->
+           |  transform(sequence(0, cast(ceil(size(arr) / $paraWords.0) as int) - 1),
+           |    i -> array_join(slice(arr, i * $paraWords + 1, $paraWords), ' ')))[0]""".stripMargin))
+        .as(Seq("para_idx", "para")))
+
+  /** Paragraph-granularity exact dedup — boilerplate removal inside
+    * otherwise-unique pages: chunk every document (see [[paragraphs]]),
+    * digest each chunk, keep the lexicographically-first
+    * (doc_id, para_idx) per distinct digest. The chunk pass is
+    * map-only; the exchange then carries (32-byte digest, packed key)
+    * pairs — never text — so at 100 TB this shuffles the same narrow
+    * relation as d01, just at ~n_paragraphs rows. */
+  val paragraphDedup: QueryEntry = QueryEntry(
+    "d16_paragraph_dedup",
+    s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |idx AS (SELECT doc_id, arr,
+       |               unnest(range(0, CAST(ceil(len(arr) / $paraWords.0) AS BIGINT))) AS i
+       |        FROM a),
+       |paras AS (SELECT doc_id, i AS para_idx,
+       |                 sha256(array_to_string(arr[(i * $paraWords + 1):(i * $paraWords + $paraWords)], ' ')) AS digest
+       |          FROM idx),
+       |surv AS (SELECT digest, MIN(doc_id * $paraKeyStride + para_idx) AS keep_key,
+       |                COUNT(*) AS dups
+       |         FROM paras GROUP BY 1)
+       |SELECT keep_key // $paraKeyStride AS keep_doc,
+       |       keep_key % $paraKeyStride AS keep_para, digest, dups
+       |FROM surv ORDER BY keep_doc, keep_para""".stripMargin
+  ) { (s, d) =>
+    paragraphs(s, d)
+      .groupBy(sha2(col("para"), 256).as("digest"))
+      .agg(min(col("doc_id") * paraKeyStride + col("para_idx")).as("keep_key"),
+        count(lit(1)).as("dups"))
+      .select((col("keep_key") / paraKeyStride).cast("long").as("keep_doc"),
+        (col("keep_key") % paraKeyStride).as("keep_para"),
+        col("digest"), col("dups"))
+      .orderBy(col("keep_doc"), col("keep_para"))
+  }
+
+  /** Paragraph-granularity NEAR-dup tier (d16's fuzzy companion):
+    * d03's MinHash+LSH banding applied at chunk granularity — 16
+    * seed-varied XXH64 min-hashes over word 2-gram shingles per
+    * paragraph, banded 8×2, candidates exact-verified by shingle
+    * intersection. Catches lightly-edited boilerplate the digest path
+    * misses. Output: top-50 paragraph pairs by true Jaccard, keyed by
+    * packed chunk id (see [[paraKeyStride]]). Probabilistic banding →
+    * rows-only; ParagraphDedupSpec gates verification exactness and
+    * recall vs brute force.
+    *
+    * Scale shape is d03's: signatures are (key, 16×8B, n) — paragraphs
+    * never cross an exchange after shingling — and every verification
+    * join key embeds a chunk id, so no corpus-hot shingle forms a hot
+    * bucket. Fewer hashes than d03 (16 vs 32) because 19-shingle sets
+    * need less signature resolution than whole documents. */
+  val paragraphNearDup: QueryEntry = QueryEntry.noOracle("d17_paragraph_neardup") { (s, d) =>
+    val nSig = 16
+    val sh = paragraphs(s, d)
+      .withColumn("key", col("doc_id") * paraKeyStride + col("para_idx"))
+      .withColumn("arr", split(col("para"), " "))
+      .filter(size(col("arr")) >= 2)
+      .select(col("key"), explode(array_distinct(expr(
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), (a, b) -> concat(a, '_', b))")))
+        .as("s"))
+    val sig = sh.groupBy(col("key"))
+      .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bands = (0 until nSig / 2).map(b =>
+      struct(lit(b).as("band"),
+        xxh(0L, element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)).as("bh")))
+    val banded = sig.select(col("key"), explode(array(bands: _*)).as("bb"))
+      .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.key") < col("y.key"))
+      .select(col("x.key").as("a_key"), col("y.key").as("b_key"))
+      .distinct()
+    // signature-agreement estimate prunes the verification set (d03's
+    // shape): band collisions admit ~single-band matches, the estimate
+    // keeps only pairs plausibly at the 0.5 report threshold
+    val plausible = cand
+      .join(sig.select(col("key").as("a_key"), col("sig").as("siga"), col("n").as("na")), "a_key")
+      .join(sig.select(col("key").as("b_key"), col("sig").as("sigb"), col("n").as("nb")), "b_key")
+      .withColumn("est",
+        size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)")).cast("double") / nSig)
+      .filter(col("est") >= 0.25)
+      .select(col("a_key"), col("b_key"), col("na"), col("nb"))
+    val candChunks = plausible.select(col("a_key").as("key"))
+      .union(plausible.select(col("b_key").as("key")))
+      .distinct()
+    val shc = sh.join(candChunks, Seq("key"))
+    val common = shc.select(col("key").as("a_key"), col("s"))
+      .join(plausible.select(col("a_key"), col("b_key")), Seq("a_key"))
+      .join(shc.select(col("key").as("b_key"), col("s")), Seq("b_key", "s"))
+      .groupBy(col("a_key"), col("b_key"))
+      .agg(count(lit(1)).as("common"))
+    plausible.join(common, Seq("a_key", "b_key"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_key"), col("b_key"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_key"), col("b_key"))
+      .limit(50)
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
-    winnowing, clonePairs, containment)
+    winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup)
 }
