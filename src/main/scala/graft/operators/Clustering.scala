@@ -168,9 +168,13 @@ object Clustering {
     * (s06) picks sampleMod ≈ n/sampleTarget so Lloyd's exploded
     * decimal join stays O(sample·dim·k) instead of O(n·dim·k), the
     * standard train-on-sample quantizer recipe (sample stays ≥ ~40·k
-    * there by construction). Seeds are the k smallest sampled ids
-    * (vec_id < k·sampleMod ∧ ≡ 0), so sampleMod = 1 degenerates to
-    * the historical first-k init exactly. */
+    * there by construction). Seeds are the k SMALLEST sampled ids —
+    * a distributed TakeOrdered over ids then an O(k) broadcast back,
+    * NOT `vec_id < k·sampleMod`: on a corpus whose ids are dense from
+    * 0 the two rules coincide (so s05's exact first-k-init oracle is
+    * unchanged), but a predicate-filtered corpus (s10) has arbitrary
+    * id gaps and the range rule can select fewer than k seeds — or
+    * none at all. */
   private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int = 1,
       sampleMod: Long = 1L): DataFrame = {
     require(k > 0 && iters >= 0 && sampleMod >= 1,
@@ -180,7 +184,8 @@ object Clustering {
     val v = base
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-    var c = v.filter(col("vec_id") < k * sampleMod)
+    val seedIds = base.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var c = v.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").as("cl"), col("dim"), col("x").as("c"))
     for (_ <- 1 to iters) c = lloydStep(v, c)._2
     // (cl, dim, c) → (cid, array ordered by dim); dims are unique per

@@ -706,7 +706,60 @@ object Similarity {
           x => round(x.cast("double") / col("scale")).cast("tinyint")).as("codes"))
   }
 
+  /** s10's metadata predicate over `documents` — the production
+    * retrieval filter ("English, substantial pages only"). Selectivity
+    * ~0.3 on testdata; FilteredAnnSpec re-derives it independently. */
+  private[graft] def filteredEligible(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+
+  /** Filtered ANN (s10): top-k under a metadata predicate — the
+    * production retrieval shape. The predicate is applied BEFORE
+    * candidate generation: the corpus semi-joins to the eligible
+    * document ids, then the IVF index is trained on and probed over
+    * the FILTERED corpus, so selectivity composes with the index
+    * (probing touches ~nprobe/k of the eligible vectors). The
+    * alternative — post-filtering an unfiltered top-k — starves: at
+    * selectivity σ a top-5 needs ~5/σ unfiltered candidates, and any
+    * fixed candidate budget under-delivers as σ shrinks.
+    *
+    * At 100 TB the semi-join is a shuffle on narrow (vec_id) keys —
+    * the eligible side is corpus-proportional, so it is NOT
+    * broadcast; everything downstream inherits s03's scale shape
+    * (O(k) centroid broadcast, per-cell rerank). Probabilistic IVF
+    * recall → rows-only; FilteredAnnSpec gates predicate soundness,
+    * no-starvation, and recall vs predicate-restricted brute force. */
+  val annFiltered: QueryEntry = QueryEntry.noOracle("s10_ann_filtered") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 10)
+      .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
+    val cent = ivfCentroids(corpus)
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    // queries are NOT subject to the predicate — they probe the
+    // filtered index with the same multi-cell rule as s03
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    assigned.join(broadcast(qprobe), Seq("cluster"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
-      annPq, annIvfPq, annSq)
+      annPq, annIvfPq, annSq, annFiltered)
 }
