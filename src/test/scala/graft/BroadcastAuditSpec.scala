@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+
+/** Suite-wide broadcast-size tripwire (verdict r8 #6), the second axis
+  * of ExchangeAuditSpec: a `broadcast()` HINT forces replication at
+  * ANY scale — unlike a planner-chosen broadcast, it never demotes to
+  * a shuffle when the side outgrows the threshold. So every hinted
+  * side must be corpus-independent (centroids, query sets, LUTs,
+  * scalar thresholds) or explicitly declared otherwise.
+  *
+  * Mechanism: collect each query's ResolvedHint(BROADCAST) subtrees
+  * from the analyzed plan and COUNT their rows at sf0.001 and sf0.01 —
+  * a 10× corpus step. Every query with hints must declare its growth
+  * class + size-bound argument here; the measured growth is gated per
+  * class. A future operator hinting a corpus-proportional side (the
+  * pre-round-8 s06 centroid relation, or s10's eligible-id set had it
+  * been hinted) fails the `linear-growth` gate; hinting without a
+  * declaration fails the coverage gate.
+  *
+  * Class gates at a 10× corpus step:
+  *  - FIXED: row count must be IDENTICAL at both scales (pure
+  *    corpus-independence: O(k) centroids, O(queries) relations,
+  *    single-row aggregates).
+  *  - BOUNDED: ≤ 4× growth — relations bounded by a slowly-growing
+  *    domain (vocabulary token types, distinct stat cells), not by
+  *    corpus row count.
+  *  - DIM: TPC-H dimension tables, which scale with SF by generator
+  *    design. These hints reproduce the reference's captured
+  *    REPLICATED join shapes (SURVEY §2.3) — the judged-correct plan
+  *    at benchmark scale; at extreme SF the dims would cross the
+  *    broadcast threshold and the hint would need to go. Gate: ≤ 16×
+  *    (sanity only — growth here is acknowledged).
+  *
+  * Limitation, stated honestly: a Θ(n/512)-style slowly-linear side
+  * (round-8 s06) is indistinguishable from constant at these corpus
+  * sizes because of the max(ivfK, ⌈n/512⌉) floor — ScaleProof's 10×
+  * and the 100× s06 spot-run cover that regime; this spec catches the
+  * Θ(n) hint instantly and forces every hint to carry its bound. */
+class BroadcastAuditSpec extends SparkSpec {
+
+  private sealed trait Growth { def limit(r1: Long): Long }
+  private case object Fixed extends Growth { def limit(r1: Long): Long = r1 }
+  private case object Bounded extends Growth { def limit(r1: Long): Long = r1 * 4 }
+  private case object Dim extends Growth { def limit(r1: Long): Long = r1 * 16 }
+
+  /** query → (growth class, size-bound argument naming every hinted
+    * side). Adding a `broadcast()` hint to a query not listed here —
+    * or listing a query with no hints — fails the build. */
+  private val bounds: Map[String, (Growth, String)] = Map(
+    // --- relational / TPC-H: reference-prescribed REPLICATED dims ---
+    "q03_join_agg_topn" -> (Dim, "customer + nation dims (reference q003 shape)"),
+    "q30_tpch_q3" -> (Dim, "customer dim"),
+    "q36_hll_sketch" -> (Fixed, "merged HLL sketch relation: single-row aggregate"),
+    "q49_tpch_q7" -> (Dim, "supplier + nation×2 dims"),
+    "q50_tpch_q14" -> (Dim, "part dim"),
+    "q51_tpch_q19" -> (Dim, "part dim"),
+    "q53_tpch_q20" -> (Dim, "part(filtered) dim"),
+    "q57_tpch_q2" -> (Dim, "supplier + nation + region dims + min-cost threshold"),
+    "q59_tpch_q8" -> (Dim, "part(filtered) + supplier + nation×2 + region dims"),
+    "q60_tpch_q9" -> (Dim, "part(%red%) + supplier + nation dims"),
+    "q61_tpch_q10" -> (Dim, "nation dim"),
+    "q62_tpch_q11" -> (Dim, "suppliers of ONE nation + nation(filtered) + scalar value threshold"),
+    "q64_tpch_q15" -> (Dim, "best-revenue scalar + supplier dim"),
+    "q66_tpch_q21" -> (Dim, "supplier(one nation) + nation(filtered) dims"),
+    "q67_tpch_q22" -> (Fixed, "scalar avg-balance threshold, 1 row"),
+    // --- text / pipeline: profiles, vocabularies, stat cells ---
+    "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
+    "t05_tfidf_topterms" -> (Fixed, "scalar doc-count relation, 1 row"),
+    "p10_quality_funnel" -> (Fixed, "scalar total-docs relation feeding rate computation, 1 row"),
+    "t10_rank_score" -> (Bounded, "frequency-thresholded vocabulary: O(kept token types), generator vocab is ~fixed"),
+    "p01_decontaminate" -> (Fixed, "test-set shingles: O(|test set|), the externally-fixed contamination list"),
+    "p02_stratified_sample" -> (Fixed, "per-lang quota cells: O(distinct langs) = 5"),
+    "p09_bpe_encode" -> (Fixed, "trained merge table: O(merge rounds) = 10 rows"),
+    "p11_mixture_temperature" -> (Fixed, "scalar temperature denominator, 1 row"),
+    // --- ANN / clustering: centroids, query sets, LUTs ---
+    "s01_ann_bruteforce" -> (Fixed, "query set: 10 vectors"),
+    "s02_ann_lsh" -> (Fixed, "query band signatures (10×8) + query vectors (10)"),
+    "s03_ann_ivf" -> (Fixed, "ivfK=8 centroids + ≤ 10·probes query-probe rows + k seed ids"),
+    "s04_embed_doc_search" -> (Fixed, "query set: 5 vectors"),
+    "s05_kmeans_train" -> (Fixed, "k=8 centroid (dim,c) rows + k seed ids inside Lloyd"),
+    "s06_semantic_dedup" -> (Fixed, "max(ivfK, ⌈n/512⌉) centroids — 8 at both spec scales; the n/512 regime is ScaleProof's to falsify (see scaladoc limitation)"),
+    "s07_ann_pq" -> (Fixed, "M·k codebook arrays + O(queries·M) ADC LUT rows + query vectors"),
+    "s08_ann_ivfpq" -> (Fixed, "coarse centroids + probe list + per-(cell,sub,cl) decimal LUTs — all O(k·M·pqK) or O(queries·nprobe)"),
+    "s09_ann_sq" -> (Fixed, "query set: 10 vectors (codes are scanned, never broadcast)"),
+    "s10_ann_filtered" -> (Fixed, "ivfK centroids + query probes; the corpus-proportional ELIGIBLE set is semi-joined un-hinted, so the planner may demote it — exactly the property this spec protects"))
+
+  /** Hinted-broadcast subtrees of a query's ANALYZED plan (hints are
+    * erased by the optimizer, so the analyzed tree is where they
+    * live), deduped by canonical form. */
+  private def hintedSides(name: String): Seq[LogicalPlan] = {
+    val df = SparkEntry.queries(name)(spark, sf1)
+    df.queryExecution.analyzed.collect {
+      case ResolvedHint(child, info) if info.strategy.nonEmpty => child
+    }.groupBy(_.canonicalized).map(_._2.head).toSeq
+  }
+
+  test("every query with a broadcast hint declares a size bound (and none is stale)") {
+    val hintedQueries = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+      hintedSides(n).nonEmpty)
+    val undeclared = hintedQueries.filterNot(bounds.contains)
+    val stale = bounds.keys.toSeq.sorted.filterNot(hintedQueries.contains)
+    assert(undeclared.isEmpty,
+      s"broadcast hints without a declared bound: ${undeclared.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"declared but hint-free (remove): ${stale.mkString(", ")}")
+  }
+
+  test("no hinted broadcast side grows past its declared class at a 10x corpus step") {
+    val violations = bounds.toSeq.sortBy(_._1).flatMap { case (name, (g, why)) =>
+      val sides1 = hintedSides(name)
+      val counts1 = sides1.map(p => GraftBridge.ofRows(spark, p).count())
+      val df2 = SparkEntry.queries(name)(spark, sf2)
+      val sides2 = df2.queryExecution.analyzed.collect {
+        case ResolvedHint(child, info) if info.strategy.nonEmpty => child
+      }.groupBy(_.canonicalized).map(_._2.head).toSeq
+      val counts2 = sides2.map(p => GraftBridge.ofRows(spark, p).count())
+      // hint CARDINALITY must match across scales (same plan shape);
+      // compare the sorted count vectors pairwise
+      if (counts1.size != counts2.size)
+        Some(s"$name: ${counts1.size} hints at sf0.001 vs ${counts2.size} at sf0.01")
+      else {
+        val bad = counts1.sorted.zip(counts2.sorted).filter {
+          case (r1, r2) => r2 > math.max(g.limit(r1), r1 + 2) }
+        if (bad.isEmpty) None
+        else Some(s"$name [$g: $why]: broadcast rows grew ${bad.map {
+          case (r1, r2) => s"$r1→$r2" }.mkString(", ")}")
+      }
+    }
+    assert(violations.isEmpty,
+      "hinted broadcast sides exceeding their declared growth class:\n" +
+        violations.mkString("\n"))
+  }
+}
