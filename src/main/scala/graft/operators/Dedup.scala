@@ -702,8 +702,62 @@ object Dedup {
       .limit(50)
   }
 
+  /** d18: a paragraph digest seen in more than this many DISTINCT
+    * documents is boilerplate (headers, footers, templates) and is
+    * stripped. 2 keeps legitimate 2-document duplication (the dominant
+    * df bucket on testdata: 49 types at df=2 vs 4 at df≥3) while
+    * removing the herd paragraphs — the C4-style rule. */
+  val boilerplateMaxDf = 2
+
+  /** Boilerplate stripping (d16's CONSUMER): chunk every document,
+    * compute per-digest document frequency, drop paragraphs whose df
+    * exceeds [[boilerplateMaxDf]], and reassemble each document from
+    * its surviving paragraphs in index order. Documents losing every
+    * paragraph drop out entirely. Output: (doc_id, text, kept_paras).
+    *
+    * Scale shape: df is computed over (digest, doc_id) pairs — 32-byte
+    * digests, never text — and the paragraph TEXT crosses exactly ONE
+    * exchange: both join sides are pre-partitioned by doc_id
+    * (HashPartitioning(doc_id) satisfies the (doc_id, para_idx) join's
+    * clustering AND the final groupBy(doc_id), so Catalyst plans no
+    * further text shuffle). Deterministic chunking + sha256 digests →
+    * exact DuckDB oracle. */
+  val boilerplateStrip: QueryEntry = QueryEntry(
+    "d18_boilerplate_strip",
+    s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |idx AS (SELECT doc_id, arr,
+       |               unnest(range(0, CAST(ceil(len(arr) / $paraWords.0) AS BIGINT))) AS i
+       |        FROM a),
+       |paras AS (SELECT doc_id, i AS para_idx,
+       |                 array_to_string(arr[(i * $paraWords + 1):(i * $paraWords + $paraWords)], ' ') AS para
+       |          FROM idx),
+       |df AS (SELECT sha256(para) AS digest, COUNT(DISTINCT doc_id) AS nd
+       |       FROM paras GROUP BY 1),
+       |keep AS (SELECT p.doc_id, p.para_idx, p.para
+       |         FROM paras p JOIN df ON sha256(p.para) = df.digest
+       |         WHERE df.nd <= $boilerplateMaxDf)
+       |SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text,
+       |       COUNT(*) AS kept_paras
+       |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val paras = paragraphs(s, d)
+    val dg = paras.select(col("doc_id"), col("para_idx"), sha2(col("para"), 256).as("digest"))
+    val df = dg.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val keepIds = dg.join(df.filter(col("nd") <= boilerplateMaxDf), Seq("digest"))
+      .select(col("doc_id"), col("para_idx"))
+    paras.repartition(col("doc_id"))
+      .join(keepIds.repartition(col("doc_id")), Seq("doc_id", "para_idx"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)")).as("text"),
+        count(lit(1)).as("kept_paras"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
-    winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup)
+    winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup,
+    boilerplateStrip)
 }

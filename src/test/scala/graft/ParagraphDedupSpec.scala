@@ -73,6 +73,44 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"d17 recall $recall%.3f collapsed")
   }
 
+  test("d18 plan ships paragraph text through exactly one exchange") {
+    // the df computation must exchange digests only; the PARAGRAPH
+    // text crosses once (the doc_id repartition serving both the
+    // keep-join and the reassembly groupBy — HashPartitioning(doc_id)
+    // satisfies both). The final rangepartitioning of the REASSEMBLED
+    // output (`text`) is the oracle's ORDER BY delivery sort, present
+    // in every ordered entry — excluded by matching `para` only.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("d18_boilerplate_strip")(spark, sf1)
+      .queryExecution.executedPlan
+    def collectEx(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectEx(a.executedPlan)
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "para") =>
+        e +: e.children.flatMap(collectEx)
+      case other => other.children.flatMap(collectEx)
+    }
+    val textExchanges = collectEx(plan)
+    assert(textExchanges.size == 1,
+      s"paragraph text crosses ${textExchanges.size} exchanges, want 1:\n" +
+        textExchanges.map(_.outputPartitioning).mkString("\n"))
+  }
+
+  test("d18 strips exactly the over-df paragraphs and reassembles in order") {
+    val all = paras(sf1)
+    val df = all.groupBy(_._2).map { case (p, rs) =>
+      p -> rs.map(_._1._1).distinct.length }
+    val expected = all.filter { case (_, p) => df(p) <= Dedup.boilerplateMaxDf }
+      .groupBy(_._1._1)
+      .map { case (doc, rs) =>
+        doc -> rs.sortBy(_._1._2).map(_._2).mkString(" ") }
+    val got = SparkEntry.queries("d18_boilerplate_strip")(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected, s"docs differing: ${
+      (expected.keySet ++ got.keySet).filter(k => expected.get(k) != got.get(k)).take(5)}")
+  }
+
   test("d16 survivors cover every distinct paragraph digest exactly once") {
     val d16 = SparkEntry.queries("d16_paragraph_dedup")(spark, sf1).collect()
     val digests = d16.map(_.getString(2))
