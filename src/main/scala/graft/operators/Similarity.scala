@@ -268,16 +268,18 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
     } else {
       val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-      // fine centroids re-id'd densely (cids are init-sample vec_ids)
-      // so trainCentroids' first-k init sees ids 0..k₁-1; the window
-      // runs over k rows — KB-scale, single-partition is fine
-      val fine = cent.withColumn("rid",
-        row_number().over(Window.orderBy(col("cid"))).cast("long") - 1)
+      // coarse level trains directly on the fine centroids as a
+      // corpus (cids are distinct, trainCentroids seeds from the k₁
+      // smallest sampled ids — no dense re-id needed, which also
+      // keeps a single-partition row_number over all k fine
+      // centroids out of the plan: at extreme scale k itself is
+      // corpus/512 and a global window over it would be the
+      // bottleneck this branch exists to remove)
       val coarse = Clustering.trainCentroids(
-          fine.select(col("rid").as("vec_id"), col("ce").as("embedding")), k1)
+          cent.select(col("cid").as("vec_id"), col("ce").as("embedding")), k1)
         .select(col("cid").as("gid"), col("ce").as("ge"))
       // fine centroid → its ONE nearest coarse group: O(k·k₁) rows
-      val fineGroup = fine.crossJoin(broadcast(coarse))
+      val fineGroup = cent.crossJoin(broadcast(coarse))
         .withColumn("gs", cosine_similarity(col("ge"), col("ce")))
         .withColumn("grn", row_number().over(
           Window.partitionBy(col("cid")).orderBy(col("gs").desc, col("gid"))))
