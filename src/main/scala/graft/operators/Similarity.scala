@@ -761,7 +761,57 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Persisted-index ANN (s11): the production "train once, probe
+    * many" shape s01–s10 lack — every other entry rebuilds its index
+    * per query. The IVF index is materialized as parquet ONCE per
+    * corpus: the O(k) centroid table, plus the corpus vectors
+    * `partitionBy(cluster)` — the FAISS inverted-list file layout
+    * expressed as a partitioned table, where one cell = one partition
+    * directory. Probing then reads ONLY the probed cells: the tiny
+    * query-probe relation broadcast-joins the index on the PARTITION
+    * column, so Spark's dynamic partition pruning skips every
+    * unprobed cell's files at scan time (PersistedAnnSpec pins the
+    * dynamicpruning filter in the plan). At 100 TB that is the whole
+    * point of an index: a top-k probe touches ~nprobe/k of the stored
+    * bytes, verified here by plan shape rather than trusted.
+    *
+    * The entry measures build + probe (honest for a benchmark); a
+    * production caller builds once and reuses `idxDir`. Results are
+    * IDENTICAL to s03 (same quantizer, same probe rule, same rerank —
+    * PersistedAnnSpec asserts row equality), so correctness rides on
+    * s03's RecallSpec gate. */
+  val annPersisted: QueryEntry = QueryEntry.noOracle("s11_ann_persisted") { (s, d) =>
+    val idxDir = "target/s11index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    // probe path: STORED state only (plus the query vectors)
+    val centS = s.read.parquet(s"$idxDir/centroids")
+    val cells = s.read.parquet(s"$idxDir/cells")
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    cells.filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
-      annPq, annIvfPq, annSq, annFiltered)
+      annPq, annIvfPq, annSq, annFiltered, annPersisted)
 }

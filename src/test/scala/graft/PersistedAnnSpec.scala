@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** s11 persisted-index gates: the stored index must answer exactly
+  * like the freshly-built one (same quantizer, probe rule, rerank),
+  * and the probe plan must actually PRUNE — a dynamic partition
+  * pruning filter on the cell-partitioned index scan, so unprobed
+  * cells' files are skipped at any scale. */
+class PersistedAnnSpec extends SparkSpec {
+
+  test("s11 returns exactly s03's results (stored index answers like fresh)") {
+    val fresh = SparkEntry.queries("s03_ann_ivf")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val stored = SparkEntry.queries("s11_ann_persisted")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(stored == fresh,
+      s"diverging rows: ${stored.zip(fresh).filter(p => p._1 != p._2).take(3)}")
+  }
+
+  test("s11 probe plan dynamically prunes the cell-partitioned index scan") {
+    val df = SparkEntry.queries("s11_ann_persisted")(spark, sf2)
+    def scans(p: SparkPlan): Seq[FileSourceScanLike] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanLike => f +: f.children.flatMap(scans)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val indexScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("s11index")))
+    assert(indexScans.nonEmpty, "no scan over the persisted index found")
+    val pruned = indexScans.filter(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(pruned.nonEmpty,
+      "index scan carries no dynamicpruning partition filter:\n" +
+        indexScans.map(s => s.partitionFilters.mkString(", ")).mkString("\n"))
+  }
+}
