@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus gates for the round-9 operators: crafted parquet
+  * corpora (written to a temp dir with the driver schemas) prove the
+  * paragraph family and the filtered/persisted ANN entries degrade
+  * gracefully instead of throwing or silently mis-answering — the
+  * WinnowingSpec synthetic-herd recipe applied to the new surface. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    import spark.implicits._
+    // documents: an empty text, a single word, a 20-word exact chunk
+    // boundary, and a 3-doc herd sharing ONE boilerplate paragraph
+    // (df=3 > boilerplateMaxDf) with distinct tails
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "solo", "en", "web", 4L),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "web", 80L),
+      (3L, s"$boiler tail3a tail3b", "en", "web", 300L),
+      (4L, s"$boiler tail4a tail4b", "en", "web", 300L),
+      (5L, s"$boiler tail5a tail5b", "zh", "web", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // embeddings: ids aligned with doc_ids; queries are 0-1, corpus 2-5
+    val vecs = Seq(0L, 1L, 2L, 3L, 4L, 5L).map { i =>
+      (i, Array.tabulate(64)(j => if (j == (i % 8).toInt) 1f else 0.01f * j), "l")
+    }
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("chunker: empty text is one empty paragraph; exact-boundary doc splits clean") {
+    val p = Dedup.paragraphs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getString(2)))
+    assert(p.count(_._1._1 == 0L) == 1 && p.find(_._1._1 == 0L).get._2 == "")
+    assert(p.count(_._1._1 == 1L) == 1 && p.find(_._1._1 == 1L).get._2 == "solo")
+    // 20 words = exactly one full chunk, no empty trailing chunk
+    assert(p.count(_._1._1 == 2L) == 1)
+  }
+
+  test("d16 on the herd: boilerplate paragraph has one survivor, dups=3") {
+    val rows = SparkEntry.queries("d16_paragraph_dedup")(spark, dir).collect()
+    val herd = rows.filter(_.getLong(3) == 3L)
+    assert(herd.length == 1, s"expected one df=3 digest, got ${herd.length}")
+    assert(herd.head.getLong(0) == 3L && herd.head.getLong(1) == 0L,
+      "survivor is not the lexicographically-first bearer (doc 3, para 0)")
+  }
+
+  test("d18 strips the herd's boilerplate but keeps every tail") {
+    val got = SparkEntry.queries("d18_boilerplate_strip")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // herd docs survive with ONLY their tails; unique docs unchanged
+    assert(got(3L) == "tail3a tail3b" && got(4L) == "tail4a tail4b" &&
+      got(5L) == "tail5a tail5b", s"herd reassembly wrong: $got")
+    assert(got(1L) == "solo" && got(2L).startsWith("w1 "))
+  }
+
+  test("s10 with a nothing-matches predicate returns empty, not an error") {
+    // the edge corpus has no doc with lang=en AND n_chars>=200 among
+    // corpus ids >= 10 — in fact no ids >= 10 at all, so the eligible
+    // corpus is empty end-to-end (empty seed set, empty centroids)
+    val rows = SparkEntry.queries("s10_ann_filtered")(spark, dir).collect()
+    assert(rows.isEmpty, s"expected empty result, got ${rows.length} rows")
+  }
+
+  test("d17 on a tiny corpus still verifies exactly (herd tails share no shingles)") {
+    val rows = SparkEntry.queries("d17_paragraph_neardup")(spark, dir).collect()
+    // the only sharable shingles live in the identical boilerplate
+    // chunks; every reported pair must be jaccard 1.0 among them
+    rows.foreach { r =>
+      assert(r.getDouble(2) == 1.0, s"unexpected partial match: $r")
+    }
+  }
+}
