@@ -555,17 +555,26 @@ object Similarity {
     * (bounded above by s03's probed-cell recall, approached from below
     * as the top-C rerank absorbs ADC ranking error). */
   val annIvfPq: QueryEntry = QueryEntry.noOracle("s08_ann_ivfpq") { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, d)
+    val (cent, codebook, codesCell) = ivfPqBuild(e)
+    ivfPqProbe(e, cent, codebook, codesCell)
+  }
+
+  /** IVF-PQ index construction — the corpus-scanning half of s08,
+    * factored out so s12 can persist its outputs: the O(k) coarse
+    * centroid table, the O(M·k) residual codebook, and the compressed
+    * corpus (vec_id, codes8, cell) — 8 bytes + a cell id per vector. */
+  private[graft] def ivfPqBuild(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     // one footer-only count sizes BOTH quantizers' training samples
     val n = e.count()
     val cent = ivfCentroids(e, n)
-    // coarse assignment + the query probe list (s03's shapes)
-    val scoredCells = e.crossJoin(broadcast(cent))
+    val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-    val assigned = scoredCells.filter(col("crn") === 1)
+      .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ce"))
     // residuals r = x − c(x), then PQ codes trained ON the residuals
     val residuals = assigned.select(col("vec_id"),
@@ -576,6 +585,22 @@ object Similarity {
     // corpus to cells twice
     val (codebook, rcodes) = pqTrain(residuals,
       math.max(1L, n / pqTrainSample))
+    (cent, codebook,
+      codesToArray(rcodes).join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id")))
+  }
+
+  /** IVF-PQ probe — the query-side half of s08, reading ONLY the index
+    * relations plus the raw corpus for the final exact rerank (a
+    * by-id fetch of [[pqCandidates]]·queries vectors). All ADC
+    * lookup state (cdot/csq/cnorm and the per-query LUTs) derives
+    * from the centroid table and codebook — O(k·M·[[pqK]]) work,
+    * corpus-independent — so a stored index needs no corpus scan to
+    * probe. */
+  private[graft] def ivfPqProbe(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame,
+      codesCell: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     // broadcast lookup state, all decimal-exact:
     // csq(sub, cl) = ‖centroid‖², cdot(cell, sub, cl) = dot(c_cell, centroid)
     val cellSub = cent
@@ -591,7 +616,11 @@ object Similarity {
       .agg(sum((col("cx") * col("cx")).cast(DecimalType(28, 18))).as("cnormsq"))
     // query side: probed cells, the per-(query, cell) dot(q, c)
     // scalar, and the cell-independent pdot(qid, sub, cl) table
-    val probeList = scoredCells.filter(col("vec_id") < 10 && col("crn") <= ivfProbes)
+    val probeList = e.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     val qsub = subExploded(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
@@ -613,8 +642,7 @@ object Similarity {
     // shuffle, no aggregation (the earlier shape shuffled 8 rows per
     // (query, vector) into decimal sums for the same
     // partitioning-independence a per-row fixed-order fold gives free)
-    val codesArr = codesToArray(rcodes.filter(col("vec_id") >= 10))
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val codesArr = codesCell.filter(col("vec_id") >= 10)
     val cand = codesArr
       .join(broadcast(probeList), Seq("cell"))
       .join(broadcast(pLut), Seq("qid"))
@@ -811,7 +839,35 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Persisted IVF-PQ (s12): s11's stored-index economics applied to
+    * the COMPRESSED index — what production vector stores actually
+    * persist. Stored state: the O(k) centroid table, the O(M·[[pqK]])
+    * residual codebook, and the corpus as (vec_id, codes8)
+    * `partitionBy(cell)` — 8 bytes + ids per vector, ~32× less than
+    * s11's raw float vectors. Probing derives every ADC lookup table
+    * from the two small stored relations (no corpus scan), reads only
+    * the probed cells' code files via dynamic partition pruning, and
+    * fetches raw vectors by id solely for the top-[[pqCandidates]]
+    * exact rerank. At 100 TB a probe therefore touches
+    * ~nprobe/k × 8-byte codes plus candidates — the FAISS on-disk
+    * story end-to-end, as a partitioned table. PersistedAnnSpec
+    * asserts exact row equality with s08 (the identical build state
+    * round-tripped through parquet) and pins the dynamicpruning
+    * filter on the codes scan. */
+  val annIvfPqPersisted: QueryEntry = QueryEntry.noOracle("s12_ann_ivfpq_persisted") { (s, d) =>
+    val idxDir = "target/s12index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val e = Tables.embeddings(s, d)
+    val (cent, codebook, codesCell) = ivfPqBuild(e)
+    codesCell.write.mode("overwrite").partitionBy("cell").parquet(s"$idxDir/codes")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$idxDir/codebook")
+    ivfPqProbe(e,
+      s.read.parquet(s"$idxDir/centroids"),
+      s.read.parquet(s"$idxDir/codebook"),
+      s.read.parquet(s"$idxDir/codes"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
-      annPq, annIvfPq, annSq, annFiltered, annPersisted)
+      annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted)
 }
