@@ -41,7 +41,8 @@ object ScaleProof {
     "e11_transitions", "e12_gap_stats", "p11_mixture_temperature",
     "m02_decode_features", "m04_batch_embed",
     "d16_paragraph_dedup", "d17_paragraph_neardup", "s10_ann_filtered",
-    "d18_boilerplate_strip", "s11_ann_persisted", "s12_ann_ivfpq_persisted")
+    "d18_boilerplate_strip", "s11_ann_persisted", "s12_ann_ivfpq_persisted",
+    "s13_ann_filtered_probe")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

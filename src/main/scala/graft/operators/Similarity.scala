@@ -867,7 +867,56 @@ object Similarity {
       s.read.parquet(s"$idxDir/codes"))
   }
 
+  /** Filter-at-probe ANN (s13): s10's predicate served from a SHARED
+    * stored index — the other half of the filtered-retrieval
+    * trade-off. s10 pre-filters and indexes the eligible corpus
+    * (best recall, but one index per predicate); s13 probes the
+    * general cell-partitioned index (s11's layout, one index for
+    * every query) and applies the predicate to candidates BEFORE
+    * ranking — filter-then-rank inside the probed cells, so the
+    * top-5 is taken over eligible candidates only, never starved by
+    * ineligible high-scorers. The residual loss vs s10 is structural:
+    * eligible vectors whose cells the query doesn't probe
+    * (FilteredAnnSpec measures both recalls side by side).
+    *
+    * Scale shape: stored-index probe with dynamic partition pruning
+    * (s11), plus one narrow semi-join of the probed cells' members
+    * against the eligible-id relation — corpus-proportional but
+    * id-only, shuffled not broadcast. */
+  val annFilteredProbe: QueryEntry = QueryEntry.noOracle("s13_ann_filtered_probe") { (s, d) =>
+    val idxDir = "target/s13index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    val centS = s.read.parquet(s"$idxDir/centroids")
+    val cells = s.read.parquet(s"$idxDir/cells")
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    cells.filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      // predicate BEFORE ranking: the window sees eligible rows only
+      .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
-      annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted)
+      annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
+      annFilteredProbe)
 }
