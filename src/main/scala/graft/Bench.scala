@@ -84,7 +84,15 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // optional args = query names: the BENCH.md adjudication protocol's
+    // isolated re-run ("one query, quiet machine, same warm protocol").
+    // No args (the driver contract) = every registered query.
+    val only = args.toSet
+    require(only.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${only.filterNot(SparkEntry.queries.contains)}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       // untimed warm execution: compiles this query's codegen + C2 paths
       // before the clock starts (see scaladoc). Duration audited under
       // "<name>:warm", never in the min; a warm failure falls through to
@@ -114,8 +122,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    writeFile("bench_last.json", fullLine)
-    writeFile("bench_samples.json", samples.map { case (k, vs) =>
+    // subset (adjudication) runs must not clobber the committed
+    // full-run artifacts
+    val suffix = if (only.isEmpty) "" else ".isolated"
+    writeFile("bench_last.json" + suffix, fullLine)
+    writeFile("bench_samples.json" + suffix, samples.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}"))
     println(fullLine)

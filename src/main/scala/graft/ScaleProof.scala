@@ -42,7 +42,8 @@ object ScaleProof {
     "m02_decode_features", "m04_batch_embed",
     "d16_paragraph_dedup", "d17_paragraph_neardup", "s10_ann_filtered",
     "d18_boilerplate_strip", "s11_ann_persisted", "s12_ann_ivfpq_persisted",
-    "s13_ann_filtered_probe")
+    "s13_ann_filtered_probe", "s14_ann_persisted_append",
+    "p12_pipeline_compose", "p13_pipeline_full")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base
@@ -81,10 +82,17 @@ object ScaleProof {
     * multi-probe), not the operator's scaling. ANN probe sets still pin
     * vec_id < 10 (copy 0), so query count stays fixed. */
   private def scaleEmb(emb: DataFrame, copies: Int): DataFrame = {
-    require(copies <= 128,
-      "per-copy orthogonal transforms are distinct only for <= 128 copies")
     assertIdsBelowOffset(emb, Seq("vec_id"))
-    val dim = 64
+    // derive the shift modulus from the data: a hardcoded dim with a
+    // smaller real embedding would build negative-length slices —
+    // empty vectors, silently invalidating the scale corpus
+    val dims = emb.select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"mixed embedding dimensions ${dims.toSeq} — cannot build scale corpus")
+    val dim = dims.head
+    require(copies <= 2 * dim,
+      s"per-copy orthogonal transforms are distinct only for <= ${2 * dim} copies")
     emb
       .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
       .select((col("vec_id") + col("c").cast("long") * idOffset).as("vec_id"),

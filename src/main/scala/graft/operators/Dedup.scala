@@ -76,7 +76,13 @@ object Dedup {
 
   /** Shared shingle relation: distinct word 2-grams per doc. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shinglesOf(Tables.documents(s, d))
+
+  /** [[shingles]] over any (doc_id, text, …) relation — factored so
+    * the composed pipeline (p13) can shingle its surviving documents
+    * instead of the raw table. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 2)
       // zip_with over two pre-shifted slices: the array arguments bind
@@ -93,8 +99,19 @@ object Dedup {
     * top-50 candidate pairs by true Jaccard. LSH banding is probabilistic
     * → rows-only check (not SQL-expressible in the oracle). */
   val minhashLsh: QueryEntry = QueryEntry.noOracle("d03_minhash_lsh") { (s, d) =>
+    minhashVerifiedPairs(Tables.documents(s, d))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  /** d03's full MinHash → LSH band → exact-verify pipeline over any
+    * (doc_id, text, …) relation: verified pairs (a_id, b_id, jaccard)
+    * with jaccard EXACT (shingle-intersection counted), unlimited —
+    * callers order/limit (d03) or threshold-filter (p13's near-dup
+    * removal stage). */
+  private[graft] def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
     val nSig = 32
-    val sh = shingles(s, d)
+    val sh = shinglesOf(docs)
     // one grouped pass computes the 32-permutation signature via the
     // single-pass MinHashAggregate (2 hash evals per shingle instead of
     // 32 — the dominant cost at corpus scale) + set size; only
@@ -165,8 +182,6 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
   }
 
   /** 64-bit SimHash fingerprints: per-word XXH64, bit votes weighted by
@@ -595,7 +610,13 @@ object Dedup {
     * the text once per chunk — per-document quadratic, the d13 pitfall
     * (measured 90 s vs 3 s there). */
   private[graft] def paragraphs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    paragraphsOf(Tables.documents(s, d))
+
+  /** [[paragraphs]] over any (doc_id, text, …) relation — factored so
+    * the composed pipeline (p12/p13) can chunk its quality-gated
+    * survivors instead of the raw table. */
+  private[graft] def paragraphsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(expr(
         s"""transform(array(split(text, ' ')), arr ->
            |  transform(sequence(0, cast(ceil(size(arr) / $paraWords.0) as int) - 1),
@@ -629,7 +650,10 @@ object Dedup {
       .groupBy(sha2(col("para"), 256).as("digest"))
       .agg(min(col("doc_id") * paraKeyStride + col("para_idx")).as("keep_key"),
         count(lit(1)).as("dups"))
-      .select((col("keep_key") / paraKeyStride).cast("long").as("keep_doc"),
+      // integer division (`div`), matching the oracle's `//`: the
+      // float-divide-then-cast spelling is only exact below 2^53, so
+      // packed keys past doc_id ~9e9 would silently drift off-oracle
+      .select(expr(s"keep_key div ${paraKeyStride}L").as("keep_doc"),
         (col("keep_key") % paraKeyStride).as("keep_para"),
         col("digest"), col("dups"))
       .orderBy(col("keep_doc"), col("keep_para"))
@@ -640,20 +664,39 @@ object Dedup {
     * seed-varied XXH64 min-hashes over word 2-gram shingles per
     * paragraph, banded 8×2, candidates exact-verified by shingle
     * intersection. Catches lightly-edited boilerplate the digest path
-    * misses. Output: top-50 paragraph pairs by true Jaccard, keyed by
-    * packed chunk id (see [[paraKeyStride]]). Probabilistic banding →
-    * rows-only; ParagraphDedupSpec gates verification exactness and
-    * recall vs brute force.
+    * misses. Output: top-50 pairs of DISTINCT paragraph types by true
+    * Jaccard, each type keyed by its d16 survivor's packed chunk id
+    * (see [[paraKeyStride]]). Probabilistic banding → rows-only;
+    * ParagraphDedupSpec gates verification exactness and recall vs
+    * brute force over the type space.
     *
-    * Scale shape is d03's: signatures are (key, 16×8B, n) — paragraphs
-    * never cross an exchange after shingling — and every verification
-    * join key embeds a chunk id, so no corpus-hot shingle forms a hot
-    * bucket. Fewer hashes than d03 (16 vs 32) because 19-shingle sets
-    * need less signature resolution than whole documents. */
+    * Exact-duplicate paragraphs collapse to ONE representative (the
+    * min packed key per sha256 digest — d16's survivor) BEFORE
+    * signatures: identical chunks collide in every band, so a herd of
+    * H copies of one boilerplate paragraph — the norm at paragraph
+    * granularity, d18 measures exactly these — would otherwise form an
+    * O(H²) candidate set in every one of its band buckets. Type-level
+    * banding removes that corpus-hot bucket by construction; herd
+    * membership (who else carries a near-dup type) is d16's digest
+    * output, joinable on the survivor key.
+    *
+    * Scale shape is then d03's: signatures are (key, 16×8B, n) —
+    * paragraph text crosses one digest-keyed exchange (the collapse)
+    * and never again — and every verification join key embeds a chunk
+    * id, so no corpus-hot shingle forms a hot bucket either. Fewer
+    * hashes than d03 (16 vs 32) because 19-shingle sets need less
+    * signature resolution than whole documents. */
   val paragraphNearDup: QueryEntry = QueryEntry.noOracle("d17_paragraph_neardup") { (s, d) =>
     val nSig = 16
-    val sh = paragraphs(s, d)
+    val pk = paragraphs(s, d)
       .withColumn("key", col("doc_id") * paraKeyStride + col("para_idx"))
+      .withColumn("digest", sha2(col("para"), 256))
+    // exact-dup collapse: one representative row per distinct digest
+    // (the d16 survivor). The groupBy exchanges (digest, key) pairs
+    // only; the join brings each winning row's text across once.
+    val reps = pk.groupBy(col("digest")).agg(min(col("key")).as("key"))
+    val sh = pk.join(reps, Seq("digest", "key"))
+      .select(col("key"), col("para"))
       .withColumn("arr", split(col("para"), " "))
       .filter(size(col("arr")) >= 2)
       .select(col("key"), explode(array_distinct(expr(
@@ -740,7 +783,14 @@ object Dedup {
        |       COUNT(*) AS kept_paras
        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val paras = paragraphs(s, d)
+    stripBoilerplateOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** d18's strip pipeline over any (doc_id, text, …) relation —
+    * (doc_id, text, kept_paras), unordered. Factored so the composed
+    * pipeline (p12/p13) can strip its quality-gated survivors. */
+  private[graft] def stripBoilerplateOf(docs: DataFrame): DataFrame = {
+    val paras = paragraphsOf(docs)
     val dg = paras.select(col("doc_id"), col("para_idx"), sha2(col("para"), 256).as("digest"))
     val df = dg.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -752,7 +802,6 @@ object Dedup {
       .agg(concat_ws(" ", expr(
         "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)")).as("text"),
         count(lit(1)).as("kept_paras"))
-      .orderBy(col("doc_id"))
   }
 
   val all: Seq[QueryEntry] = Seq(

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (builder brief): media payloads are opaque
   * `binary` columns with typed metadata; decode / feature-extraction
-  * runs per-partition in fixed-size batches. The real media decoders are
-  * STUBBED (no image/audio libs in this environment) with a
-  * deterministic fake — the Spark-side plumbing (schema, partitioning,
-  * batch shape) is real and tested. */
+  * runs per-partition in fixed-size batches. m02 decodes a REAL format
+  * (RIFF/WAV PCM, parsed from bytes alone in pure JVM); only m04's
+  * neural encoder is STUBBED (no model runtime in this environment)
+  * with a deterministic fake — there the Spark-side plumbing (schema,
+  * partitioning, batch shape) is the tested part. */
 object Multimodal {
 
   /** Binary payload + typed metadata projection — the ingest shape for
@@ -36,47 +37,138 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Feature extraction over binary payloads via mapPartitions: each
-    * partition's payloads are "decoded" and reduced to a fixed-size
-    * feature vector. The decoder is a clearly-marked deterministic STUB
-    * standing in for an image/audio codec; the batch-per-partition
-    * iteration, binary input schema, and fixed-width output schema are
-    * the real plumbing a Pandas-UDF/mapInPandas equivalent would use.
-    * Rows-only check (stub features are not SQL-expressible). */
-  val decodeFeatures: QueryEntry = QueryEntry.noOracle("m02_decode_features") { (s, d) =>
-    val in = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("mean_byte", DoubleType, nullable = false),
-      StructField("max_byte", IntegerType, nullable = false)))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    in.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        // STUB decoder: a real implementation would decode the media
-        // payload here (e.g. image -> pixels); this deterministic fake
-        // preserves the batch shape and output schema.
-        val feats = stubDecode(payload)
-        Row(id, payload.length, feats._1, feats._2)
-      }
-    }.orderBy(col("doc_id"))
+  /** Rows per decode batch in [[decodeFeatures]] — the codec's batch
+    * dimension (same role as [[embedBatchSize]] in m04). */
+  val decodeBatchSize = 32
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** A REAL single-chunk PCM WAV file: RIFF header, 16-byte fmt chunk
+    * (format 1 = PCM, mono, 8-bit), word-aligned data chunk holding
+    * `samples` as unsigned 8-bit PCM. Every length/rate field is
+    * little-endian per the RIFF spec, including the pad byte after an
+    * odd-length data chunk. */
+  private[graft] def wavBytes(rate: Int, samples: Array[Byte]): Array[Byte] = {
+    val pad = samples.length & 1
+    val out = new java.io.ByteArrayOutputStream(44 + samples.length + pad)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(4L + (8 + 16) + (8 + samples.length + pad)))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16)); out.write(le16(1)); out.write(le16(1))
+    out.write(le32(rate)); out.write(le32(rate)) // byteRate = rate·1ch·1B
+    out.write(le16(1)); out.write(le16(8))       // blockAlign, bits
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(samples.length))
+    out.write(samples)
+    if (pad == 1) out.write(0)
+    out.toByteArray
   }
 
-  /** Deterministic stand-in for a media decoder. */
-  private def stubDecode(payload: Array[Byte]): (Double, Int) = {
-    var sum = 0L
-    var max = 0
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xFF
-      sum += b
-      if (b > max) max = b
-      i += 1
+  /** Minimal RIFF/WAVE reader, pure JVM: validates the RIFF/WAVE
+    * magics, WALKS the chunk list (any chunk order / unknown chunks
+    * tolerated, word alignment honored), reads the PCM fmt fields
+    * little-endian, and returns (rate, channels, bits, data). Throws
+    * on a malformed file — a decode operator must fail loudly, not
+    * emit garbage rows. */
+  private[graft] def parseWav(p: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (p(o) & 0xFF).toLong | ((p(o + 1) & 0xFF).toLong << 8) |
+      ((p(o + 2) & 0xFF).toLong << 16) | ((p(o + 3) & 0xFF).toLong << 24)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var rate = -1; var ch = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (off + 8 <= p.length) {
+      val id = tag(off)
+      val sz = u32(off + 4).toInt
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1, s"non-PCM format ${u16(off + 8)}")
+        ch = u16(off + 10); rate = u32(off + 12).toInt; bits = u16(off + 22)
+      } else if (id == "data") {
+        data = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
-    (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, max)
+    require(rate > 0 && data != null, "missing fmt or data chunk")
+    (rate, ch, bits, data)
+  }
+
+  /** Media decode over binary payloads (m02): documents are packed as
+    * REAL WAV files (RIFF + PCM fmt + data — [[wavBytes]], the ingest
+    * synthesizer standing in for an upstream media crawler; sample
+    * rate varies per doc so the header parse is load-bearing), then a
+    * batched mapPartitions pass DECODES each payload from its bytes
+    * alone — magic validation, chunk walk, little-endian field reads
+    * ([[parseWav]]) — and reduces the samples to scalar features. This
+    * replaces round-≤9's stub: the decoder now parses a real
+    * self-describing binary format, and every output column is
+    * DuckDB-oracleable (the synthesizer is deterministic, so rate /
+    * counts / sample stats are recomputable from the text).
+    *
+    * The batch shape is m04's: `iterator.grouped(batch)` inside each
+    * partition — the mapInPandas batch-iterator analogue a GPU codec
+    * would fill — with results a pure per-payload function (batch
+    * composition independence, MultimodalBatchSpec's property). At
+    * 100 TB: map-only over the media column, no exchange until the
+    * final ORDER BY delivery sort. */
+  val decodeFeatures: QueryEntry = QueryEntry(
+    "m02_decode_features",
+    """WITH b AS (SELECT doc_id, text,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |                  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+      |           FROM documents),
+      |s AS (SELECT doc_id,
+      |             SUM(ord(substring(text, CAST(i + 1 AS INTEGER), 1))) AS tot,
+      |             MAX(ord(substring(text, CAST(i + 1 AS INTEGER), 1))) AS mx
+      |      FROM b, UNNEST(range(n)) AS u(i) GROUP BY 1)
+      |SELECT b.doc_id, rate AS sample_rate,
+      |       1 AS channels, 8 AS bits, n AS n_samples,
+      |       n * 1000 // rate AS duration_ms,
+      |       COALESCE(CAST(tot AS DOUBLE) / n, 0.0) AS mean_sample,
+      |       CAST(COALESCE(mx, 0) AS INTEGER) AS max_sample
+      |FROM b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val in = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val wavs = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavBytes(8000 + (id % 3).toInt * 4000, r.getString(1).getBytes("UTF-8")))
+      }
+    }(RowEncoder.encoderFor(paySchema))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("mean_sample", DoubleType, nullable = false),
+      StructField("max_sample", IntegerType, nullable = false)))
+    wavs.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (rate, ch, bits, data) = parseWav(r.getAs[Array[Byte]](1))
+          var sum = 0L; var mx = 0; var i = 0
+          while (i < data.length) {
+            val v = data(i) & 0xFF
+            sum += v; if (v > mx) mx = v; i += 1
+          }
+          val n = data.length.toLong
+          Row(r.getLong(0), rate, ch, bits, n, n * 1000L / rate,
+            if (n == 0) 0.0 else sum.toDouble / n, mx)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).orderBy(col("doc_id"))
   }
 
   /** Frame sampling over payloads: fixed-size frames at a stride (the

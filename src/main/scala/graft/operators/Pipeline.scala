@@ -131,10 +131,18 @@ object Pipeline {
       |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
+    packManifest(Tables.documents(s, d).select(col("doc_id"), size(ws).as("toks")))
+  }
+
+  /** p03's packing over any (doc_id, toks) relation — the manifest
+    * (bucket, bin, n_docs, tokens), ordered. Factored so the composed
+    * pipeline (p12/p13) can pack its deduplicated survivors. */
+  private[graft] def packManifest(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"), size(ws).as("toks"))
+    toks
+      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"), col("toks"))
       .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
       .withColumn("bin", floor(col("prior") / 2048))
       .groupBy(col("bucket"), col("bin"))
@@ -583,8 +591,114 @@ object Pipeline {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** p10's three rules as a KEEP predicate (verdict = pass) over any
+    * (doc_id, text, n_chars, …) relation — the gate stage of the
+    * composed pipeline. Map-only: every signal derives from the
+    * already-read text. */
+  private[graft] def qualityPass(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("nw", size(ws))
+      .withColumn("nd", size(array_distinct(ws)))
+      .filter(col("nw") >= 20 &&
+        (col("nw") - col("nd")) * 20 <= col("nw") * 13 &&
+        (col("n_chars") - col("nw") + 1) * 5 >= col("nw") * 20)
+      .select(col("doc_id"), col("text"))
+
+  /** End-to-end composed pipeline, deterministic spine (p12): raw
+    * documents → quality gate (p10's pass rules) → boilerplate strip
+    * (d18) → exact dedup (d01's keep-min-id rule on the STRIPPED text)
+    * → sequence packing (p03), as ONE declarative plan — how a real
+    * training run consumes these operators, proving they chain without
+    * per-stage rescans or materialization. PlanAuditSpec counts the
+    * corpus scans in the executed plan: exactly THREE — d18's df
+    * diamond (digest aggregation + keep-set join side, 48-byte rows
+    * only through their exchanges) plus the text spine — constant in
+    * the number of stages, not one per stage. The diamond's extra
+    * columnar scan is the deliberate scale trade: the alternative
+    * (count-distinct window keyed on digest) buffers whole
+    * boilerplate-herd partitions on single tasks.
+    *
+    * Stage fusion is Catalyst's, not hand-scheduled: the gate is a
+    * map-only filter fused into both scans; the strip exchanges
+    * digests and one doc_id-keyed text pass (d18's shape); the dedup
+    * is a window over sha256(text) — stripped text crosses that one
+    * digest-keyed exchange, survivors flow straight into the packing
+    * window without touching storage. Every rule is integer-exact →
+    * full DuckDB oracle. */
+  val pipelineCompose: QueryEntry = QueryEntry(
+    "p12_pipeline_compose",
+    s"""WITH g AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, n_chars,
+       |           len(string_split(text, ' ')) AS nw,
+       |           len(list_distinct(string_split(text, ' '))) AS nd
+       |    FROM documents)
+       |  WHERE nw >= 20 AND (nw - nd) * 20 <= 13 * nw
+       |    AND (n_chars - nw + 1) * 5 >= 20 * nw),
+       |a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM g),
+       |idx AS (SELECT doc_id, arr,
+       |               unnest(range(0, CAST(ceil(len(arr) / ${Dedup.paraWords}.0) AS BIGINT))) AS i
+       |        FROM a),
+       |paras AS (SELECT doc_id, i AS para_idx,
+       |                 array_to_string(arr[(i * ${Dedup.paraWords} + 1):(i * ${Dedup.paraWords} + ${Dedup.paraWords})], ' ') AS para
+       |          FROM idx),
+       |dfq AS (SELECT sha256(para) AS digest, COUNT(DISTINCT doc_id) AS nd
+       |        FROM paras GROUP BY 1),
+       |keep AS (SELECT p.doc_id, p.para_idx, p.para
+       |         FROM paras p JOIN dfq ON sha256(p.para) = dfq.digest
+       |         WHERE dfq.nd <= ${Dedup.boilerplateMaxDf}),
+       |stripped AS (SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text
+       |             FROM keep GROUP BY doc_id),
+       |surv AS (SELECT doc_id, text FROM (
+       |           SELECT doc_id, text,
+       |                  ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |           FROM stripped) WHERE rn = 1),
+       |t AS (SELECT doc_id, doc_id % 8 AS bucket,
+       |             len(string_split(text, ' ')) AS toks FROM surv),
+       |c AS (SELECT doc_id, bucket, toks,
+       |             SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM t)
+       |SELECT bucket, CAST(FLOOR(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
+       |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val surv = composeSurvivors(s, d)
+    packManifest(surv.select(col("doc_id"), size(ws).as("toks")))
+  }
+
+  /** The deterministic spine shared by p12/p13: gate → strip → exact
+    * dedup, yielding surviving (doc_id, text). */
+  private[graft] def composeSurvivors(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Dedup.stripBoilerplateOf(qualityPass(Tables.documents(s, d)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+
+  /** Composed pipeline, full chain (p13): p12's spine plus the
+    * NEAR-dup removal stage between exact dedup and packing — d03's
+    * MinHash→LSH→exact-verify pairs at the d02 report threshold
+    * (0.85), dropping the larger id of every verified pair (greedy
+    * keep-first, the same survivor rule as the exact tier). LSH
+    * banding is probabilistic → rows-only entry; PipelineComposeSpec
+    * gates the chain algebra instead: p13's survivor set ⊆ p12's,
+    * every dropped document has a verified ≥0.85 partner with a
+    * smaller id, and the manifest totals re-add. The survivor relation is
+    * localCheckpoint'd once — consumed by both the pair generator and
+    * the final anti-join, the one diamond in the chain. */
+  val pipelineFull: QueryEntry = QueryEntry.noOracle("p13_pipeline_full") { (s, d) =>
+    val surv = composeSurvivors(s, d).localCheckpoint()
+    val drop = Dedup.minhashVerifiedPairs(surv)
+      .filter(col("jaccard") >= 0.85)
+      .select(col("b_id").as("doc_id")).distinct()
+    packManifest(surv.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(ws).as("toks")))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
-      qualityFunnel, mixtureTemperature)
+      qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull)
 }

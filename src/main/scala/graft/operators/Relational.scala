@@ -853,6 +853,28 @@ object Relational {
       .orderBy(col("o_orderstatus"), col("metric"))
   }
 
+  /** Cluster-state metadata relation (q73) — the `system.runtime.nodes`
+    * analogue (reference deployment smoke check,
+    * trino/tasks/main.yml:244-252): one row per live executor from
+    * `sc.statusTracker`, with id / host:port / version / coordinator
+    * flag / state. Driver-side BY DEFINITION — the relation is O(#
+    * executors), the same place Trino's coordinator answers it from;
+    * no data is scanned. Rows-only (cluster state is not in parquet);
+    * CatalogSpec gates shape and the driver row's presence. */
+  lazy val runtimeNodes: QueryEntry = QueryEntry.noOracle("q73_runtime_nodes") { (s, _) =>
+    import s.implicits._
+    val sc = s.sparkContext
+    val driverHost = sc.getConf.get("spark.driver.host", "localhost")
+    sc.statusTracker.getExecutorInfos.toSeq
+      .map { e =>
+        val id = e.host + ":" + e.port
+        (id, s"spark://$id", sc.version,
+          sc.isLocal || e.host == driverHost, "active")
+      }
+      .toDF("node_id", "http_uri", "node_version", "coordinator", "state")
+      .orderBy(col("node_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -864,7 +886,7 @@ object Relational {
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
-    unpivotMetrics)
+    unpivotMetrics, runtimeNodes)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

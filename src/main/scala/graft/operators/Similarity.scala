@@ -285,9 +285,17 @@ object Similarity {
           Window.partitionBy(col("cid")).orderBy(col("gs").desc, col("gid"))))
         .filter(col("grn") === 1)
         .select(col("gid"), col("cid"), col("ce"))
+      // a coarse group can end up with ZERO fine members (every fine
+      // centroid nearer some other group) — ranking vectors against
+      // such a group would silently drop any vector whose
+      // [[semanticCoarseProbes]] nearest groups are all empty. Restrict
+      // the descent to LIVE groups so every probe lands somewhere;
+      // both relations are O(k)-small, the join is broadcast-trivial.
+      val liveCoarse = coarse.join(
+        fineGroup.select(col("gid")).distinct(), Seq("gid"))
       // vector → top coarse groups: the only corpus-wide centroid scan,
       // O(n·k₁) = O(n·√k) cosines
-      val vg = e.crossJoin(broadcast(coarse))
+      val vg = e.crossJoin(broadcast(liveCoarse))
         .withColumn("gs", cosine_similarity(col("ge"), col("embedding")))
         .withColumn("grn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("gs").desc, col("gid"))))
@@ -789,6 +797,76 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Root of every persisted index (s11–s14): session conf
+    * `graft.index.root`, default `target/graftindex`, layout
+    * `<root>/<entry>/<dataset>/…`. SINGLE-WRITER contract: each entry
+    * (re)builds its index with `mode(overwrite)` as a side effect of
+    * DataFrame construction, so two concurrent invocations over the
+    * same (entry, dataset) race — one overwrite can delete part files
+    * mid-read of the other's probe scan. Concurrent runs must set
+    * distinct roots (`spark.conf.set("graft.index.root", …)`); the
+    * bench/verify harnesses are sequential by construction. Plan-only
+    * inspection also triggers the build — the eager write is the
+    * honest cost of a build+probe entry; a production caller splits
+    * build from probe and reuses the directory. */
+  private[graft] def indexDir(s: org.apache.spark.sql.SparkSession,
+      entry: String, d: String): String =
+    s.conf.get("graft.index.root", "target/graftindex") + "/" + entry +
+      "/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Nearest-centroid assignment (vec_id, embedding, cluster) — the
+    * shared build step of the cell-partitioned index family
+    * (s11/s13/s14): one broadcast pass over the corpus, one row out
+    * per vector. */
+  private[graft] def nearestCells(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+
+  /** Probe of a stored cell-partitioned index (s11's layout): rank the
+    * stored centroids per query, read ONLY the probed cells via
+    * dynamic partition pruning, exact-rerank inside them. `eligible`
+    * (s13) restricts candidates to an id set BEFORE ranking —
+    * filter-then-rank, so the top-5 is never starved by ineligible
+    * high-scorers. */
+  private[graft] def probeStoredCells(s: org.apache.spark.sql.SparkSession,
+      idxDir: String, e: org.apache.spark.sql.DataFrame,
+      eligible: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    probeAssignedCells(s.read.parquet(s"$idxDir/centroids"),
+      s.read.parquet(s"$idxDir/cells"), e, eligible)
+
+  /** [[probeStoredCells]] over already-loaded index relations —
+    * factored so PersistedAnnSpec can probe an in-memory full rebuild
+    * under pinned centroids and compare against the stored path. */
+  private[graft] def probeAssignedCells(centS: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
+      eligible: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val cand = cells.filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+    // predicate BEFORE ranking (corpus-proportional but id-only:
+    // shuffled semi-join, never broadcast)
+    val kept = eligible.fold(cand)(el => cand.join(el, Seq("vec_id"), "left_semi"))
+    kept
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Persisted-index ANN (s11): the production "train once, probe
     * many" shape s01–s10 lack — every other entry rebuilds its index
     * per query. The IVF index is materialized as parquet ONCE per
@@ -804,39 +882,60 @@ object Similarity {
     * bytes, verified here by plan shape rather than trusted.
     *
     * The entry measures build + probe (honest for a benchmark); a
-    * production caller builds once and reuses `idxDir`. Results are
-    * IDENTICAL to s03 (same quantizer, same probe rule, same rerank —
-    * PersistedAnnSpec asserts row equality), so correctness rides on
-    * s03's RecallSpec gate. */
+    * production caller builds once and reuses [[indexDir]]. Results
+    * are IDENTICAL to s03 (same quantizer, same probe rule, same
+    * rerank — PersistedAnnSpec asserts row equality), so correctness
+    * rides on s03's RecallSpec gate. */
   val annPersisted: QueryEntry = QueryEntry.noOracle("s11_ann_persisted") { (s, d) =>
-    val idxDir = "target/s11index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxDir = indexDir(s, "s11", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
-    e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
     // probe path: STORED state only (plus the query vectors)
-    val centS = s.read.parquet(s"$idxDir/centroids")
-    val cells = s.read.parquet(s"$idxDir/cells")
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
-    cells.filter(col("vec_id") >= 10)
-      .join(broadcast(qprobe), Seq("cluster"))
-      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    probeStoredCells(s, idxDir, e)
+  }
+
+  /** Share of the corpus that arrives AFTER the initial index build in
+    * [[annPersistedAppend]] — vectors with vec_id ≡ 7 (mod 10), ~10%,
+    * a disjoint deterministic slice of every id range. */
+  private val appendMod = 7
+
+  /** Incremental index maintenance (s14): the one production operation
+    * a "train once, probe many" index still needs — absorb an arriving
+    * vector batch WITHOUT retraining. The initial build trains the
+    * quantizer on the base corpus only (~90%, vec_id ≢ [[appendMod]]
+    * mod 10) and persists s11's layout; the append pass then assigns
+    * the arriving batch against the STORED centroids — a broadcast of
+    * O(k) frozen state, one map pass over the batch, `mode(append)` on
+    * the cell partitions — touching zero existing files and zero base
+    * vectors. Probing is byte-identical to s11's (same stored layout),
+    * and because assignment is a pure per-vector function of the
+    * frozen centroids, probe-after-append ≡ probe of a full rebuild
+    * with the same centroids pinned — PersistedAnnSpec asserts exactly
+    * that equivalence, plus dynamic partition pruning on the probe.
+    *
+    * At 100 TB this is what makes the stored index sustainable over a
+    * growing corpus: each ingest batch costs O(batch·k) assignment
+    * cosines and appends O(batch) rows into existing cell directories;
+    * the quantizer is retrained only when drift (cell-size skew, rising
+    * assignment distance) says so — a monitored offline decision, not a
+    * per-batch cost. Probabilistic recall (rides s03's quantizer) →
+    * rows-only. */
+  val annPersistedAppend: QueryEntry = QueryEntry.noOracle("s14_ann_persisted_append") { (s, d) =>
+    val idxDir = indexDir(s, "s14", d)
+    val e = Tables.embeddings(s, d)
+    val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
+    val cent = ivfCentroids(e.filter(!arriving))
+    nearestCells(e.filter(!arriving), cent)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    // INCREMENTAL APPEND: assign the arriving batch against the STORED
+    // centroids (no retrain, no rewrite of existing cell files)
+    nearestCells(e.filter(arriving), s.read.parquet(s"$idxDir/centroids"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$idxDir/cells")
+    probeStoredCells(s, idxDir, e)
   }
 
   /** Persisted IVF-PQ (s12): s11's stored-index economics applied to
@@ -855,7 +954,7 @@ object Similarity {
     * round-tripped through parquet) and pins the dynamicpruning
     * filter on the codes scan. */
   val annIvfPqPersisted: QueryEntry = QueryEntry.noOracle("s12_ann_ivfpq_persisted") { (s, d) =>
-    val idxDir = "target/s12index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxDir = indexDir(s, "s12", d)
     val e = Tables.embeddings(s, d)
     val (cent, codebook, codesCell) = ivfPqBuild(e)
     codesCell.write.mode("overwrite").partitionBy("cell").parquet(s"$idxDir/codes")
@@ -884,39 +983,17 @@ object Similarity {
     * against the eligible-id relation — corpus-proportional but
     * id-only, shuffled not broadcast. */
   val annFilteredProbe: QueryEntry = QueryEntry.noOracle("s13_ann_filtered_probe") { (s, d) =>
-    val idxDir = "target/s13index/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxDir = indexDir(s, "s13", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
-    e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
-    val centS = s.read.parquet(s"$idxDir/centroids")
-    val cells = s.read.parquet(s"$idxDir/cells")
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
-    cells.filter(col("vec_id") >= 10)
-      .join(broadcast(qprobe), Seq("cluster"))
-      // predicate BEFORE ranking: the window sees eligible rows only
-      .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
-      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    probeStoredCells(s, idxDir, e, eligible = Some(filteredEligible(s, d)))
   }
 
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
-      annFilteredProbe)
+      annFilteredProbe, annPersistedAppend)
 }

@@ -87,7 +87,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "s10_ann_filtered" -> (Fixed, "ivfK centroids + query probes; the corpus-proportional ELIGIBLE set is semi-joined un-hinted, so the planner may demote it — exactly the property this spec protects"),
     "s11_ann_persisted" -> (Fixed, "ivfK centroids (fresh at build, stored at probe) + O(queries·probes) probe relation; the cell-partitioned index itself is scanned with DPP, never broadcast"),
     "s12_ann_ivfpq_persisted" -> (Fixed, "stored centroids + codebook-derived ADC LUTs (O(k·M·pqK)) + O(queries·probes) relations; the cell-partitioned codes are scanned with DPP, never broadcast"),
-    "s13_ann_filtered_probe" -> (Fixed, "ivfK centroids (build + stored) + query probes; the corpus-proportional eligible-id set is semi-joined un-hinted (the s10 posture) and the index scan uses DPP"))
+    "s13_ann_filtered_probe" -> (Fixed, "ivfK centroids (build + stored) + query probes; the corpus-proportional eligible-id set is semi-joined un-hinted (the s10 posture) and the index scan uses DPP"),
+    "s14_ann_persisted_append" -> (Fixed, "ivfK centroids (base-corpus-trained at build, STORED at append time — the frozen quantizer the batch is assigned against) + O(queries·probes) probe relation; appended cells are written files, the probe scan uses DPP, never broadcast"))
 
   /** Hinted-broadcast subtrees of a query's ANALYZED plan (hints are
     * erased by the optimizer, so the analyzed tree is where they

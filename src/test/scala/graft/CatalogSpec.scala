@@ -43,6 +43,18 @@ class CatalogSpec extends SparkSpec {
     assert(ts.contains("lineitem") && !ts.contains("orders"))
   }
 
+  test("q73 runtime-nodes relation reports live cluster state") {
+    val rows = SparkEntry.queries("q73_runtime_nodes")(spark, sf1).collect()
+    assert(rows.nonEmpty, "no executors reported")
+    // local mode: the driver IS the fleet, and the one node must be
+    // marked coordinator and active, with the session's Spark version
+    assert(rows.exists(_.getBoolean(3)), "no coordinator row")
+    assert(rows.forall(_.getString(4) == "active"))
+    assert(rows.forall(_.getString(2) == spark.sparkContext.version))
+    val ids = rows.map(_.getString(0))
+    assert(ids.distinct.length == ids.length, "duplicate node ids")
+  }
+
   test("CREATE NAMESPACE / CTAS / DROP TABLE through the catalog") {
     useRoot(sf1)
     val root = java.nio.file.Files.createTempDirectory("graft-cat").toString

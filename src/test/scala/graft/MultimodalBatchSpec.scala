@@ -48,6 +48,52 @@ class MultimodalBatchSpec extends SparkSpec {
     assert(a.values.forall(v => v.size == 8 && v.forall(x => x >= 0f && x < 1f)))
   }
 
+  test("WAV synthesizer and parser round-trip any payload, including RIFF edge shapes") {
+    val cases = Seq(
+      Array.empty[Byte],                       // empty data chunk
+      Array[Byte](0x41),                       // odd length -> pad byte
+      Array[Byte](0, 127, -128, -1),           // full unsigned range
+      ("word " * 50).trim.getBytes("UTF-8"))   // text-like payload
+    for (samples <- cases; rate <- Seq(8000, 12000, 16000)) {
+      val wav = Multimodal.wavBytes(rate, samples)
+      // word alignment: every RIFF file is an even number of bytes
+      assert(wav.length % 2 == 0, s"odd WAV length ${wav.length}")
+      val (r, ch, bits, data) = Multimodal.parseWav(wav)
+      assert(r == rate && ch == 1 && bits == 8)
+      assert(data.toSeq == samples.toSeq,
+        s"data round-trip lost bytes at rate $rate, n=${samples.length}")
+    }
+    // a parser that trusts offsets instead of walking chunks would
+    // misread this: an unknown chunk inserted before fmt/data
+    val base = Multimodal.wavBytes(8000, Array[Byte](1, 2, 3, 4))
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9, 9, 9)
+    val shifted = base.take(12) ++ junk ++ base.drop(12)
+    val (r2, _, _, d2) = Multimodal.parseWav(shifted)
+    assert(r2 == 8000 && d2.toSeq == Seq[Byte](1, 2, 3, 4))
+    // malformed input fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("not a wav at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("m02 decode matches an independent per-document recompute") {
+    val docs = spark.read.parquet(s"$sf2/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("m02_decode_features")(spark, sf2).collect()
+    assert(got.length == docs.size, "decode lost or invented documents")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = docs(id).getBytes("UTF-8")
+      assert(r.getInt(1) == 8000 + (id % 3).toInt * 4000, s"doc $id rate")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 8, s"doc $id fmt fields")
+      assert(r.getLong(4) == bytes.length.toLong, s"doc $id sample count")
+      val mx = if (bytes.isEmpty) 0 else bytes.map(_ & 0xFF).max
+      assert(r.getInt(7) == mx, s"doc $id max sample")
+    }
+  }
+
   test("driver entry digests the raw embeddings and carries only scalars") {
     import spark.implicits._
     val entry = SparkEntry.queries("m04_batch_embed")(spark, sf2)

@@ -34,14 +34,20 @@ class ParagraphDedupSpec extends SparkSpec {
     }
   }
 
-  /** Brute-force paragraph-pair Jaccard over word 2-gram shingles —
-    * the truth d17's banding approximates. */
+  /** Brute-force paragraph-TYPE-pair Jaccard over word 2-gram
+    * shingles — the truth d17's banding approximates. Exact-duplicate
+    * paragraphs collapse to their d16 survivor key (min packed key per
+    * distinct text) exactly as the entry does, so the truth space is
+    * distinct types. */
   private def brutePairs(dir: String): Map[(Long, Long), Double] = {
-    val sh = paras(dir).map { case ((doc, i), p) =>
-      val w = p.split(" ")
-      (doc * Dedup.paraKeyStride + i,
-        w.zip(w.drop(1)).map { case (a, b) => s"${a}_$b" }.toSet)
-    }.filter(_._2.nonEmpty)
+    val sh = paras(dir)
+      .groupBy(_._2).toSeq
+      .map { case (p, rows) =>
+        val key = rows.map { case ((doc, i), _) =>
+          doc * Dedup.paraKeyStride + i }.min
+        val w = p.split(" ")
+        (key, w.zip(w.drop(1)).map { case (a, b) => s"${a}_$b" }.toSet)
+      }.filter(_._2.nonEmpty)
     (for {
       (ka, sa) <- sh; (kb, sb) <- sh if ka < kb
       j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 /** s11 persisted-index gates: the stored index must answer exactly
   * like the freshly-built one (same quantizer, probe rule, rerank),
@@ -39,7 +40,7 @@ class PersistedAnnSpec extends SparkSpec {
   }
 
   test("s11 probe plan dynamically prunes the cell-partitioned index scan") {
-    assertPruned("s11_ann_persisted", "s11index")
+    assertPruned("s11_ann_persisted", "graftindex/s11")
   }
 
   test("s12 returns exactly s08's results (stored compressed index answers like fresh)") {
@@ -52,6 +53,35 @@ class PersistedAnnSpec extends SparkSpec {
   }
 
   test("s12 probe plan dynamically prunes the cell-partitioned codes scan") {
-    assertPruned("s12_ann_ivfpq_persisted", "s12index")
+    assertPruned("s12_ann_ivfpq_persisted", "graftindex/s12")
+  }
+
+  test("s14 probe after append equals a full-rebuild probe under pinned centroids") {
+    import graft.operators.Similarity
+    // running the entry builds the base index, appends the arriving
+    // batch against the STORED centroids, and probes the result
+    val appended = SparkEntry.queries("s14_ann_persisted_append")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // full rebuild under the SAME frozen centroids: assign every
+    // vector (base + batch) in one pass, probe identically — if the
+    // append pass assigned or stored anything differently, some
+    // (qid, nid, rank) diverges
+    val idxDir = Similarity.indexDir(spark, "s14", sf2)
+    val cent = spark.read.parquet(s"$idxDir/centroids")
+    val e = spark.read.parquet(s"$sf2/embeddings.parquet")
+    val rebuilt = Similarity.probeAssignedCells(
+        cent, Similarity.nearestCells(e, cent), e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(appended == rebuilt,
+      s"diverging rows: ${appended.zip(rebuilt).filter(p => p._1 != p._2).take(3)}")
+    // the append actually appended: stored cells hold the full corpus
+    val stored = spark.read.parquet(s"$idxDir/cells")
+    assert(stored.count() == e.count(), "stored index is missing vectors")
+    val batch = stored.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 10).count()
+    assert(batch > 0, "no arriving-batch vectors present after append")
+  }
+
+  test("s14 probe plan dynamically prunes the cell-partitioned index scan") {
+    assertPruned("s14_ann_persisted_append", "graftindex/s14")
   }
 }

@@ -13,6 +13,39 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("p12: the composed pipeline reads the corpus exactly 3 times, not once per stage") {
+    // gate → strip → dedup → pack as one plan: the corpus is scanned
+    // exactly three times — the strip stage's df diamond (digest-df
+    // aggregation + keep-set join side, each shipping only 48-byte
+    // (doc_id, para_idx, digest) rows through their exchanges) and the
+    // text spine (the only scan whose text column crosses an
+    // exchange). Constant in the number of stages — a naive
+    // stage-by-stage composition would rescan per stage or
+    // materialize intermediates. Collapsing the df diamond to one
+    // scan needs a count-distinct window over digest partitions,
+    // which buffers entire hot-digest (boilerplate herd) partitions
+    // on single tasks — the skew-fragile shape at corpus scale.
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = SparkEntry.queries("p12_pipeline_compose")(spark, sf1)
+    df.collect()
+    // After execution the AQE plan's shuffle stages are LeafExecNodes
+    // (their subtree hangs off .plan, not .children), so a plain child
+    // walk sees zero scans; a ReusedExchange is NOT recursed — the scan
+    // it references executed once and is counted in its original stage.
+    def scans(p: SparkPlan): Seq[FileSourceScanLike] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanLike => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val docScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+    assert(docScans.size == 3,
+      s"p12 scans documents ${docScans.size} times, want 3")
+  }
+
   test("q01: date filter pushed to the parquet scan, two-column read") {
     val plan = finalPlan(SparkEntry.queries("q01_agg_pushdown_sum")(spark, sf1))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), plan)
