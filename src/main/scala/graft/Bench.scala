@@ -46,6 +46,12 @@ package graft
   * nonzero, so a broken query can never silently improve the published
   * total. */
 object Bench {
+  /** Queries whose RUN writes non-trivial data (stored ANN indexes,
+    * bucketed tables) — each is followed by an input re-warm. */
+  val writesDuringRun: Set[String] = Set(
+    "s11_ann_persisted", "s12_ann_ivfpq_persisted", "s13_ann_filtered_probe",
+    "s14_ann_persisted_append", "s15_index_compact", "q74_bucketed_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -99,6 +105,13 @@ object Bench {
       // the timed attempts (transient-stall defense).
       timed(name, fn).foreach(w => samples(name + ":warm") = Seq(w))
       val base = (1 to 3).flatMap(_ => timed(name, fn))
+      // queries that WRITE during their run (persisted ANN indexes,
+      // bucketed tables) push GBs of fresh pages through the page
+      // cache, potentially evicting input bytes the warm protocol
+      // assumes hot — re-warm the inputs so the NEXT query's samples
+      // are not billed for this query's writes (round-9 verdict
+      // adjudication item: rule the mechanism out structurally).
+      if (Bench.writesDuringRun(name)) warmBytes(new java.io.File(sfDir))
       if (base.isEmpty) { failed += name; None }
       else {
         // residual guard: when even three samples disagree by >3x the

@@ -43,7 +43,8 @@ object ScaleProof {
     "d16_paragraph_dedup", "d17_paragraph_neardup", "s10_ann_filtered",
     "d18_boilerplate_strip", "s11_ann_persisted", "s12_ann_ivfpq_persisted",
     "s13_ann_filtered_probe", "s14_ann_persisted_append",
-    "p12_pipeline_compose", "p13_pipeline_full")
+    "p12_pipeline_compose", "p13_pipeline_full",
+    "t13_lexical_diversity", "p14_global_shuffle", "s15_index_compact")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base
@@ -141,8 +142,11 @@ object ScaleProof {
 
     // build only the tables the selected queries read (a 100× docs
     // table is GBs — skip it for an embeddings-only spot run)
-    val needsDocs = names.exists(n =>
-      !n.startsWith("s0") || n == "s04_embed_doc_search")
+    // every s-family entry is embeddings-only except the three that
+    // join documents (s04's text fetch, s10/s13's metadata predicate)
+    val docsReadingAnn = Set(
+      "s04_embed_doc_search", "s10_ann_filtered", "s13_ann_filtered_probe")
+    val needsDocs = names.exists(n => !n.startsWith("s") || docsReadingAnn(n))
     val needsEvents = names.exists(_.startsWith("e"))
     if (!new java.io.File(s"$outDir/embeddings.parquet").exists())
       scaleEmb(spark.read.parquet(s"$sf/embeddings.parquet"), copies)

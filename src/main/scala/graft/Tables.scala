@@ -25,14 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as long
-    * nanos (legacy.parquet.nanosAsLong) — truncate to microseconds,
-    * matching how any engine with µs timestamps sees this data. */
+  /** events.ts arrives in whatever physical type the generator chose
+    * for that round — TIMESTAMP(NANOS) (read as long nanos under
+    * legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ) — normalize both to a session
+    * TIMESTAMP so every consumer sees one type. The session timezone
+    * is pinned to UTC (GraftSession), so the NTZ cast preserves the
+    * instant; this is how DuckDB sees the same naive-µs data. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** The events table as a stringly-typed source: every column cast to
     * string — the shape the reference's ES loader produces

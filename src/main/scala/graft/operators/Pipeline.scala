@@ -697,8 +697,42 @@ object Pipeline {
       .select(col("doc_id"), size(ws).as("toks")))
   }
 
+  /** Seeded global shuffle + shard assignment (p14) — the data-order
+    * freeze a training run needs: every document gets a deterministic
+    * pseudo-random key md5(seed ‖ doc_id), its shard is the key's
+    * first hex nibble (16 shards), and its position within the shard
+    * is the rank of its key there. Reproducible across engines,
+    * partitionings, and re-runs (the p02 seedless-determinism rule —
+    * rand() is none of those), and GLOBALLY unordered: any id-range or
+    * source-locality correlation in the raw corpus is destroyed by the
+    * hash, which is what epoch shuffling exists for.
+    *
+    * Deliberately NOT a total sort: a global ORDER BY md5 ranks the
+    * full corpus through one range exchange; hash-sharding needs only
+    * a 16-way exchange on the shard nibble and per-shard sorts — at
+    * 100 TB each shard is an independent sort a cluster runs in
+    * parallel, and shard files are exactly what the training loader
+    * consumes. All strings and integers → exact oracle. */
+  val globalShuffle: QueryEntry = QueryEntry(
+    "p14_global_shuffle",
+    """WITH h AS (SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+      |SELECT doc_id, substring(hk, 1, 1) AS shard,
+      |       ROW_NUMBER() OVER (PARTITION BY substring(hk, 1, 1) ORDER BY hk, doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
-      qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull)
+      qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
+      globalShuffle)
 }

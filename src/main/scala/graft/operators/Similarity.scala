@@ -992,8 +992,51 @@ object Similarity {
     probeStoredCells(s, idxDir, e, eligible = Some(filteredEligible(s, d)))
   }
 
+  /** Stored-index compaction (s15) — the maintenance op that keeps
+    * s14's economics honest over many ingest batches: each append
+    * drops a few small files into every touched cell directory, so an
+    * index that absorbs thousands of batches degrades into a
+    * small-files problem (per-file open/footer cost starts to rival
+    * the data read; at 100 TB object stores bill per request).
+    * Compaction rewrites the fragmented index into a NEW generation
+    * dir — one key-sorted file per cell, via a single hash
+    * repartition on the cell id — and probes from it; existing
+    * generations are never rewritten in place, so a reader racing the
+    * compactor sees a complete old generation (the delete-after-cutover
+    * is the catalog's job, not the engine's). Contents are untouched,
+    * only layout changes: PersistedAnnSpec asserts probe-from-compacted
+    * ≡ probe-from-fragmented row-for-row, that the fragmented index
+    * really was multi-file per cell, and that the compacted one is
+    * single-file per cell. Probabilistic recall (s03's quantizer) →
+    * rows-only. */
+  val annIndexCompact: QueryEntry = QueryEntry.noOracle("s15_index_compact") { (s, d) =>
+    val idxDir = indexDir(s, "s15", d)
+    val e = Tables.embeddings(s, d)
+    def batch(m: Int) = col("vec_id") % 10 === m && col("vec_id") >= 10
+    val isBase = !(batch(7) || batch(8) || batch(9))
+    val cent = ivfCentroids(e.filter(isBase))
+    nearestCells(e.filter(isBase), cent)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    // three s14-style ingest batches fragment the cell directories
+    Seq(7, 8, 9).foreach { m =>
+      nearestCells(e.filter(batch(m)), s.read.parquet(s"$idxDir/centroids"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$idxDir/cells")
+    }
+    // COMPACT: new generation, one sorted file per cell (hash
+    // repartition on the partition column → each cell lands in
+    // exactly one task)
+    s.read.parquet(s"$idxDir/cells")
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells_g2")
+    probeAssignedCells(
+      s.read.parquet(s"$idxDir/centroids"),
+      s.read.parquet(s"$idxDir/cells_g2"), e)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
-      annFilteredProbe, annPersistedAppend)
+      annFilteredProbe, annPersistedAppend, annIndexCompact)
 }

@@ -382,8 +382,45 @@ object TextAnalysis {
     best.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Lexical-diversity scoring (t13) — the vocabulary-richness signals
+    * quality pipelines pair with frequency filters: type-token ratio
+    * (distinct words / words) and hapax ratio (share of the document's
+    * tokens whose word occurs exactly once IN THAT document). Template
+    * spam and keyword stuffing crater TTR; boilerplate-heavy pages
+    * crater hapax share; both survive t10/t11's corpus-frequency
+    * filters because their words are individually common. All counts
+    * are integers and each ratio is one division, so the oracle is
+    * IEEE-exact with no rounding (the t05 rational-statistics rule).
+    *
+    * At scale: one shuffle on (doc_id, w) with map-side combine, then
+    * a doc-keyed reaggregation of the already-collapsed type table —
+    * rows shrink at every exchange, nothing is corpus-pairs. */
+  val lexicalDiversity: QueryEntry = QueryEntry(
+    "t13_lexical_diversity",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |       COUNT(*) AS n_types,
+      |       CAST(COUNT(*) AS DOUBLE) / SUM(n) AS ttr,
+      |       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(n) AS hapax_ratio
+      |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (count(lit(1)).cast("double") / sum(col("n"))).as("ttr"),
+        (sum(when(col("n") === 1, 1).otherwise(0)).cast("double") /
+          sum(col("n"))).as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun)
+    maxRun, lexicalDiversity)
 }

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming document-ingest surface — the unbounded twin of the batch
+  * dedup family (SURVEY.md §2.9 extension surface).
+  *
+  * [[novel]] is d07/d12's semantics as a continuous pipeline: every
+  * arriving document is emitted iff its content digest has never been
+  * seen, with the seen-set living in the streaming state store instead
+  * of a static "seen" relation. dropDuplicates keys state by the
+  * 32-byte digest — one state row per DISTINCT document ever ingested,
+  * independent of arrival volume, sharded across executors by digest
+  * hash. At 100 TB ingest the state store is the RocksDB backend and a
+  * watermark on an ingest-time column bounds it to the dedup horizon
+  * (dropDuplicatesWithinWatermark); the bounded-input twin here keeps
+  * NoTimeout state so the spec can gate exact batch equivalence
+  * (StreamingSpec: phase-2 emissions = exactly the batch-novel digests
+  * of d07's oracle, one representative each, none re-emitted). */
+object DocsStreaming {
+
+  /** First-arrival winner per content digest over an unbounded
+    * document stream. */
+  def novel(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", sha2(col("text"), 256))
+      .dropDuplicates("digest")
+      .select(col("doc_id"), col("digest"))
+}

@@ -16,20 +16,22 @@ import org.apache.spark.sql.types._
   * against a real unbounded source with the watermark bounding state. */
 object EventsStreaming {
 
-  /** Raw schema as the file source sees it (TIMESTAMP(NANOS) parquet is
-    * read as long nanos under legacy.parquet.nanosAsLong). */
+  /** Raw schema as the file source sees it (TIMESTAMP(MICROS) parquet
+    * without UTC adjustment reads as TIMESTAMP_NTZ). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded read of an events parquet path. */
+  /** Unbounded read of an events parquet path — ts normalized to a
+    * session TIMESTAMP exactly like the batch Tables.events (session
+    * timezone is UTC, so the NTZ cast preserves the instant). */
   def readStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Streaming tumbling-hour aggregation — same transform as the batch
     * e01_events_hourly, plus the watermark that bounds state. */

@@ -84,4 +84,37 @@ class PersistedAnnSpec extends SparkSpec {
   test("s14 probe plan dynamically prunes the cell-partitioned index scan") {
     assertPruned("s14_ann_persisted_append", "graftindex/s14")
   }
+
+  test("s15 compaction changes layout, not contents: probe equality + one file per cell") {
+    import graft.operators.Similarity
+    // running the entry builds base + 3 append batches (fragmented),
+    // writes the compacted generation, and probes the COMPACTED index
+    val compacted = SparkEntry.queries("s15_index_compact")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val idxDir = Similarity.indexDir(spark, "s15", sf2)
+    // probing the FRAGMENTED generation must give row-identical results
+    val fragmented = Similarity.probeAssignedCells(
+        spark.read.parquet(s"$idxDir/centroids"),
+        spark.read.parquet(s"$idxDir/cells"),
+        spark.read.parquet(s"$sf2/embeddings.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(compacted == fragmented,
+      s"diverging rows: ${compacted.zip(fragmented).filter(p => p._1 != p._2).take(3)}")
+    // the fragmented index really was a small-files problem, and the
+    // compacted generation really is one file per cell
+    def cellFiles(gen: String): Seq[Int] =
+      new java.io.File(s"$idxDir/$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    val before = cellFiles("cells")
+    val after = cellFiles("cells_g2")
+    assert(before.nonEmpty && before.exists(_ > 1),
+      s"append batches left no multi-file cell to compact: $before")
+    assert(after.nonEmpty && after.forall(_ == 1),
+      s"compacted generation is not one file per cell: $after")
+  }
+
+  test("s15 probe plan dynamically prunes the compacted index scan") {
+    assertPruned("s15_index_compact", "graftindex/s15")
+  }
 }

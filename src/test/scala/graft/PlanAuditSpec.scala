@@ -238,4 +238,32 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains(
       "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), plan)
   }
+
+  test("q74: bucketed tables join with ZERO exchanges and ZERO sorts below the join") {
+    // broadcast disabled so the gate can't be satisfied vacuously: the
+    // join must be a SortMergeJoin whose both sides read bucket files
+    // directly — no ShuffleExchange and no Sort anywhere below it (the
+    // bucketBy(8)+sortBy layout provides both); the only exchange in
+    // the whole plan is the tiny post-join groupBy's.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the scan reports sortBy ordering only under this conf (sound
+    // here: the pre-write repartition guarantees one file per bucket,
+    // exactly the regime the conf's guard requires)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = SparkEntry.queries("q74_bucketed_join")(spark, sf1)
+      val plan = finalPlan(df).split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val smjTail = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!smjTail.contains("Exchange"),
+        s"exchange below the bucketed join:\n$smjTail")
+      assert(!smjTail.contains("Sort "),
+        s"sort below the bucketed join (sortBy metadata unused):\n$smjTail")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
 }

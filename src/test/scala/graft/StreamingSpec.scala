@@ -212,4 +212,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming ingest dedup carries d07's novelty semantics across micro-batches") {
+    import graft.streaming.DocsStreaming
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-docs-in").toString
+    val docs = Tables.documents(spark, sf1)
+    // phase 1: the d07 "seen" batch arrives and is processed
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(inDir)
+    val q = DocsStreaming.novel(
+        spark.readStream.schema(docs.schema).parquet(inDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_novel").start()
+    val (phase1, phase2) =
+      try {
+        q.processAllAvailable()
+        val p1 = spark.table("ingest_novel").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        // phase 2: the incoming batch arrives while the query RUNS —
+        // state must suppress every digest phase 1 already admitted
+        docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val all = spark.table("ingest_novel").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        (p1, all.filterNot(p1.toSet))
+      } finally q.stop()
+    val batch1Digests = docs.filter(col("doc_id") < 250)
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet
+    // phase 1 admitted exactly batch 1's distinct digests, once each
+    assert(phase1.map(_._2).toSet == batch1Digests)
+    assert(phase1.size == batch1Digests.size, "a digest was emitted twice")
+    // phase 2 admitted exactly the batch-novel digests (d07's output
+    // set), one representative per digest, and every representative is
+    // one of d07's novel doc_ids
+    val d07Ids = SparkEntry.queries("d07_incremental_dedup")(spark, sf1)
+      .collect().map(_.getLong(0)).toSet
+    val novelDigests = docs.filter(col("doc_id") >= 250)
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet -- batch1Digests
+    assert(phase2.map(_._2).toSet == novelDigests)
+    assert(phase2.size == novelDigests.size, "a digest was emitted twice")
+    assert(phase2.forall(p => d07Ids.contains(p._1)),
+      s"phase-2 winners outside d07's novel set: ${phase2.filterNot(p => d07Ids.contains(p._1)).take(3)}")
+    assert(phase2.nonEmpty && phase1.nonEmpty)
+  }
 }
