@@ -50,7 +50,8 @@ object Bench {
     * bucketed tables) — each is followed by an input re-warm. */
   val writesDuringRun: Set[String] = Set(
     "s11_ann_persisted", "s12_ann_ivfpq_persisted", "s13_ann_filtered_probe",
-    "s14_ann_persisted_append", "s15_index_compact", "q74_bucketed_join")
+    "s14_ann_persisted_append", "s15_index_compact", "s16_index_drift",
+    "q74_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,7 +44,8 @@ object ScaleProof {
     "d18_boilerplate_strip", "s11_ann_persisted", "s12_ann_ivfpq_persisted",
     "s13_ann_filtered_probe", "s14_ann_persisted_append",
     "p12_pipeline_compose", "p13_pipeline_full",
-    "t13_lexical_diversity", "p14_global_shuffle", "s15_index_compact")
+    "t13_lexical_diversity", "p14_global_shuffle", "s15_index_compact",
+    "s16_index_drift", "p15_token_budget")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

@@ -730,9 +730,75 @@ object Pipeline {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Token-budget waterfill (p15) — the data-budgeting step between
+    * mixture statistics (p05) and sampling (p06): given a total
+    * training budget B (here half the corpus tokens) and a per-source
+    * repeat cap (2 epochs of each source), allocate tokens per source
+    * by waterfilling — small sources contribute their full cap, large
+    * sources are leveled at a common water line λ chosen so the
+    * allocations exactly exhaust B. The classic closed form: process
+    * sources in ascending cap order; the first index where
+    * cap_i ≥ (B − Σ smaller caps)/(sources remaining) is where the
+    * water line sits, and every source from there on gets λ.
+    *
+    * All statistics are exact integers (token counts, running cap
+    * sums); λ is ONE division applied to identical operands in both
+    * engines, so the oracle is IEEE-exact (the t05/p11 rule). Scale
+    * shape: the corpus scan reduces to O(sources) rows map-side before
+    * the single exchange; the waterfill itself is window arithmetic
+    * over those O(sources) rows plus two broadcast scalars — at 100 TB
+    * the budget computation costs one aggregation pass, like p05. */
+  val tokenBudget: QueryEntry = QueryEntry(
+    "p15_token_budget",
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+      |             FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) / 2 AS budget FROM tok),
+      |ord AS (SELECT source, n, 2 * n AS cap,
+      |               ROW_NUMBER() OVER (ORDER BY 2 * n, source) AS i,
+      |               CAST(COALESCE(SUM(2 * n) OVER (ORDER BY 2 * n, source
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+      |               COUNT(*) OVER () AS k
+      |        FROM tok),
+      |lam AS (SELECT ord.*, (budget - cumb) / (k - i + 1) AS lami FROM ord, tot),
+      |cr AS (SELECT MIN(i) AS ci FROM lam WHERE cap >= lami),
+      |lv AS (SELECT lami AS lam FROM lam, cr WHERE i = ci)
+      |SELECT source, n, cap,
+      |       CASE WHEN (SELECT ci FROM cr) IS NOT NULL AND i >= (SELECT ci FROM cr)
+      |            THEN (SELECT lam FROM lv) ELSE CAST(cap AS DOUBLE) END AS alloc,
+      |       CASE WHEN (SELECT ci FROM cr) IS NOT NULL AND i >= (SELECT ci FROM cr)
+      |            THEN (SELECT lam FROM lv) / cap ELSE 1.0 END AS utilization
+      |FROM lam ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).cast("long").as("n"))
+    val budget = tok.agg((sum(col("n")).cast("double") / 2).as("budget"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ord = tok.withColumn("cap", col("n") * 2)
+      .withColumn("i", row_number().over(w))
+      .withColumn("cumb", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+      .withColumn("k", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val lam = ord.crossJoin(broadcast(budget))
+      .withColumn("lami", (col("budget") - col("cumb")) / (col("k") - col("i") + 1))
+    val cr = lam.filter(col("cap") >= col("lami"))
+      .agg(min(col("i")).as("ci"))
+    val lv = lam.join(broadcast(cr), col("i") === col("ci"))
+      .select(col("lami").as("lam"), col("ci"))
+    lam.crossJoin(broadcast(lv))
+      .select(col("source"), col("n"), col("cap"),
+        when(col("i") >= col("ci"), col("lam"))
+          .otherwise(col("cap").cast("double")).as("alloc"),
+        when(col("i") >= col("ci"), col("lam") / col("cap"))
+          .otherwise(lit(1.0)).as("utilization"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
-      globalShuffle)
+      globalShuffle, tokenBudget)
 }

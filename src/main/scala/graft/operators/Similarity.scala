@@ -814,18 +814,28 @@ object Similarity {
     s.conf.get("graft.index.root", "target/graftindex") + "/" + entry +
       "/" + d.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Nearest-centroid assignment (vec_id, embedding, cluster) — the
-    * shared build step of the cell-partitioned index family
-    * (s11/s13/s14): one broadcast pass over the corpus, one row out
-    * per vector. */
-  private[graft] def nearestCells(e: org.apache.spark.sql.DataFrame,
+  /** Nearest-centroid assignment WITH the winning cosine
+    * (vec_id, embedding, cluster, cs) — the raw form [[nearestCells]]
+    * projects and the drift monitor (s16) aggregates: the assignment
+    * quality statistic costs nothing extra because the cosine is
+    * already computed to pick the cell. */
+  private[graft] def assignCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"), col("cs"))
+
+  /** Nearest-centroid assignment (vec_id, embedding, cluster) — the
+    * shared build step of the cell-partitioned index family
+    * (s11/s13/s14): one broadcast pass over the corpus, one row out
+    * per vector. */
+  private[graft] def nearestCells(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assignCells(e, cent)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
 
   /** Probe of a stored cell-partitioned index (s11's layout): rank the
     * stored centroids per query, read ONLY the probed cells via
@@ -1035,8 +1045,77 @@ object Similarity {
       s.read.parquet(s"$idxDir/cells_g2"), e)
   }
 
+  /** Share-ratio band and assignment-cosine drop beyond which
+    * [[annIndexDrift]] flags a cell for retraining. */
+  private[graft] val driftShareBand = 2.0
+  private[graft] val driftCosDrop = 0.05
+
+  /** Index drift monitor (s16) — the retrain DECISION INPUT the
+    * append path (s14) defers to: "the quantizer is retrained only
+    * when drift says so". Baseline per-cell statistics (member count,
+    * mean assignment cosine) are computed during the base build — from
+    * the SAME assignment pass that places vectors into cells, so they
+    * cost nothing extra — and stored as an O(k) relation next to the
+    * centroids. At each ingest batch, the monitor computes the
+    * identical statistics for the ARRIVING vectors only (again free:
+    * the append pass already assigns them) and emits one row per cell:
+    * base vs new share, share ratio, mean-cosine drop, and a retrain
+    * flag (share shifted beyond [[driftShareBand]]× in either
+    * direction, or assignment quality dropped by [[driftCosDrop]]).
+    *
+    * At 100 TB nothing here scans stored data: the monitor reads two
+    * O(k) relations and folds the in-flight batch — the index is never
+    * re-opened, and retraining stays a monitored offline decision
+    * instead of a per-batch cost. Mean-cosine aggregation order is
+    * engine-specific → rows-only; PersistedAnnSpec recomputes the
+    * flags from the emitted columns and IndexDriftSpec (crafted
+    * drifted batch) proves the flag fires exactly on the drifted
+    * cell. */
+  val annIndexDrift: QueryEntry = QueryEntry.noOracle("s16_index_drift") { (s, d) =>
+    val idxDir = indexDir(s, "s16", d)
+    val e = Tables.embeddings(s, d)
+    val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
+    val base = e.filter(!arriving && col("vec_id") >= 10)
+    val cent = ivfCentroids(base)
+    // base build: cells + centroids + the O(k) per-cell baseline stats
+    val assignedBase = assignCells(base, cent)
+    assignedBase.drop("cs")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    assignedBase.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("base_n"), avg(col("cs")).as("base_cos"))
+      .write.mode("overwrite").parquet(s"$idxDir/stats")
+    // ingest batch: same stats over the arriving vectors, assigned
+    // against the STORED centroids (the s14 append pass's by-product)
+    val newStats = assignCells(e.filter(arriving),
+        s.read.parquet(s"$idxDir/centroids"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("new_n"), avg(col("cs")).as("new_cos"))
+    val baseStats = s.read.parquet(s"$idxDir/stats")
+    val totals = baseStats.agg(sum(col("base_n")).cast("double").as("bt"))
+      .crossJoin(newStats.agg(sum(col("new_n")).cast("double").as("nt")))
+    baseStats.join(newStats, Seq("cluster"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("cluster"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        (coalesce(col("base_n"), lit(0L)) / col("bt")).as("base_share"),
+        (coalesce(col("new_n"), lit(0L)) / col("nt")).as("new_share"),
+        col("base_cos"), col("new_cos"))
+      .withColumn("share_ratio",
+        when(col("base_share") > 0, col("new_share") / col("base_share")))
+      .withColumn("cos_drop",
+        when(col("base_cos").isNotNull && col("new_cos").isNotNull,
+          col("base_cos") - col("new_cos")))
+      .withColumn("retrain",
+        coalesce(col("share_ratio") >= driftShareBand, lit(true)) ||
+          coalesce(col("share_ratio") <= lit(1.0) / driftShareBand, lit(true)) ||
+          coalesce(col("cos_drop") >= driftCosDrop, lit(false)))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
-      annFilteredProbe, annPersistedAppend, annIndexCompact)
+      annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift)
 }

@@ -89,7 +89,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "s12_ann_ivfpq_persisted" -> (Fixed, "stored centroids + codebook-derived ADC LUTs (O(k·M·pqK)) + O(queries·probes) relations; the cell-partitioned codes are scanned with DPP, never broadcast"),
     "s13_ann_filtered_probe" -> (Fixed, "ivfK centroids (build + stored) + query probes; the corpus-proportional eligible-id set is semi-joined un-hinted (the s10 posture) and the index scan uses DPP"),
     "s14_ann_persisted_append" -> (Fixed, "ivfK centroids (base-corpus-trained at build, STORED at append time — the frozen quantizer the batch is assigned against) + O(queries·probes) probe relation; appended cells are written files, the probe scan uses DPP, never broadcast"),
-    "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"))
+    "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"),
+    "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"))
 
   /** Hinted-broadcast subtrees of a query's ANALYZED plan (hints are
     * erased by the optimizer, so the analyzed tree is where they

@@ -44,7 +44,11 @@ class ExchangeAuditSpec extends SparkSpec {
     "t10_rank_score" -> ("same stage as p07: the broadcast vocab side's " +
       "ROW_NUMBER global rank over the frequency-thresholded vocabulary " +
       "(Pipeline.vocab) — O(kept token types); the per-document output " +
-      "side sorts by rangepartitioning, not SinglePartition"))
+      "side sorts by rangepartitioning, not SinglePartition"),
+    "p15_token_budget" -> ("waterfill windows (rank, running cap sum, " +
+      "water-line search) over the per-SOURCE token aggregate — input is " +
+      "the grouped aggregate's output, O(distinct sources), not O(docs); " +
+      "the corpus-sized work reduces map-side before the source exchange"))
 
   private def scalarFinalAgg(p: SparkPlan): Boolean = p match {
     case h: HashAggregateExec => h.groupingExpressions.isEmpty
