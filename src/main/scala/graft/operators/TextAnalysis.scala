@@ -419,8 +419,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-span redaction (t14) — the scrubbing pass every training
+    * corpus takes before tokenization: e-mail addresses and long digit
+    * runs are replaced with typed placeholders and counted per
+    * document. The synthetic corpus carries no PII, so (the m02
+    * ingest-synthesizer pattern) each document is first augmented with
+    * a deterministic contact line derived from its id — every row then
+    * exercises the positive path and the full redacted TEXT is
+    * hash-verified against the oracle, not just zero counts. Patterns
+    * stay in the Java∩RE2 common dialect (character classes + bounded
+    * repetition, no \\b/lookaround) so both engines match identical
+    * spans; Spark's regexp_replace is global by default = DuckDB's 'g'.
+    *
+    * At scale: map-only — no shuffle at all except the presentation
+    * sort; codegen'd string kernels over each partition. */
+  val redact: QueryEntry = QueryEntry(
+    "t14_redact",
+    """WITH aug AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id ' ||
+      |    CAST(doc_id * 997 AS VARCHAR) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  LEN(regexp_extract_all(t, '[0-9]{6,}')) AS n_longnums,
+      |  regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{6,}"
+    Tables.documents(s, d)
+      .withColumn("t", concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com id "),
+        (col("doc_id") * 997).cast("string")))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t, '$email', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(t, '$num', 0)")).as("n_longnums"),
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"), num, "<NUM>")
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun, lexicalDiversity)
+    maxRun, lexicalDiversity, redact)
 }

@@ -76,4 +76,21 @@ class EdgeCaseSpec extends SparkSpec {
       assert(r.getDouble(2) == 1.0, s"unexpected partial match: $r")
     }
   }
+
+  test("t14 redacts EVERY occurrence when a document carries multiple PII spans") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq((1L, "mail a.user@x.org then b_2@y.co.uk and ids 1234567 890123456 end",
+        "en", "web", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("t14_redact")(spark, d).collect().head
+    // 2 crafted emails + the synthesizer's own = 3; 2 long digit runs
+    // (the id-derived 997 number is only 3 digits for doc 1)
+    assert(r.getAs[Int]("n_emails") == 3, r.toString)
+    assert(r.getAs[Int]("n_longnums") == 2, r.toString)
+    val red = r.getAs[String]("redacted")
+    assert(!red.contains("@") && !red.matches(".*[0-9]{6,}.*"), red)
+    assert(red.contains("<EMAIL> then <EMAIL>") && red.contains("<NUM> <NUM>"), red)
+  }
 }
