@@ -1114,8 +1114,73 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** MMR trade-off weight (relevance vs diversity) and selection size
+    * for [[annMmr]]. */
+  private[graft] val mmrLambda = 0.7
+  private[graft] val mmrK = 5
+  private[graft] val mmrPool = 20
+
+  /** MMR-diversified retrieval (s17) — the rerank between ANN and the
+    * consumer: plain top-k returns near-duplicates of one answer when
+    * the corpus is redundant (exactly what a dedup-worthy corpus is);
+    * Maximal Marginal Relevance greedily picks [[mmrK]] results that
+    * balance query relevance against redundancy with what is already
+    * selected: argmax λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s).
+    *
+    * Two-stage shape: stage 1 is s01's corpus pass (broadcast queries,
+    * one scan) truncated to a [[mmrPool]]-candidate pool per query via
+    * the bounded WindowGroupLimit top-k; stage 2 is the greedy loop —
+    * [[mmrK]] bounded iterations over O(queries·pool) rows, every join
+    * keyed on qid, nothing corpus-sized (the pool is localCheckpoint'd
+    * once so the corpus scan never re-executes). At 100 TB the corpus
+    * cost is exactly one s01 pass (or any indexed entry swapped in as
+    * the candidate generator); the rerank cost is independent of
+    * corpus size, the property that makes MMR deployable. Greedy
+    * float argmax chains are engine-specific → rows-only; MmrSpec
+    * pins selection-order invariants and measures the diversity gain
+    * vs plain top-k. */
+  val annMmr: QueryEntry = QueryEntry.noOracle("s17_ann_mmr") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pool = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= mmrPool)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("cos"))
+      .localCheckpoint()
+    var sel = pool
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("cos"),
+        lit(1).as("rank"))
+    for (k <- 2 to mmrK) {
+      val remaining = pool.join(
+        sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+      val scored = remaining
+        .join(sel.select(col("qid"), col("embedding").as("se")), Seq("qid"))
+        .withColumn("sim", cosine_similarity(col("embedding"), col("se")))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), first(col("cos")).as("cos"),
+          max(col("sim")).as("maxsim"))
+        .withColumn("mmr",
+          lit(mmrLambda) * col("cos") - lit(1 - mmrLambda) * col("maxsim"))
+      sel = sel.unionByName(scored
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))))
+        .filter(col("r") === 1)
+        .select(col("qid"), col("vec_id"), col("embedding"), col("cos"),
+          lit(k).as("rank")))
+    }
+    sel.select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
-      annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift)
+      annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
+      annMmr)
 }

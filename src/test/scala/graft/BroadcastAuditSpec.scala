@@ -74,6 +74,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "p02_stratified_sample" -> (Fixed, "per-lang quota cells: O(distinct langs) = 5"),
     "p09_bpe_encode" -> (Fixed, "trained merge table: O(merge rounds) = 10 rows"),
     "p11_mixture_temperature" -> (Fixed, "scalar temperature denominator, 1 row"),
+    "p15_token_budget" -> (Fixed, "three waterfill scalars: the budget aggregate (1 row), the crossing index (1 row), and the water line (1 row)"),
     // --- ANN / clustering: centroids, query sets, LUTs ---
     "s01_ann_bruteforce" -> (Fixed, "query set: 10 vectors"),
     "s02_ann_lsh" -> (Fixed, "query band signatures (10×8) + query vectors (10)"),
@@ -91,6 +92,10 @@ class BroadcastAuditSpec extends SparkSpec {
     "s14_ann_persisted_append" -> (Fixed, "ivfK centroids (base-corpus-trained at build, STORED at append time — the frozen quantizer the batch is assigned against) + O(queries·probes) probe relation; appended cells are written files, the probe scan uses DPP, never broadcast"),
     "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"),
     "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"))
+  // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
+  // pool localCheckpoint severs the analyzed plan before this audit
+  // sees it — the greedy loop itself joins the checkpointed
+  // O(queries·pool) relation un-hinted.
 
   /** Hinted-broadcast subtrees of a query's ANALYZED plan (hints are
     * erased by the optimizer, so the analyzed tree is where they
