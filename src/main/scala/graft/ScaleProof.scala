@@ -45,7 +45,9 @@ object ScaleProof {
     "s13_ann_filtered_probe", "s14_ann_persisted_append",
     "p12_pipeline_compose", "p13_pipeline_full",
     "t13_lexical_diversity", "p14_global_shuffle", "s15_index_compact",
-    "s16_index_drift", "p15_token_budget", "t14_redact", "s17_ann_mmr")
+    "s16_index_drift", "p15_token_budget", "t14_redact", "s17_ann_mmr",
+    "d19_dup_spans", "p16_dsir_weights", "s18_index_delete",
+    "e13_rate_anomaly")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

@@ -804,9 +804,126 @@ object Dedup {
         count(lit(1)).as("kept_paras"))
   }
 
+  /** d19: window width (tokens) of the exact-match grams that seed
+    * span detection — spans shorter than this are invisible; spans
+    * reported are ≥ [[dupSpanMinLen]]. 8 tokens ≈ the 50-character
+    * floor the substring-dedup literature uses for "meaningful"
+    * duplication. */
+  val dupSpanGram = 8
+
+  /** d19: a gram in more than this many documents is boilerplate and
+    * is dropped before pair generation — the d14 [[cloneMaxDf]] rule,
+    * doubling as the hot-key guard (join fan-out per gram ≤ maxDf²). */
+  val dupSpanMaxDf = 16
+
+  /** d19: positions kept per (doc, gram). In natural text a specific
+    * 8-gram almost never repeats within one document, so this keeps
+    * everything; in a degenerate looping document ("a a a …", the t12
+    * detector's quarry) ONE gram can occupy thousands of positions and
+    * square under the self-join — the cap bounds that pair's cost at
+    * 32² rows while leaving normal spans untouched (deterministic:
+    * earliest positions survive, position order is unique). */
+  val dupSpanMaxPos = 32
+
+  /** d19: minimum reported span length in tokens (= 5 consecutive
+    * matching grams with [[dupSpanGram]] = 8). */
+  val dupSpanMinLen = 12
+
+  /** Cross-document duplicated-span extraction (d19) — exact substring
+    * dedup at sub-document granularity (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": the damaging
+    * duplicates are long VERBATIM spans that survive document- and
+    * paragraph-level passes because the enclosing texts differ). The
+    * suffix-array formulation is a single-machine algorithm; the
+    * relational one is: seed with exact [[dupSpanGram]]-token grams,
+    * join docs on shared grams, and read maximal spans off matching-
+    * position runs — two positions extend the same span exactly when
+    * their difference (the DIAGONAL pos_a − pos_b) is constant and
+    * pos_a is consecutive, so gaps-and-islands per (pair, diagonal)
+    * yields every maximal shared span in one GROUP BY, no suffix
+    * structure and no per-pair alignment loop. Reports each pair's
+    * longest span (length + both start offsets, 1-based; ties by
+    * earliest start) over [[dupSpanMinLen]]. All integers → exact
+    * oracle; span-identity property gated in DupSpanSpec.
+    *
+    * At 100 TB: tokens cross one doc-keyed window exchange (t07's
+    * shape — the lead-window gram build binds the split ONCE, dodging
+    * the per-element re-split of a transform-over-sequence lambda, the
+    * d13 pitfall); after that only (doc, pos, 8-gram) rows move, df ≤
+    * [[dupSpanMaxDf]] bounds per-gram fan-out, the position cap bounds
+    * degenerate-doc blow-up, and runs collapse in one grouped pass —
+    * index-join-shaped end to end, like d02/d10/d14, never all-pairs. */
+  val dupSpans: QueryEntry = QueryEntry(
+    "d19_dup_spans",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      |           WHERE len(string_split(text, ' ')) >= $dupSpanGram),
+      |g0 AS (SELECT doc_id,
+      |              unnest(list_transform(range(1, len(arr) - ${dupSpanGram - 2}),
+      |                    i -> array_to_string(arr[i:i+${dupSpanGram - 1}], ' '))) AS gram,
+      |              unnest(range(1, len(arr) - ${dupSpanGram - 2})) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, gram, pos FROM (
+      |        SELECT doc_id, gram, pos,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS rk
+      |        FROM g0) WHERE rk <= $dupSpanMaxPos),
+      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+      |gk AS (SELECT g.* FROM g JOIN df USING (gram) WHERE nd BETWEEN 2 AND $dupSpanMaxDf),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             a.pos AS pos_a, a.pos - b.pos AS diag
+      |      FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |isl AS (SELECT doc_a, doc_b, diag, pos_a,
+      |               pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      |        FROM p),
+      |runs AS (SELECT doc_a, doc_b, COUNT(*) + ${dupSpanGram - 1} AS span_len,
+      |                MIN(pos_a) AS start_a, MIN(pos_a) - diag AS start_b
+      |         FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      |best AS (SELECT doc_a, doc_b, span_len, start_a, start_b,
+      |                ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+      |                                   ORDER BY span_len DESC, start_a, start_b) AS rk
+      |         FROM runs)
+      |SELECT doc_a, doc_b, span_len, start_a, start_b
+      |FROM best WHERE rk = 1 AND span_len >= $dupSpanMinLen
+      |ORDER BY span_len DESC, doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      .withColumn("gram", concat_ws(" ",
+        col("w") +: (1 until dupSpanGram).map(k => lead(col("w"), k).over(byDocPos)): _*))
+      .withColumn("last", lead(col("w"), dupSpanGram - 1).over(byDocPos))
+      .filter(col("last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gram"))
+    val capped = grams.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
+      .filter(col("rk") <= dupSpanMaxPos).drop("rk")
+    val dfg = capped.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, dupSpanMaxDf))
+    val gk = capped.join(dfg, Seq("gram")).select(col("gram"), col("doc_id"), col("pos"))
+    val p = gk.as("a").join(gk.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val isl = p.withColumn("grp", col("pos_a") - row_number().over(
+      Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))))
+    val runs = isl.groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (dupSpanGram - 1)).as("span_len"),
+        min(col("pos_a")).as("start_a"))
+      .withColumn("start_b", col("start_a") - col("diag"))
+    runs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("span_len").desc, col("start_a"), col("start_b"))))
+      .filter(col("rk") === 1 && col("span_len") >= dupSpanMinLen)
+      .select(col("doc_a"), col("doc_b"), col("span_len"),
+        col("start_a"), col("start_b"))
+      .orderBy(col("span_len").desc, col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
     winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup,
-    boilerplateStrip)
+    boilerplateStrip, dupSpans)
 }

@@ -796,9 +796,78 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Hashed-feature buckets for [[dsirWeights]] — fixed at 2¹⁰, the
+    * knob that keeps BOTH language-model tables O(B) regardless of
+    * corpus size (DSIR's own trick for making the n-gram LMs cheap). */
+  private[graft] val dsirBuckets = 1024
+
+  /** DSIR-style importance weighting (p16) — data selection via
+    * importance resampling (Xie et al. 2023): score every raw document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET distribution than under the RAW corpus distribution, then
+    * keep the target-like slice. Here the target is the `lang = 'en'`
+    * subcorpus (stand-in for "curated high-quality set"); features are
+    * word unigrams + bigrams hashed into [[dsirBuckets]] buckets; both
+    * bucket LMs are add-one smoothed; a document's weight is its
+    * log-likelihood ratio Σ ln(p_target(b)/p_raw(b)) over feature
+    * instances, and `selected` keeps weight > 0 — "more target-like
+    * than raw-like", a scale-free threshold needing no global rank
+    * (the deterministic analogue of DSIR's Gumbel resampling).
+    *
+    * Determinism: the per-doc weight is a SUM OF DOUBLES, so it folds
+    * over the doc's (bucket, contribution) cells sorted by bucket —
+    * p11's explicit-left-fold discipline — making the score identical
+    * under any partitioning (DeterminismSpec) and exactly
+    * recomputable (DsirSpec re-derives one doc's weight from raw
+    * counts). ln() is engine-library-specific → rows-only.
+    *
+    * At 100 TB: both LM tables are capped at [[dsirBuckets]] rows by
+    * construction (broadcast, declared in BroadcastAuditSpec); feature
+    * instances travel as (doc_id, int bucket) pairs — text never
+    * crosses an exchange — and collapse to per-(doc, bucket) counts
+    * map-side; the per-doc fold array is ≤ min(doc features, B)
+    * elements, doc-bounded, never corpus-bounded. One corpus scan
+    * builds feats; Spark reuses it across the raw/target aggregates
+    * and the scoring join via the checkpointed lineage. */
+  val dsirWeights: QueryEntry = QueryEntry.noOracle("p16_dsir_weights") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bi = docs.withColumn("arr", ws)
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), " +
+          "(a, b) -> concat(a, '_', b))")).as("g"))
+    val feats = docs.select(col("doc_id"), col("lang"), explode(ws).as("g"))
+      .unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("g")), lit(dsirBuckets.toLong)).as("bucket"))
+      .localCheckpoint()
+    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+    val lm = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + dsirBuckets)) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + dsirBuckets))).as("lr"))
+    feats.join(broadcast(lm), Seq("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"), first(col("lr")).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        expr("aggregate(array_sort(collect_list(named_struct(" +
+          "'bucket', bucket, 'contrib', n * lr))), cast(0.0 as double), " +
+          "(acc, x) -> acc + x.contrib)").as("weight"))
+      .withColumn("selected", col("weight") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
-      globalShuffle, tokenBudget)
+      globalShuffle, tokenBudget, dsirWeights)
 }

@@ -927,6 +927,32 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (q75) — the
+    * per-row "top-N related rows" idiom SQL users reach for before
+    * they know window functions: for each nation, its two
+    * highest-balance customers via a LATERAL derived table. Spark
+    * plans the correlation as a DomainJoin-decorrelated window (the
+    * same physical shape as q17's rank filter), so the lateral
+    * SURFACE costs nothing over the window spelling: one exchange on
+    * the correlation key, per-group top-2 bounded by
+    * WindowGroupLimit — no per-outer-row re-execution anywhere, which
+    * is what makes the construct survive a 100 TB outer side.
+    * Integers/decimals + full tiebreakers → exact oracle (DuckDB runs
+    * the identical text). */
+  val lateralTopN: QueryEntry = {
+    val sql =
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
+    QueryEntry("q75_lateral_topn", sql) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -938,7 +964,7 @@ object Relational {
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
-    unpivotMetrics, runtimeNodes, bucketedJoin)
+    unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

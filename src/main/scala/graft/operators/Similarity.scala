@@ -855,7 +855,8 @@ object Similarity {
     * under pinned centroids and compare against the stored path. */
   private[graft] def probeAssignedCells(centS: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
-      eligible: Option[org.apache.spark.sql.DataFrame] = None)
+      eligible: Option[org.apache.spark.sql.DataFrame] = None,
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
@@ -868,7 +869,10 @@ object Similarity {
     // predicate BEFORE ranking (corpus-proportional but id-only:
     // shuffled semi-join, never broadcast)
     val kept = eligible.fold(cand)(el => cand.join(el, Seq("vec_id"), "left_semi"))
-    kept
+    // tombstones (s18): deleted ids are masked at probe time by an
+    // anti-join — O(deleted) and id-only, the mirror of `eligible`
+    val live = tombstones.fold(kept)(tb => kept.join(tb, Seq("vec_id"), "left_anti"))
+    live
       .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
@@ -1178,9 +1182,61 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Deleted slice for [[annPersistedDelete]]: vec_id ≡ 3 (mod 10),
+    * corpus rows only (~10%) — disjoint from [[appendMod]]'s slice. */
+  private val deleteMod = 3
+
+  /** Tombstone deletes + delete-aware compaction (s18) — the LAST
+    * lifecycle operation the stored index family needed: s11 builds,
+    * s14 appends, s15 compacts, s16 decides retraining — s18 REMOVES
+    * (takedowns, opt-outs, and dedup verdicts all delete vectors from
+    * a 100 TB index that cannot be rewritten per request). Two-phase,
+    * the LSM discipline every production store uses:
+    *
+    *  1. DELETE is a metadata write: the deleted ids land in an
+    *     O(deleted) tombstone relation next to the index; no cell
+    *     file is touched. Probes mask tombstones with an id-only
+    *     anti-join (the mirror of s13's eligible semi-join) — cost
+    *     O(candidates), correct immediately.
+    *  2. COMPACTION (s15's generation discipline) folds tombstones
+    *     physically: one anti-join during the generation rewrite, one
+    *     sorted file per cell, and the new generation needs no mask —
+    *     probes drop the anti-join and the tombstone set resets with
+    *     the old generation's retirement.
+    *
+    * Because deletion is set subtraction under a FROZEN quantizer,
+    * probe-with-tombstones ≡ probe of an index built without the
+    * deleted vectors under the same centroids, and compaction changes
+    * bytes but not rows — PersistedAnnSpec asserts both equivalences
+    * and that the compacted generation contains zero tombstoned ids.
+    * Probabilistic recall (s03's quantizer) → rows-only. */
+  val annPersistedDelete: QueryEntry = QueryEntry.noOracle("s18_index_delete") { (s, d) =>
+    val idxDir = indexDir(s, "s18", d)
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    nearestCells(e, cent)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    // DELETE: O(deleted) ids, written beside the index — zero cell
+    // files touched, effective at the very next probe
+    e.filter(col("vec_id") % 10 === deleteMod && col("vec_id") >= 10)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$idxDir/tombstones")
+    // COMPACT: fold tombstones into generation 2 (one anti-join inside
+    // the s15 rewrite), after which no probe-time mask is needed
+    val tomb = s.read.parquet(s"$idxDir/tombstones")
+    s.read.parquet(s"$idxDir/cells")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells_g2")
+    probeAssignedCells(s.read.parquet(s"$idxDir/centroids"),
+      s.read.parquet(s"$idxDir/cells_g2"), e)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
-      annMmr)
+      annMmr, annPersistedDelete)
 }

@@ -334,8 +334,70 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing-baseline hours for [[rateAnomaly]]'s z-score. */
+  private[graft] val anomalyBaseline = 6
+
+  /** Event-rate anomaly detection (e13): per (event_type, hour), the
+    * z-score of the hour's event count against a trailing
+    * [[anomalyBaseline]]-observed-hour baseline (ROWS frame ending at
+    * the PREVIOUS row, so the scored hour never contaminates its own
+    * baseline) — the ops-side twin of the quality funnel: traffic
+    * spikes, scraper storms, and outage gaps all surface as |z|
+    * excursions before any downstream table drifts. Baselines use the
+    * trailing OBSERVED hours (empty hours produce no row, so the frame
+    * spans the last six hours with traffic — the robust choice for
+    * sparse types).
+    *
+    * Exactness: mean and variance are pure functions of the frame's
+    * integer sums (Σn, Σn² as longs; the t10/t11 rational-statistics
+    * argument), and both engines evaluate the identical scalar
+    * expression tree over them, so even sqrt/division agree to the
+    * last bit — a log-free anomaly score stays fully oracleable.
+    *
+    * At scale: the stream collapses map-side to O(types × hours)
+    * counting rows (e01's shape) BEFORE the window; the only exchange
+    * after pre-aggregation carries (type, hour, n) triples, and the
+    * per-type window state is one 6-row frame — nothing is ever
+    * corpus-proportional past the first partial aggregate. */
+  val rateAnomaly: QueryEntry = QueryEntry(
+    "e13_rate_anomaly",
+    """WITH hc AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      |            FROM events GROUP BY 1, 2),
+      |w AS (SELECT h, event_type, n,
+      |             SUM(n)   OVER tw AS s,
+      |             SUM(n*n) OVER tw AS ss,
+      |             COUNT(*) OVER tw AS m
+      |      FROM hc
+      |      WINDOW tw AS (PARTITION BY event_type ORDER BY h
+      |                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT h, event_type, n,
+      |       CAST(s AS DOUBLE) / m AS base_mean,
+      |       CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/m)/m > 0
+      |            THEN (n - CAST(s AS DOUBLE)/m) /
+      |                 sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/m)/m)
+      |       END AS z
+      |FROM w WHERE m = 6 ORDER BY event_type, h""".stripMargin
+  ) { (s, d) =>
+    val hc = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-anomalyBaseline, -1)
+    val sD = col("s").cast("double")
+    val varr = (col("ss").cast("double") - sD * sD / col("m")) / col("m")
+    hc.withColumn("s", sum(col("n")).over(tw))
+      .withColumn("ss", sum(col("n") * col("n")).over(tw))
+      .withColumn("m", count(lit(1)).over(tw))
+      .filter(col("m") === anomalyBaseline)
+      .select(col("h"), col("event_type"), col("n"),
+        (sD / col("m")).as("base_mean"),
+        when(varr > 0, (col("n") - sD / col("m")) / sqrt(varr)).as("z"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
     slidingWindow, rangeJoin, funnel, retention, locfFill, transitions,
-    gapStats)
+    gapStats, rateAnomaly)
 }

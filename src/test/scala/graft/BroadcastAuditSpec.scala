@@ -75,6 +75,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "p09_bpe_encode" -> (Fixed, "trained merge table: O(merge rounds) = 10 rows"),
     "p11_mixture_temperature" -> (Fixed, "scalar temperature denominator, 1 row"),
     "p15_token_budget" -> (Fixed, "three waterfill scalars: the budget aggregate (1 row), the crossing index (1 row), and the water line (1 row)"),
+    "p16_dsir_weights" -> (Bounded, "hashed-bucket log-ratio LM table: hard-capped at dsirBuckets = 1024 rows by the pmod, corpus-independent by construction (observed-bucket count may grow toward the cap at tiny scales)"),
     // --- ANN / clustering: centroids, query sets, LUTs ---
     "s01_ann_bruteforce" -> (Fixed, "query set: 10 vectors"),
     "s02_ann_lsh" -> (Fixed, "query band signatures (10×8) + query vectors (10)"),
@@ -91,7 +92,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "s13_ann_filtered_probe" -> (Fixed, "ivfK centroids (build + stored) + query probes; the corpus-proportional eligible-id set is semi-joined un-hinted (the s10 posture) and the index scan uses DPP"),
     "s14_ann_persisted_append" -> (Fixed, "ivfK centroids (base-corpus-trained at build, STORED at append time — the frozen quantizer the batch is assigned against) + O(queries·probes) probe relation; appended cells are written files, the probe scan uses DPP, never broadcast"),
     "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"),
-    "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"))
+    "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"),
+    "s18_index_delete" -> (Fixed, "ivfK centroids (trained + stored) + O(queries·probes) probe relation; the tombstone set is anti-joined un-hinted (O(deleted) — corpus-proportional in the worst case, so it must stay demotable) and both index generations are written files scanned with DPP"))
   // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
   // pool localCheckpoint severs the analyzed plan before this audit
   // sees it — the greedy loop itself joins the checkpointed

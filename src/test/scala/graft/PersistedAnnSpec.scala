@@ -117,4 +117,46 @@ class PersistedAnnSpec extends SparkSpec {
   test("s15 probe plan dynamically prunes the compacted index scan") {
     assertPruned("s15_index_compact", "graftindex/s15")
   }
+
+  test("s18 delete: probe equals a rebuild without the deleted vectors; compaction folds tombstones") {
+    import graft.operators.Similarity
+    // running the entry builds the index, tombstones the vec_id%10==3
+    // slice, compacts, and probes the compacted generation
+    val res = SparkEntry.queries("s18_index_delete")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val idxDir = Similarity.indexDir(spark, "s18", sf2)
+    val cent = spark.read.parquet(s"$idxDir/centroids")
+    val e = spark.read.parquet(s"$sf2/embeddings.parquet")
+    val deleted = col("vec_id") % 10 === 3 && col("vec_id") >= 10
+    // (1) semantic equivalence: deletion under a frozen quantizer ≡
+    // an index that never contained the deleted vectors
+    val rebuilt = Similarity.probeAssignedCells(
+        cent, Similarity.nearestCells(e.filter(!deleted), cent), e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(res == rebuilt,
+      s"diverging rows: ${res.zip(rebuilt).filter(p => p._1 != p._2).take(3)}")
+    // (2) the metadata-only phase answers identically: probe of the
+    // FRAGMENTED generation under the tombstone anti-join mask
+    val masked = Similarity.probeAssignedCells(cent,
+        spark.read.parquet(s"$idxDir/cells"), e,
+        tombstones = Some(spark.read.parquet(s"$idxDir/tombstones"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(masked == res,
+      s"tombstone-masked probe diverges from compacted probe: " +
+        s"${masked.zip(res).filter(p => p._1 != p._2).take(3)}")
+    // (3) compaction physically dropped every tombstoned row, and the
+    // tombstone relation is O(deleted), not O(corpus)
+    val g2 = spark.read.parquet(s"$idxDir/cells_g2")
+    assert(g2.filter(deleted).count() == 0,
+      "compacted generation still contains tombstoned vectors")
+    val nDeleted = e.filter(deleted).count()
+    assert(spark.read.parquet(s"$idxDir/tombstones").count() == nDeleted,
+      "tombstone relation is not exactly the deleted-id set")
+    assert(g2.count() == e.count() - nDeleted,
+      "compacted generation lost or kept the wrong number of vectors")
+  }
+
+  test("s18 probe plan dynamically prunes the compacted index scan") {
+    assertPruned("s18_index_delete", "graftindex/s18")
+  }
 }
