@@ -279,6 +279,135 @@ object Multimodal {
     acc.map(v => (v % 1000L).toFloat / 1000f)
   }
 
+  /** A REAL 24-bit uncompressed BMP: 14-byte BITMAPFILEHEADER ("BM",
+    * file size, pixel-array offset 54), 40-byte BITMAPINFOHEADER
+    * (positive height = BOTTOM-UP row storage, the format's famous
+    * trap), pixel rows in file order h−1 … 0, each row 3·w BGR bytes
+    * padded to a 4-byte stride boundary. `pixels` is the LOGICAL
+    * top-down byte stream (row 0 first), length exactly 3·w·h. */
+  private[graft] def bmpBytes(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == 3 * w * h, "pixel payload must be 3·w·h bytes")
+    val stride = (3 * w + 3) / 4 * 4
+    val imgSize = stride.toLong * h
+    val out = new java.io.ByteArrayOutputStream(54 + imgSize.toInt)
+    out.write('B'); out.write('M')
+    out.write(le32(54L + imgSize)); out.write(le16(0)); out.write(le16(0))
+    out.write(le32(54))
+    out.write(le32(40)); out.write(le32(w)); out.write(le32(h))
+    out.write(le16(1)); out.write(le16(24))
+    out.write(le32(0)); out.write(le32(imgSize))
+    out.write(le32(2835)); out.write(le32(2835)) // 72 DPI, per spec
+    out.write(le32(0)); out.write(le32(0))
+    val pad = new Array[Byte](stride - 3 * w)
+    (h - 1 to 0 by -1).foreach { r => // bottom-up
+      out.write(pixels, r * 3 * w, 3 * w)
+      out.write(pad)
+    }
+    out.toByteArray
+  }
+
+  /** Minimal BMP reader, pure JVM: validates the BM magic / 54-byte
+    * pixel offset / 40-byte info header / 24 bpp / no compression,
+    * reads width, height little-endian, then un-mangles the pixel
+    * array — rows are stored BOTTOM-UP at a 4-byte stride, so row r of
+    * the image is read from file row h−1−r with the stride padding
+    * skipped. Returns (w, h, logical top-down BGR bytes). Throws on
+    * malformed input (m02's fail-loudly contract). */
+  private[graft] def parseBmp(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (p(o) & 0xFF).toLong | ((p(o + 1) & 0xFF).toLong << 8) |
+      ((p(o + 2) & 0xFF).toLong << 16) | ((p(o + 3) & 0xFF).toLong << 24)
+    require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', "not a BMP payload")
+    val off = u32(10).toInt
+    require(u32(14) == 40, s"unsupported info-header size ${u32(14)}")
+    val w = u32(18).toInt; val h = u32(22).toInt
+    require(u16(26) == 1 && u16(28) == 24, "not an uncompressed 24bpp BMP")
+    require(u32(30) == 0, "compressed BMP unsupported")
+    val stride = (3 * w + 3) / 4 * 4
+    require(p.length >= off + stride.toLong * h, "truncated pixel array")
+    val pixels = new Array[Byte](3 * w * h)
+    (0 until h).foreach { r =>
+      System.arraycopy(p, off + (h - 1 - r) * stride, pixels, r * 3 * w, 3 * w)
+    }
+    (w, h, pixels)
+  }
+
+  /** Image decode over binary payloads (m05) — m02's real-decode
+    * discipline for the IMAGE modality: documents are packed as REAL
+    * 24-bit BMPs ([[bmpBytes]] — width varies per doc so the stride
+    * padding is load-bearing, bottom-up row order always is), and a
+    * batched mapPartitions pass decodes each payload from bytes alone
+    * ([[parseBmp]]) into per-channel mean intensities and the first
+    * logical pixel. The first-pixel columns are the reader's proof it
+    * un-mangled bottom-up storage + stride correctly: they must equal
+    * the text's first three bytes, which the oracle checks from the
+    * raw text — a reader that walked rows top-down or forgot the pad
+    * bytes produces wrong values on every row where h > 1 or
+    * 3·w % 4 ≠ 0. Channel means are integer sums ÷ pixel count →
+    * exact oracle. Batch shape and scale story are m02's: map-only
+    * over the media column, no exchange before the delivery sort. */
+  val imageDecode: QueryEntry = QueryEntry(
+    "m05_image_decode",
+    """WITH b AS (SELECT doc_id, text,
+      |                  CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents),
+      |d AS (SELECT doc_id, text, w, n // (3 * w) AS h FROM b),
+      |s AS (SELECT doc_id,
+      |             SUM(CASE WHEN i % 3 = 0 THEN ord(substring(text, CAST(i + 1 AS INTEGER), 1)) END) AS sb,
+      |             SUM(CASE WHEN i % 3 = 1 THEN ord(substring(text, CAST(i + 1 AS INTEGER), 1)) END) AS sg,
+      |             SUM(CASE WHEN i % 3 = 2 THEN ord(substring(text, CAST(i + 1 AS INTEGER), 1)) END) AS sr
+      |      FROM d, UNNEST(range(3 * w * h)) AS u(i) WHERE h > 0 GROUP BY 1)
+      |SELECT d.doc_id, d.w AS width, CAST(d.h AS INTEGER) AS height,
+      |       d.w * d.h AS n_pixels,
+      |       CAST(sb AS DOUBLE) / (d.w * d.h) AS mean_b,
+      |       CAST(sg AS DOUBLE) / (d.w * d.h) AS mean_g,
+      |       CAST(sr AS DOUBLE) / (d.w * d.h) AS mean_r,
+      |       CASE WHEN d.h > 0 THEN ord(substring(text, 1, 1)) END AS first_b,
+      |       CASE WHEN d.h > 0 THEN ord(substring(text, 2, 1)) END AS first_g,
+      |       CASE WHEN d.h > 0 THEN ord(substring(text, 3, 1)) END AS first_r
+      |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val in = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val bmps = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val w = 8 + (id % 9).toInt
+        val h = bytes.length / (3 * w)
+        Row(id, bmpBytes(w, h, java.util.Arrays.copyOf(bytes, 3 * w * h)))
+      }
+    }(RowEncoder.encoderFor(paySchema))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("first_b", IntegerType, nullable = true),
+      StructField("first_g", IntegerType, nullable = true),
+      StructField("first_r", IntegerType, nullable = true)))
+    bmps.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, px) = parseBmp(r.getAs[Array[Byte]](1))
+          val sums = new Array[Long](3); var i = 0
+          while (i < px.length) { sums(i % 3) += (px(i) & 0xFF); i += 1 }
+          val np = w.toLong * h
+          def mean(c: Int): Any = if (np == 0) null else sums(c).toDouble / np
+          def first(c: Int): Any = if (np == 0) null else (px(c) & 0xFF)
+          Row(r.getLong(0), w, h, np, mean(0), mean(1), mean(2),
+            first(0), first(1), first(2))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample,
-    batchEmbed)
+    batchEmbed, imageDecode)
 }

@@ -865,9 +865,75 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Histogram resolution for [[curriculum]]'s phase binning: score ×
+    * [[currBucketScale]] floored → at most a few thousand occupied
+    * buckets for any real word-length distribution. */
+  private[graft] val currBucketScale = 50
+  private[graft] val currPhases = 4
+
+  /** Curriculum phase assignment (p17) — order training data
+    * easy→hard without a global sort: difficulty is mean word length
+    * ((n_chars − nw + 1)/nw, p10's rational), and documents are
+    * binned into [[currPhases]] phases at HISTOGRAM granularity — one
+    * corpus pass collapses to O(buckets) (score-bucket, count) cells,
+    * a running-sum window over those cells computes each bucket's
+    * cumulative predecessor count, and phase = min(P−1,
+    * P·cumBefore ∕ N) (integer ops only). Every document joins its
+    * bucket's phase back via broadcast. Same-bucket documents share a
+    * phase by construction — the histogram IS the resolution, the
+    * price of replacing the global rank a true quantile split needs
+    * (the p14 scaladoc's argument against total sorts, applied to
+    * curriculum learning's canonical competence schedule).
+    *
+    * Determinism: score is one rational division; bucket = floor
+    * (score × scale) of an identical double in both engines; the rest
+    * is integer arithmetic → exact oracle. At 100 TB the only
+    * corpus-wide structures are one map-side histogram aggregate and
+    * one O(buckets) broadcast — the window runs over histogram CELLS,
+    * never rows (whitelisted like p15's O(sources) window). */
+  val curriculum: QueryEntry = QueryEntry(
+    "p17_curriculum",
+    s"""WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS nw, n_chars
+      |            FROM documents),
+      |sc AS (SELECT doc_id,
+      |              CAST(n_chars - nw + 1 AS DOUBLE) / nw AS score,
+      |              CAST(FLOOR((CAST(n_chars - nw + 1 AS DOUBLE) / nw) * $currBucketScale) AS BIGINT) AS bucket
+      |       FROM s),
+      |h AS (SELECT bucket, COUNT(*) AS n FROM sc GROUP BY 1),
+      |c AS (SELECT bucket,
+      |             COALESCE(SUM(n) OVER (ORDER BY bucket
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |             SUM(n) OVER () AS total
+      |      FROM h),
+      |ph AS (SELECT bucket,
+      |              CAST(LEAST($currPhases - 1, $currPhases * cum_before // total) AS BIGINT) AS phase
+      |       FROM c)
+      |SELECT sc.doc_id, sc.score, sc.bucket, ph.phase
+      |FROM sc JOIN ph USING (bucket) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((col("n_chars") - size(ws) + 1).cast("double") / size(ws)).as("score"))
+      .withColumn("bucket", floor(col("score") * currBucketScale))
+    val h = sc.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val cw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ph = h
+      .withColumn("cum_before", coalesce(sum(col("n")).over(cw), lit(0L)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"),
+        least(lit(currPhases - 1),
+          expr(s"$currPhases * cum_before div total")).as("phase"))
+    sc.join(broadcast(ph), Seq("bucket"))
+      .select(col("doc_id"), col("score"), col("bucket"), col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
-      globalShuffle, tokenBudget, dsirWeights)
+      globalShuffle, tokenBudget, dsirWeights, curriculum)
 }

@@ -408,6 +408,32 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(embedding, sub * $pqSubDim + 1, $pqSubDim)").as("xs"))
 
+  /** Codebook rows (sub, cl, sdim, c) → per-(sub, cl) centroid ARRAYS
+    * — the broadcastable form the PQ assignment scores against. Dims
+    * are unique per (sub, cl), so the struct sort is total. */
+  private def pqCodebookArrays(cb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cb.groupBy(col("sub"), col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("sdim"), col("c")))),
+        s => s("c")).as("cs"))
+
+  /** PQ-encode vectors under a FROZEN codebook: per-(vector, subspace)
+    * row × broadcast centroid arrays, nearest by one codegen'd
+    * fixed-order squared-L2 fold (ties by cl) — a pure per-row double,
+    * partitioning-independent. This is pqTrain's encode step factored
+    * out so the append path (s19) can encode an arriving batch against
+    * STORED state without retraining. */
+  private[graft] def pqEncode(in: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFunctions.squared_l2
+    subVec(in).join(broadcast(pqCodebookArrays(cb)), Seq("sub"))
+      .withColumn("dist", squared_l2(col("xs"), col("cs")))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cl"))
+  }
+
   private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame,
       sampleMod: Long = 1L)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -430,11 +456,6 @@ object Similarity {
           "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("sub"), col("cl"))
-    // dims are unique per (sub, cl), so the struct sort is total
-    def toArrays(cb: org.apache.spark.sql.DataFrame) =
-      cb.groupBy(col("sub"), col("cl"))
-        .agg(transform(array_sort(collect_list(struct(col("sdim"), col("c")))),
-          s => s("c")).as("cs"))
     val c0 = subVec(es).filter(col("vec_id") < pqK * sampleMod)
       .select(col("sub"), col("vec_id").as("cl"), col("xs").as("cs"))
     // mean update stays decimal-exact: it SUMS ACROSS the (bounded)
@@ -449,7 +470,7 @@ object Similarity {
     // codebook rows, hash-partitioned by sub.
     val c1d = c1.withColumn("cl",
       (expr("dense_rank() OVER (PARTITION BY sub ORDER BY cl)") - 1).cast("long"))
-    (c1d, assign(e, toArrays(c1d)))
+    (c1d, pqEncode(e, c1d))
   }
 
   /** Codes in the FAISS storage layout: ONE row per vector with its
@@ -568,6 +589,39 @@ object Similarity {
     ivfPqProbe(e, cent, codebook, codesCell)
   }
 
+  /** Nearest-cell assignment KEEPING the winning centroid vector
+    * (vec_id, embedding, cell, ce) — the form residual coding needs:
+    * one broadcast pass, one row out per vector. */
+  private def assignCellsWithCe(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ce"))
+
+  /** Per-vector residual r = x − c(x) over an [[assignCellsWithCe]]
+    * relation. */
+  private def cellResiduals(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    assigned.select(col("vec_id"),
+      zip_with(col("embedding"), col("ce"),
+        (x, c) => x.cast("double") - c).as("embedding"))
+
+  /** Assign + residual-encode vectors under FROZEN stored state (the
+    * s19 append path and its spec's rebuild twin): nearest stored
+    * cell, residual against that centroid, PQ codes under the stored
+    * codebook — (vec_id, codes8, cell), exactly [[ivfPqBuild]]'s
+    * stored layout, with zero training anywhere. */
+  private[graft] def ivfPqEncodeCells(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val assigned = assignCellsWithCe(e, cent)
+    codesToArray(pqEncode(cellResiduals(assigned), cb))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+  }
+
   /** IVF-PQ index construction — the corpus-scanning half of s08,
     * factored out so s12 can persist its outputs: the O(k) coarse
     * centroid table, the O(M·k) residual codebook, and the compressed
@@ -578,16 +632,9 @@ object Similarity {
     // one footer-only count sizes BOTH quantizers' training samples
     val n = e.count()
     val cent = ivfCentroids(e, n)
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ce"))
+    val assigned = assignCellsWithCe(e, cent)
     // residuals r = x − c(x), then PQ codes trained ON the residuals
-    val residuals = assigned.select(col("vec_id"),
-      zip_with(col("embedding"), col("ce"),
-        (x, c) => x.cast("double") - c).as("embedding"))
+    val residuals = cellResiduals(assigned)
     // sample-trained on residuals: the vec_id % m filter pushes below
     // the coarse-assignment window, so training never assigns the full
     // corpus to cells twice
@@ -1234,9 +1281,45 @@ object Similarity {
       s.read.parquet(s"$idxDir/cells_g2"), e)
   }
 
+  /** Incremental append for the COMPRESSED persisted index (s19) —
+    * s14's economics carried to the index production actually stores
+    * (s12's IVF-PQ): absorb an arriving batch with BOTH quantizers
+    * frozen. The append pass assigns each arriving vector to its
+    * nearest STORED coarse cell, residual-encodes it under the STORED
+    * codebook ([[pqEncode]] — the training loop never runs), and
+    * `mode(append)`s (vec_id, codes8) rows into the cell partitions:
+    * O(batch·(k + M·pqK)) distance folds and 8 bytes + ids of new
+    * index per vector, zero existing files touched, zero corpus
+    * re-reads.
+    *
+    * Because assignment and encoding are pure per-vector functions of
+    * the frozen stored state, probe-after-append ≡ probe of the whole
+    * corpus re-encoded under the same state — PersistedAnnSpec asserts
+    * that equivalence exactly (the stored base codes must also match
+    * the rebuild's base codes bit-for-bit, or the join would diverge).
+    * Drift accumulates in the RESIDUALS as the true cell population
+    * shifts — s16's monitor is the retrain trigger here too.
+    * Probabilistic recall → rows-only. */
+  val annIvfPqAppend: QueryEntry = QueryEntry.noOracle("s19_ivfpq_append") { (s, d) =>
+    val idxDir = indexDir(s, "s19", d)
+    val e = Tables.embeddings(s, d)
+    val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
+    val (cent, codebook, codesCell) = ivfPqBuild(e.filter(!arriving))
+    codesCell.write.mode("overwrite").partitionBy("cell").parquet(s"$idxDir/codes")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$idxDir/codebook")
+    val storedCent = s.read.parquet(s"$idxDir/centroids")
+    val storedCb = s.read.parquet(s"$idxDir/codebook")
+    // INCREMENTAL APPEND: frozen-state encode of the arriving batch,
+    // appended into existing cell partitions
+    ivfPqEncodeCells(e.filter(arriving), storedCent, storedCb)
+      .write.mode("append").partitionBy("cell").parquet(s"$idxDir/codes")
+    ivfPqProbe(e, storedCent, storedCb, s.read.parquet(s"$idxDir/codes"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
-      annMmr, annPersistedDelete)
+      annMmr, annPersistedDelete, annIvfPqAppend)
 }

@@ -180,4 +180,60 @@ object EventsStreaming {
           Iterator.single(SessionCount(uid, st.sessions, st.events))
       }
   }
+
+  case class RateState(curHourMs: Long, curN: Long, hist: Seq[(Long, Long)])
+  case class RateRow(h: java.sql.Timestamp, event_type: String, n: Long,
+      base_mean: Double, z: Option[Double])
+
+  /** Stateful rate-anomaly scorer — the streaming twin of batch
+    * e13_rate_anomaly. Per-type state is the OPEN hour's running count
+    * plus a ring of the last 6 CLOSED (hour, count) pairs — O(1)
+    * regardless of stream length. An hour closes when a later-hour
+    * event for that type arrives; at close it is scored against the
+    * ring (exactly the batch frame: the 6 trailing OBSERVED hours,
+    * never itself) with the identical double-expression shapes, so
+    * scored rows match the batch z bit-for-bit. The still-open final
+    * hour is unscored by construction — a stream never knows an hour
+    * is over until the next one starts (StreamingSpec equates against
+    * batch minus each type's last observed hour). In-order arrival
+    * assumption as the other twins; an unbounded deployment would add
+    * an event-time timeout to close hours on silence. */
+  def rateAnomaly(events: DataFrame): Dataset[RateRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMs = 3600000L
+    events.selectExpr("event_type", "unix_millis(ts) as ms")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[(String, Long)], state: GroupState[RateState]) =>
+          val sorted = it.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[RateRow]
+          sorted.foreach { ms =>
+            val h = ms - ms % hourMs
+            if (st.curHourMs == Long.MinValue) st = RateState(h, 1L, st.hist)
+            else if (h == st.curHourMs) st = st.copy(curN = st.curN + 1)
+            else {
+              // close the open hour: score against the ring (batch
+              // frame), then push it in and evict past 6
+              if (st.hist.size == 6) {
+                val s = st.hist.map(_._2).sum
+                val ss = st.hist.map(c => c._2 * c._2).sum
+                val m = 6L
+                val varr = (ss.toDouble - s.toDouble * s.toDouble / m) / m
+                val z = if (varr > 0)
+                  Some((st.curN - s.toDouble / m) / math.sqrt(varr)) else None
+                out += RateRow(new java.sql.Timestamp(st.curHourMs), tpe,
+                  st.curN, s.toDouble / m, z)
+              }
+              st = RateState(h, 1L,
+                (st.hist :+ ((st.curHourMs, st.curN))).takeRight(6))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -76,6 +76,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "p11_mixture_temperature" -> (Fixed, "scalar temperature denominator, 1 row"),
     "p15_token_budget" -> (Fixed, "three waterfill scalars: the budget aggregate (1 row), the crossing index (1 row), and the water line (1 row)"),
     "p16_dsir_weights" -> (Bounded, "hashed-bucket log-ratio LM table: hard-capped at dsirBuckets = 1024 rows by the pmod, corpus-independent by construction (observed-bucket count may grow toward the cap at tiny scales)"),
+    "p17_curriculum" -> (Bounded, "score-histogram phase table: O(occupied buckets) cells, bounded by score range × currBucketScale (a few hundred for any word-length distribution), growing only with score DIVERSITY, not corpus rows"),
     // --- ANN / clustering: centroids, query sets, LUTs ---
     "s01_ann_bruteforce" -> (Fixed, "query set: 10 vectors"),
     "s02_ann_lsh" -> (Fixed, "query band signatures (10×8) + query vectors (10)"),
@@ -93,7 +94,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "s14_ann_persisted_append" -> (Fixed, "ivfK centroids (base-corpus-trained at build, STORED at append time — the frozen quantizer the batch is assigned against) + O(queries·probes) probe relation; appended cells are written files, the probe scan uses DPP, never broadcast"),
     "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"),
     "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"),
-    "s18_index_delete" -> (Fixed, "ivfK centroids (trained + stored) + O(queries·probes) probe relation; the tombstone set is anti-joined un-hinted (O(deleted) — corpus-proportional in the worst case, so it must stay demotable) and both index generations are written files scanned with DPP"))
+    "s18_index_delete" -> (Fixed, "ivfK centroids (trained + stored) + O(queries·probes) probe relation; the tombstone set is anti-joined un-hinted (O(deleted) — corpus-proportional in the worst case, so it must stay demotable) and both index generations are written files scanned with DPP"),
+    "s19_ivfpq_append" -> (Fixed, "coarse centroids (trained at build, STORED for the frozen-state batch encode) + M·pqK codebook arrays + probe list + ADC LUTs — all O(k·M·pqK) or O(queries·probes); the cell-partitioned codes are written files scanned with DPP, never broadcast"))
   // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
   // pool localCheckpoint severs the analyzed plan before this audit
   // sees it — the greedy loop itself joins the checkpointed

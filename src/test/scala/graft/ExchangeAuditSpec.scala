@@ -48,7 +48,11 @@ class ExchangeAuditSpec extends SparkSpec {
     "p15_token_budget" -> ("waterfill windows (rank, running cap sum, " +
       "water-line search) over the per-SOURCE token aggregate — input is " +
       "the grouped aggregate's output, O(distinct sources), not O(docs); " +
-      "the corpus-sized work reduces map-side before the source exchange"))
+      "the corpus-sized work reduces map-side before the source exchange"),
+    "p17_curriculum" -> ("cumulative-count window over the score HISTOGRAM " +
+      "— input is the bucket aggregate's output, O(occupied buckets) " +
+      "cells, not O(docs); the corpus reduces map-side before the bucket " +
+      "exchange and documents join phases back via broadcast"))
 
   private def scalarFinalAgg(p: SparkPlan): Boolean = p match {
     case h: HashAggregateExec => h.groupingExpressions.isEmpty

@@ -159,4 +159,34 @@ class PersistedAnnSpec extends SparkSpec {
   test("s18 probe plan dynamically prunes the compacted index scan") {
     assertPruned("s18_index_delete", "graftindex/s18")
   }
+
+  test("s19 probe after compressed append equals a frozen-state re-encode of the full corpus") {
+    import graft.operators.Similarity
+    // running the entry trains on the base corpus, persists, encodes
+    // the arriving batch under the STORED centroids + codebook,
+    // appends, and probes
+    val appended = SparkEntry.queries("s19_ivfpq_append")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val idxDir = Similarity.indexDir(spark, "s19", sf2)
+    val cent = spark.read.parquet(s"$idxDir/centroids")
+    val cb = spark.read.parquet(s"$idxDir/codebook")
+    val e = spark.read.parquet(s"$sf2/embeddings.parquet")
+    // frozen-state re-encode of EVERY vector (base + batch): if the
+    // append pass assigned, residual-coded, or stored anything
+    // differently — including any base-code drift — some row diverges
+    val rebuilt = Similarity.ivfPqProbe(e, cent, cb,
+        Similarity.ivfPqEncodeCells(e, cent, cb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(appended == rebuilt,
+      s"diverging rows: ${appended.zip(rebuilt).filter(p => p._1 != p._2).take(3)}")
+    // the append actually appended compressed rows for the batch
+    val codes = spark.read.parquet(s"$idxDir/codes")
+    assert(codes.count() == e.count(), "stored codes are missing vectors")
+    assert(codes.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 10).count() > 0,
+      "no arriving-batch codes present after append")
+  }
+
+  test("s19 probe plan dynamically prunes the cell-partitioned codes scan") {
+    assertPruned("s19_ivfpq_append", "graftindex/s19")
+  }
 }

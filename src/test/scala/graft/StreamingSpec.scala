@@ -213,6 +213,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming rate-anomaly scorer equals batch e13 on every closed hour") {
+    val q = EventsStreaming.rateAnomaly(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rate_out")
+      .selectExpr("h", "event_type", "n", "base_mean", "z")
+      .collect().map(_.toString).sorted.toSeq
+    // a stream cannot close a type's LAST observed hour (no later
+    // event arrives to end it), so equate against batch minus exactly
+    // those rows
+    val batchRows = SparkEntry.queries("e13_rate_anomaly")(spark, sf1).collect()
+    val lastHour = batchRows.groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.map(_.getTimestamp(0).getTime).max }
+    val batch = batchRows
+      .filterNot(r => lastHour(r.getString(1)) == r.getTimestamp(0).getTime)
+      .map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
   test("streaming ingest dedup carries d07's novelty semantics across micro-batches") {
     import graft.streaming.DocsStreaming
     import org.apache.spark.sql.functions._
