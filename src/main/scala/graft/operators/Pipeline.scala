@@ -931,9 +931,69 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** p18 window geometry: max tokens per training chunk and the
+    * stride between chunk starts — a [[chunkLen]]−[[chunkStride]] =
+    * 32-token overlap, the context-continuity overlap long-document
+    * splitting conventionally keeps. */
+  private[graft] val chunkLen = 256
+  private[graft] val chunkStride = 224
+
+  /** Overlapping chunk split (p18) — the long-document half of
+    * sequence preparation that packing (p03) alone cannot do: a
+    * document longer than the training context must be SPLIT into
+    * [[chunkLen]]-token windows at stride [[chunkStride]] (neighbors
+    * share a 32-token overlap), not truncated. Emits one row per
+    * chunk: index, 1-based start token, length (only the last chunk
+    * is short), and the chunk text's sha256 — chunks travel as
+    * digests + offsets, never as text (the downstream packer/loader
+    * re-slices from storage by offset, the decontaminator joins on
+    * the digest). Chunk count/geometry are pure integer functions of
+    * the token count and sha256 is engine-identical → exact oracle;
+    * the reassembly property (chunks tile the document, consecutive
+    * starts differ by exactly the stride) is gated in
+    * PipelineComposeSpec.
+    *
+    * Built under d16's let-binding chunker discipline: the split
+    * binds ONCE per row (`transform(array(split(...)), arr -> …)`),
+    * so the per-chunk slices are variable lookups, not re-splits —
+    * map-only, no exchange before the delivery sort at any corpus
+    * size. */
+  val chunkSplit: QueryEntry = QueryEntry(
+    "p18_chunk_split",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |n AS (SELECT doc_id, arr, len(arr) AS nw,
+      |             CASE WHEN len(arr) <= $chunkLen THEN 1
+      |                  ELSE 1 + CAST(CEIL(CAST(len(arr) - $chunkLen AS DOUBLE) / $chunkStride) AS BIGINT)
+      |             END AS n_chunks
+      |      FROM t),
+      |c AS (SELECT doc_id, arr, nw, unnest(range(n_chunks)) AS chunk_idx FROM n)
+      |SELECT doc_id, chunk_idx,
+      |       chunk_idx * $chunkStride + 1 AS start_tok,
+      |       LEAST($chunkLen, nw - chunk_idx * $chunkStride) AS n_tokens,
+      |       sha256(array_to_string(arr[CAST(chunk_idx * $chunkStride + 1 AS INTEGER):CAST(chunk_idx * $chunkStride + LEAST($chunkLen, nw - chunk_idx * $chunkStride) AS INTEGER)], ' ')) AS chunk_digest
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(array(split(text, ' ')), arr ->
+           |  transform(sequence(0,
+           |      cast(case when size(arr) <= $chunkLen then 0
+           |           else ceil((size(arr) - $chunkLen) / $chunkStride.0) end as int)),
+           |    i -> named_struct(
+           |      'start_tok', cast(i * $chunkStride + 1 as bigint),
+           |      'n_tokens', cast(least($chunkLen, size(arr) - i * $chunkStride) as bigint),
+           |      'chunk_digest', sha2(array_join(slice(arr, i * $chunkStride + 1,
+           |        least($chunkLen, size(arr) - i * $chunkStride)), ' '), 256))))[0]""".stripMargin))
+        .as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("ch.start_tok").as("start_tok"), col("ch.n_tokens").as("n_tokens"),
+        col("ch.chunk_digest").as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
-      globalShuffle, tokenBudget, dsirWeights, curriculum)
+      globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit)
 }

@@ -77,6 +77,25 @@ class MultimodalBatchSpec extends SparkSpec {
     }
   }
 
+  test("BMP synthesizer and parser round-trip every stride-padding shape") {
+    // widths 8..16 sweep stride padding 0..3; h=3 makes bottom-up
+    // storage load-bearing (a top-down reader returns reversed rows)
+    for (w <- 8 to 16; h <- Seq(0, 1, 3)) {
+      val px = Array.tabulate(3 * w * h)(i => ((i * 7) % 251).toByte)
+      val bmp = Multimodal.bmpBytes(w, h, px)
+      val stride = (3 * w + 3) / 4 * 4
+      assert(bmp.length == 54 + stride * h, s"w=$w h=$h file size")
+      val (rw, rh, rpx) = Multimodal.parseBmp(bmp)
+      assert(rw == w && rh == h)
+      assert(rpx.toSeq == px.toSeq,
+        s"pixel round-trip mangled at w=$w h=$h (stride pad ${stride - 3 * w})")
+    }
+    // malformed input fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.parseBmp("not a bitmap".getBytes("UTF-8"))
+    }
+  }
+
   test("m02 decode matches an independent per-document recompute") {
     val docs = spark.read.parquet(s"$sf2/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

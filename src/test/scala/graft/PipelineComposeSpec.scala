@@ -29,6 +29,40 @@ class PipelineComposeSpec extends SparkSpec {
     assert(nDocs < raw, s"composed pipeline dropped nothing ($nDocs of $raw)")
   }
 
+  test("p18 chunks tile every document at the declared stride") {
+    val texts = spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val byDoc = SparkEntry.queries("p18_chunk_split")(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet, "chunker lost or invented documents")
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val nw = texts(doc).length.toLong
+      // geometry: starts at 1, stride exactly chunkStride, indexes dense
+      sorted.zipWithIndex.foreach { case ((_, idx, start, _, _), i) =>
+        assert(idx == i && start == i * Pipeline.chunkStride + 1,
+          s"doc $doc chunk $i geometry ($idx, $start)")
+      }
+      // every chunk but the last is full-length; the last ends at nw
+      sorted.dropRight(1).foreach { case (_, _, _, n, _) =>
+        assert(n == Pipeline.chunkLen, s"doc $doc short interior chunk")
+      }
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN - 1 == nw,
+        s"doc $doc last chunk ends at ${lastStart + lastN - 1}, nw $nw")
+      // digests: each chunk hashes exactly its token slice
+      sorted.foreach { case (_, _, start, n, digest) =>
+        val slice = texts(doc).slice(start.toInt - 1, start.toInt - 1 + n.toInt)
+        val expect = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(digest == expect, s"doc $doc chunk at $start digest mismatch")
+      }
+    }
+  }
+
   test("p13 drops exactly the larger ids of verified pairs and re-packs the rest") {
     val surv = Pipeline.composeSurvivors(spark, sf1).localCheckpoint()
     val pairs = Dedup.minhashVerifiedPairs(surv)
