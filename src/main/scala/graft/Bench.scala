@@ -51,7 +51,8 @@ object Bench {
   val writesDuringRun: Set[String] = Set(
     "s11_ann_persisted", "s12_ann_ivfpq_persisted", "s13_ann_filtered_probe",
     "s14_ann_persisted_append", "s15_index_compact", "s16_index_drift",
-    "s18_index_delete", "s19_ivfpq_append", "q74_bucketed_join")
+    "s18_index_delete", "s19_ivfpq_append", "s20_retrieval_pipeline",
+    "q74_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,7 +48,8 @@ object ScaleProof {
     "s16_index_drift", "p15_token_budget", "t14_redact", "s17_ann_mmr",
     "d19_dup_spans", "p16_dsir_weights", "s18_index_delete",
     "e13_rate_anomaly", "s19_ivfpq_append", "p17_curriculum",
-    "m05_image_decode", "p18_chunk_split")
+    "m05_image_decode", "p18_chunk_split", "d20_para_clusters",
+    "s20_retrieval_pipeline")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

@@ -238,5 +238,41 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
-  val all: Seq[QueryEntry] = Seq(dupClusters, kmeans)
+  /** Paragraph near-dup cluster collapse (d20) — d09's transitive
+    * closure applied at PARAGRAPH granularity: connected components
+    * over d17's verified near-dup pair graph (distinct paragraph
+    * types, jaccard ≥ 0.5), with each type's d16 herd size folded in,
+    * so one row per cluster reports how many distinct TYPES it spans
+    * and how many paragraph INSTANCES the corpus would shed by
+    * keeping one canonical type per cluster — the number a dedup
+    * budget decision actually needs (A≈B and B≈C pairs alone
+    * double-count the A≈C overlap; the closure doesn't).
+    *
+    * At 100 TB: the edge relation is the SPARSE verified-pair set
+    * (banded candidates, never all-pairs — d17's scale argument),
+    * pointer-jumping closure is O(log diameter) bounded shuffles over
+    * (key, label) pairs (d09's machinery, non-convergence throws),
+    * and herd sizes come from the d16 digest pass — 32-byte digests
+    * and packed longs cross the exchanges, never paragraph text.
+    * Banding-probabilistic edge set → rows-only; ParagraphDedupSpec
+    * recomputes the closure driver-side from the engine's own pair
+    * relation and requires exact cluster-partition equality. */
+  val paraClusters: QueryEntry = QueryEntry.noOracle("d20_para_clusters") { (s, d) =>
+    val edges = Dedup.paraNearDupPairs(s, d)
+      .select(col("a_key").as("a"), col("b_key").as("b"))
+    // per-TYPE instance counts from the d16 digest pass (survivor key,
+    // herd size)
+    val herd = Dedup.paragraphs(s, d)
+      .withColumn("key", col("doc_id") * Dedup.paraKeyStride + col("para_idx"))
+      .groupBy(sha2(col("para"), 256).as("digest"))
+      .agg(min(col("key")).as("key"), count(lit(1)).as("dups"))
+      .select(col("key"), col("dups"))
+    connectedComponents(edges)
+      .join(herd, col("node") === col("key"))
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_types"), sum(col("dups")).as("n_instances"))
+      .orderBy(col("n_instances").desc, col("cluster"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(dupClusters, kmeans, paraClusters)
 }

@@ -687,6 +687,18 @@ object Dedup {
     * hashes than d03 (16 vs 32) because 19-shingle sets need less
     * signature resolution than whole documents. */
   val paragraphNearDup: QueryEntry = QueryEntry.noOracle("d17_paragraph_neardup") { (s, d) =>
+    paraNearDupPairs(s, d)
+      .orderBy(col("jaccard").desc, col("a_key"), col("b_key"))
+      .limit(50)
+  }
+
+  /** d17's full verified near-dup pair relation (a_key, b_key,
+    * jaccard ≥ 0.5 over distinct paragraph TYPES, keys = d16 survivor
+    * packed ids), unlimited — factored so the cluster collapse (d20)
+    * can take the transitive closure of the SAME pair space d17
+    * reports from. */
+  private[graft] def paraNearDupPairs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val nSig = 16
     val pk = paragraphs(s, d)
       .withColumn("key", col("doc_id") * paraKeyStride + col("para_idx"))
@@ -741,8 +753,6 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_key"), col("b_key"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_key"), col("b_key"))
-      .limit(50)
   }
 
   /** d18: a paragraph digest seen in more than this many DISTINCT

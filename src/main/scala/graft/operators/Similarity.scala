@@ -1201,6 +1201,17 @@ object Similarity {
       .filter(col("rk") <= mmrPool)
       .select(col("qid"), col("vec_id"), col("embedding"), col("cos"))
       .localCheckpoint()
+    mmrSelect(pool)
+  }
+
+  /** s17's greedy MMR loop over a (qid, vec_id, embedding, cos)
+    * candidate pool — factored so any stage-1 candidate generator
+    * (s01's corpus pass in s17, the filtered stored-index probe in
+    * s20) can feed the same rerank. The pool must already be bounded
+    * per query (callers localCheckpoint it so the generator never
+    * re-executes inside the loop). */
+  private[graft] def mmrSelect(pool: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     var sel = pool
       .withColumn("r", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
@@ -1317,9 +1328,56 @@ object Similarity {
     ivfPqProbe(e, storedCent, storedCb, s.read.parquet(s"$idxDir/codes"))
   }
 
+  /** Composed retrieval pipeline (s20) — the production serving path
+    * as ONE plan, proving the retrieval operators chain the way p12
+    * proved the data-prep operators chain: stored-index build (s11's
+    * cell-partitioned layout) → predicate filter at probe (s13's
+    * filter-then-rank eligible semi-join) → bounded candidate pool →
+    * greedy MMR diversification (s17's rerank, shared [[mmrSelect]]).
+    * A user of the reference composes exactly this from its pieces;
+    * here the composition is a single lazy DataFrame whose stages fuse
+    * under Catalyst — the pool is the only checkpoint (it bounds the
+    * rerank's input at O(queries·pool) and stops the probe re-running
+    * inside the greedy loop).
+    *
+    * Scale posture inherits each stage's argument: the probe reads
+    * only probed cells (dynamic partition pruning, pinned), the
+    * eligible set is an id-only shuffled semi-join applied BEFORE
+    * ranking (no starvation), and the rerank cost is
+    * corpus-independent. Probabilistic (quantizer recall) →
+    * rows-only; MmrSpec gates first-pick equivalence with the plain
+    * filtered probe, eligibility soundness, and selection shape. */
+  val annRetrievalPipeline: QueryEntry = QueryEntry.noOracle("s20_retrieval_pipeline") { (s, d) =>
+    val idxDir = indexDir(s, "s20", d)
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    nearestCells(e, cent)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    val centS = s.read.parquet(s"$idxDir/centroids")
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val pool = s.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      // predicate BEFORE ranking (s13's posture): id-only, shuffled
+      .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= mmrPool)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("cos"))
+      .localCheckpoint()
+    mmrSelect(pool)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
-      annMmr, annPersistedDelete, annIvfPqAppend)
+      annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline)
 }

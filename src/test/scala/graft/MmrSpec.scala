@@ -85,4 +85,46 @@ class MmrSpec extends SparkSpec {
     assert(dm <= dt + 1e-12,
       s"MMR selection MORE self-similar than top-5: $dm vs $dt")
   }
+
+  test("s20 composes the filtered stored-index probe with the shared MMR rerank") {
+    // running the entry builds + persists the index and runs the
+    // composed probe→filter→pool→MMR plan
+    val res = SparkEntry.queries("s20_retrieval_pipeline")(spark, sf2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // stage-1 equivalence: rebuild the pool from the STORED relations
+    // with the same expressions, rerank through the same shared loop —
+    // if the entry's inline pool diverged anywhere (probe rule,
+    // eligibility posture, pool bound), some row differs
+    val idxDir = Similarity.indexDir(spark, "s20", sf2)
+    val e = spark.read.parquet(s"$sf2/embeddings.parquet")
+    val centS = spark.read.parquet(s"$idxDir/centroids")
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+      .filter(col("crn") <= Similarity.ivfProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val pool = spark.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      .join(Similarity.filteredEligible(spark, sf2), Seq("vec_id"), "left_semi")
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= Similarity.mmrPool)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("cos"))
+      .localCheckpoint()
+    val rebuilt = Similarity.mmrSelect(pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(res == rebuilt,
+      s"diverging rows: ${res.zip(rebuilt).filter(p => p._1 != p._2).take(3)}")
+    // predicate soundness + selection shape
+    val eligible = Similarity.filteredEligible(spark, sf2)
+      .collect().map(_.getLong(0)).toSet
+    assert(res.forall(r => eligible(r._2)), "ineligible vector selected")
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5),
+        s"query $q selection shape ${rs.map(_._3).toSeq}")
+    }
+  }
 }

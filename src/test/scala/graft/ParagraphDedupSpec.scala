@@ -136,4 +136,36 @@ class ParagraphDedupSpec extends SparkSpec {
         s"digest ${r.getString(2).take(8)} survivor ${(r.getLong(0), r.getLong(1))} != first bearer $expect")
     }
   }
+
+  test("d20 clusters are exactly the transitive closure of d17's pair space") {
+    val pairs = Dedup.paraNearDupPairs(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs on sf0.001")
+    // driver-side union-find (union by min ⇒ each root is its
+    // component's min key, matching the engine's min-label closure)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // per-type herd sizes (d16's digest pass, recomputed locally)
+    val herd = paras(sf1).groupBy(_._2).map { case (_, rows) =>
+      val keys = rows.map { case ((doc, i), _) => doc * Dedup.paraKeyStride + i }
+      keys.min -> keys.size.toLong
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (root, nodes) =>
+        (root, nodes.length.toLong, nodes.map(herd).sum) }.toSet
+    val got = SparkEntry.queries("d20_para_clusters")(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expected,
+      s"cluster partitions diverge: got ${got.toSet.size}, expected ${expected.size}; " +
+        s"sample diff ${(expected -- got.toSet).take(2)} / ${(got.toSet -- expected).take(2)}")
+    // delivery order: instances desc, then cluster label
+    assert(got.sortBy(c => (-c._3, c._1)).toSeq == got.toSeq, "output order wrong")
+  }
 }
