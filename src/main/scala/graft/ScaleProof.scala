@@ -49,7 +49,9 @@ object ScaleProof {
     "d19_dup_spans", "p16_dsir_weights", "s18_index_delete",
     "e13_rate_anomaly", "s19_ivfpq_append", "p17_curriculum",
     "m05_image_decode", "p18_chunk_split", "d20_para_clusters",
-    "s20_retrieval_pipeline")
+    "s20_retrieval_pipeline",
+    "t15_unigram_nll", "d21_entity_resolution", "q76_cms_topk",
+    "s21_recall_eval")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base
@@ -133,6 +135,25 @@ object ScaleProof {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** Customer copies for the record-linkage family: disjoint key
+    * ranges, and copy c>0 names carry the copy tag as a PREFIX — same
+    * rationale as [[scaleDocs]]'s word prefixes: verbatim name
+    * replication would make every cross-copy namesake a distance-0
+    * link (quadratic in copies by construction); prefixed names land
+    * in per-copy blocks, so the true link structure is exactly
+    * copies × the sf0.1 structure. */
+  private def scaleCustomer(cust: DataFrame, copies: Int): DataFrame = {
+    assertIdsBelowOffset(cust, Seq("c_custkey"))
+    cust
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select(
+        (col("c_custkey") + col("c").cast("long") * idOffset).as("c_custkey"),
+        when(col("c") === 0, col("c_name"))
+          .otherwise(concat(lit("c"), col("c"), lit("_"), col("c_name")))
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.sliding(2).collectFirst {
       case Array("--copies", n) => n.toInt }.getOrElse(10)
@@ -153,6 +174,7 @@ object ScaleProof {
       "s04_embed_doc_search", "s10_ann_filtered", "s13_ann_filtered_probe")
     val needsDocs = names.exists(n => !n.startsWith("s") || docsReadingAnn(n))
     val needsEvents = names.exists(_.startsWith("e"))
+    val needsCustomer = names.contains("d21_entity_resolution")
     if (!new java.io.File(s"$outDir/embeddings.parquet").exists())
       scaleEmb(spark.read.parquet(s"$sf/embeddings.parquet"), copies)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -162,6 +184,9 @@ object ScaleProof {
     if (needsEvents && !new java.io.File(s"$outDir/events.parquet").exists())
       scaleEvents(spark.read.parquet(s"$sf/events.parquet"), copies)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (needsCustomer && !new java.io.File(s"$outDir/customer.parquet").exists())
+      scaleCustomer(spark.read.parquet(s"$sf/customer.parquet"), copies)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

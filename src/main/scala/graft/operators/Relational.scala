@@ -774,6 +774,49 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Count-Min depth (hash rows) and width (buckets per row). */
+  val cmsDepth = 4
+  val cmsWidth = 1024
+
+  /** Count-Min heavy hitters (q76) — Trino's `approx_most_frequent`
+    * re-expressed as a RELATION: the 4×1024 sketch is just a grouped
+    * count over (row, bucket = XXH64(row, word) mod width), so it
+    * inherits Spark's partial aggregation (each task folds its
+    * partition into ≤ 4096 counters; the exchange moves counters, not
+    * tokens) and — unlike Misra-Gries/SpaceSaving, whose summary merge
+    * is order-dependent — counter ADDITION commutes, so the sketch and
+    * every estimate derived from it are identical under any
+    * partitioning (DeterminismSpec-safe by construction).
+    *
+    * Estimation joins candidates to the broadcast O(depth·width)
+    * sketch on the recomputed bucket and takes min over rows: the
+    * classic CMS guarantee est ≥ true always, est ≤ true + εN w.h.p.
+    * Candidates here are the corpus's own distinct words (exact counts
+    * carried alongside to expose the overestimate); in production the
+    * candidate set is a fixed query list and the corpus is scanned
+    * once. Sketch innards are hash-layout-specific → rows-only;
+    * SketchSpec gates the deterministic bounds. */
+  val cmsTopK: QueryEntry = QueryEntry.noOracle("q76_cms_topk") { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val buckets = (0 until cmsDepth).map(i =>
+      struct(lit(i).as("r"),
+        pmod(xxhash64(lit(i), col("w")), lit(cmsWidth)).as("b")))
+    val cms = w.select(explode(array(buckets: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cand = w.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+    cand.select(col("w"), col("exact"),
+        explode(array(buckets: _*)).as("rb"))
+      .select(col("w"), col("exact"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("w"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .orderBy(col("est").desc, col("w"))
+      .limit(20)
+  }
+
   /** DISTINCT over an inner join — the reference's q005 partial-
     * aggregation-through-join shape (results/q005/workers-1/
     * explain.txt:126: `Aggregate[type = PARTIAL, keys = [d_date_3,
@@ -964,7 +1007,7 @@ object Relational {
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
-    unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN)
+    unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

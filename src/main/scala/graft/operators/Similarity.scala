@@ -1375,9 +1375,58 @@ object Similarity {
     mmrSelect(pool)
   }
 
+  /** s21 engine: IVF top-5 at an explicit probe count, scored against
+    * the s01 exact ground truth — per-query hits and recall@5. Hits/5
+    * is one integer division → engine-exact; the probe parameter is
+    * the knob an index operator actually tunes with this monitor. */
+  private[graft] def ivfRecall(s: org.apache.spark.sql.SparkSession,
+      d: String, probes: Int): org.apache.spark.sql.DataFrame = {
+    val truth = annBruteForce.build(s, d).select(col("qid"), col("nid"))
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e)
+    val scoredCells = e.crossJoin(broadcast(cent))
+      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+    val assigned = scoredCells.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    val qprobe = scoredCells.filter(col("vec_id") < 10 && col("crn") <= probes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cluster"))
+    val approx = assigned.filter(col("vec_id") >= 10)
+      .join(broadcast(qprobe), Seq("cluster"))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("qid"))
+  }
+
+  /** Index recall monitor (s21) — the eval harness a production vector
+    * store runs continuously: exact top-5 ground truth for a bounded
+    * query sample (s01's shape: broadcast queries, one corpus stream)
+    * joined against the IVF index's answers at the configured
+    * [[ivfProbes]], reporting per-query recall@5. Companion to s16's
+    * drift monitor: drift says the index's GEOMETRY is stale, this
+    * says what that costs in ANSWER quality — the number that decides
+    * nprobe bumps or a retrain. Ground-truth cost is O(|sample|·n),
+    * NOT O(n²) — the sample stays fixed as the corpus grows.
+    * IVF ranking is training-dependent → rows-only; RecallSpec gates
+    * the monitor (probe-all ⇒ recall 1.0 on every query, bounds). */
+  val annRecallEval: QueryEntry = QueryEntry.noOracle("s21_recall_eval") {
+    (s, d) => ivfRecall(s, d, ivfProbes)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
-      annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline)
+      annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline,
+      annRecallEval)
 }

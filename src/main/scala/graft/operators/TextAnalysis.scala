@@ -461,8 +461,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM negative log-likelihood scoring (t15) — the CCNet /
+    * Gopher-style "perplexity under a corpus LM" quality proxy:
+    * score(d) = −(1/|d|) Σ_t ln p(t), p(t) = (c_t + 1)/(N + V)
+    * (add-one smoothing over the corpus's own unigram counts).
+    * Low-NLL documents are stuffed with corpus-typical words; high-NLL
+    * documents are rare-word noise — the tails a quality funnel trims.
+    *
+    * Float discipline (the t05/t13 rational-statistics rule, extended):
+    * summing ln p per document IEEE-exactly across engines is
+    * impossible (addition order differs), so per-word logs are frozen
+    * to fixed-point integers L_w = round(ln(c_w+1)·10⁶) once, and the
+    * per-document reduction Σ m_w·L_w is exact 64-bit integer
+    * arithmetic in any order. The only float ops are the shared
+    * round(ln(x)·10⁶) per distinct count value (knife-edge only if
+    * libm logs disagree within ~10⁻⁹ of a .5 boundary) and ONE final
+    * division of exact integers — both engine-order-independent.
+    *
+    * At scale: shuffle 1 collapses tokens to (doc, word, m) with
+    * map-side combine; shuffle 2 collapses to the O(V) count table;
+    * the scoring join is (doc,word)⋈(word) — vocabulary-keyed, NOT
+    * broadcast (V is corpus-proportional under heaps law; at 100 TB
+    * it is GBs) — Zipf-hot words are exactly the skew AQE's skew-join
+    * split handles, and the (N, V) totals travel as a 1-row broadcast.
+    */
+  val unigramNll: QueryEntry = QueryEntry(
+    "t15_unigram_nll",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dw AS (SELECT doc_id, w, COUNT(*) AS m FROM w GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(SUM(m) AS BIGINT) AS c FROM dw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v FROM cw),
+      |k AS (SELECT CAST(round(ln(n_total + v) * 1000000) AS BIGINT) AS k FROM tot),
+      |cl AS (SELECT w, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS lw FROM cw),
+      |pd AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |              CAST(SUM(m * lw) AS BIGINT) AS sum_l
+      |       FROM dw JOIN cl USING (w) GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |       CAST(n_tokens * k - sum_l AS DOUBLE)
+      |         / (CAST(n_tokens AS DOUBLE) * 1000000) AS nll_nats
+      |FROM pd, k ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val cw = dw.groupBy(col("w")).agg(sum(col("m")).as("c"))
+    val totals = cw.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+      .select(round(log(col("n_total") + col("v")) * 1000000)
+        .cast("long").as("k"))
+    val cl = cw.select(col("w"),
+      round(log(col("c") + 1) * 1000000).cast("long").as("lw"))
+    dw.join(cl, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m") * col("lw")).as("sum_l"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") * col("k") - col("sum_l")).cast("double")
+          / (col("n_tokens").cast("double") * lit(1000000))).as("nll_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun, lexicalDiversity, redact)
+    maxRun, lexicalDiversity, redact, unigramNll)
 }

@@ -95,7 +95,10 @@ class BroadcastAuditSpec extends SparkSpec {
     "s15_index_compact" -> (Fixed, "ivfK centroids (base build + STORED for the three append assignments) + O(queries·probes) probe relation; both index generations are written files scanned with DPP — compaction itself is one un-hinted hash repartition, never a broadcast"),
     "s16_index_drift" -> (Fixed, "ivfK centroids (trained + stored) for the two assignment passes + the single-row totals relation; per-cell stats are O(k) relations, the batch is folded in flight, the stored index is never re-scanned"),
     "s18_index_delete" -> (Fixed, "ivfK centroids (trained + stored) + O(queries·probes) probe relation; the tombstone set is anti-joined un-hinted (O(deleted) — corpus-proportional in the worst case, so it must stay demotable) and both index generations are written files scanned with DPP"),
-    "s19_ivfpq_append" -> (Fixed, "coarse centroids (trained at build, STORED for the frozen-state batch encode) + M·pqK codebook arrays + probe list + ADC LUTs — all O(k·M·pqK) or O(queries·probes); the cell-partitioned codes are written files scanned with DPP, never broadcast"))
+    "s19_ivfpq_append" -> (Fixed, "coarse centroids (trained at build, STORED for the frozen-state batch encode) + M·pqK codebook arrays + probe list + ADC LUTs — all O(k·M·pqK) or O(queries·probes); the cell-partitioned codes are written files scanned with DPP, never broadcast"),
+    "s21_recall_eval" -> (Fixed, "s01 query set (10 vectors) + ivfK centroids + O(queries·probes) probe relation — the monitored index's own O(k)/O(queries) sides; ground truth streams the corpus un-broadcast"),
+    "t15_unigram_nll" -> (Fixed, "smoothing-log scalar (K): single-row aggregate; the O(V) per-word log table is JOINED un-hinted (vocabulary is corpus-proportional under Heaps' law, must stay demotable)"),
+    "q76_cms_topk" -> (Fixed, "CMS counter relation: hard-capped at depth·width = 4096 rows by the pmod, corpus-independent by construction"))
   // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
   // pool localCheckpoint severs the analyzed plan before this audit
   // sees it — the greedy loop itself joins the checkpointed

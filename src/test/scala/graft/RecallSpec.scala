@@ -59,6 +59,30 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, s"s09 recall@5 = $r")
   }
 
+  test("s21 monitor reproduces this spec's own recall measurement of s03") {
+    // independent computation paths: the monitor joins DataFrames
+    // inside one plan; the spec collects both entries and intersects
+    // sets driver-side — agreement pins the monitor's arithmetic
+    val rows = SparkEntry.queries("s21_recall_eval")(spark, sf2).collect()
+    assert(rows.length == 10, s"expected 10 query rows, got ${rows.length}")
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    val viaSpec = recallAt5("s03_ann_ivf", sf2)
+    assert(math.abs(mean - viaSpec) < 1e-12,
+      s"monitor mean=$mean vs spec-computed $viaSpec")
+    rows.foreach { r =>
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0 && rec == r.getLong(1) / 5.0)
+    }
+  }
+
+  test("s21 at probe-all is exact: recall 1.0 on every query") {
+    val rows = operators.Similarity
+      .ivfRecall(spark, sf1, operators.Similarity.ivfK).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"qid ${r.getLong(0)} recall ${r.getDouble(2)} != 1.0 at probe-all"))
+  }
+
   test("approximate results are real corpus members with sane ranks") {
     Seq("s02_ann_lsh", "s03_ann_ivf", "s07_ann_pq", "s08_ann_ivfpq",
         "s09_ann_sq").foreach { name =>
