@@ -991,9 +991,60 @@ object Pipeline {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Dataset-card manifest (p19) — the per-(source, lang) statistics
+    * table a corpus release ships (HuggingFace dataset cards, Pile /
+    * Dolma papers): document and token counts, exact duplicate rate
+    * (from content digests), and the n_chars spread with an EXACT
+    * lower median — a rank pick, not an approximate percentile, so
+    * the oracle matches bit-for-bit (approx_percentile's sketch would
+    * be engine-specific). dup_rate is the one float: a single rational
+    * division of exact integers (the t05 rule).
+    *
+    * Plan economics: the median's window and the final aggregate key
+    * on the SAME (source, lang) columns, so Catalyst reuses ONE hash
+    * exchange for both — the stats pass costs a single shuffle of
+    * narrow (digest, counts) rows at any corpus size. */
+  val datasetCard: QueryEntry = QueryEntry(
+    "p19_dataset_card",
+    """WITH b AS (SELECT source, lang, doc_id, n_chars,
+      |                  LEN(string_split(text, ' ')) AS toks, sha256(text) AS dg
+      |           FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars, doc_id) AS rk,
+      |             COUNT(*) OVER (PARTITION BY source, lang) AS n FROM b)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |       COUNT(DISTINCT dg) AS n_unique,
+      |       CAST(COUNT(*) - COUNT(DISTINCT dg) AS DOUBLE) / COUNT(*) AS dup_rate,
+      |       MIN(n_chars) AS min_chars,
+      |       MAX(CASE WHEN rk = (n + 1) // 2 THEN n_chars END) AS median_chars,
+      |       MAX(n_chars) AS max_chars
+      |FROM r GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("toks"), sha2(col("text"), 256).as("dg"))
+    val wg = Window.partitionBy(col("source"), col("lang"))
+    val r = b
+      .withColumn("rk", row_number().over(
+        wg.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(wg))
+    r.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("dg")).as("n_unique"),
+        ((count(lit(1)) - countDistinct(col("dg"))).cast("double") /
+          count(lit(1))).as("dup_rate"),
+        min(col("n_chars")).as("min_chars"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("n_chars")))
+          .as("median_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
-      globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit)
+      globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
+      datasetCard)
 }

@@ -396,8 +396,75 @@ object Temporal {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** CEP sequence-pattern detection (e15) — MATCH_RECOGNIZE /
+    * Flink-CEP's `V+ P` pattern ("one or more consecutive views
+    * immediately followed by a purchase, within one session") as pure
+    * relational algebra: sessionize (e03's 30-min gap), run-length
+    * encode the per-session event sequence with gaps-and-islands (rn
+    * minus per-type rn is constant within a maximal same-type run),
+    * then ONE lead() over the per-session run sequence checks the
+    * adjacency `view-run → purchase-run`. Matches are maximal by
+    * construction (a run is maximal, so no sub-run double-counting —
+    * the MATCH_RECOGNIZE `ONE ROW PER MATCH` + `AFTER MATCH SKIP PAST
+    * LAST ROW` semantics fall out for free).
+    *
+    * At scale: every window partitions by user (and session), so the
+    * stage parallelizes across users with one exchange; the runs
+    * relation the lead() sees is strictly smaller than the input.
+    * Pure integer/string outputs → exact oracle. */
+  val patternMatch: QueryEntry = QueryEntry(
+    "e15_pattern_match",
+    """WITH x AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |y AS (SELECT *, CASE WHEN ms - LAG(ms) OVER wu >= 1800000
+      |                       OR LAG(ms) OVER wu IS NULL THEN 1 ELSE 0 END AS is_new
+      |      FROM x WINDOW wu AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS session FROM y),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session ORDER BY ms, event_id)
+      |               - ROW_NUMBER() OVER (PARTITION BY user_id, session, event_type ORDER BY ms, event_id) AS grp,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id, session ORDER BY ms, event_id) AS rn
+      |      FROM z),
+      |runs AS (SELECT user_id, session, event_type, grp,
+      |                MIN(rn) AS start_rn, COUNT(*) AS run_len
+      |         FROM r GROUP BY 1, 2, 3, 4),
+      |seq AS (SELECT *, LEAD(event_type) OVER ws AS nxt_type
+      |        FROM runs WINDOW ws AS (PARTITION BY user_id, session ORDER BY start_rn))
+      |SELECT user_id, session, start_rn, run_len AS n_views
+      |FROM seq
+      |WHERE event_type = 'view' AND run_len >= 1 AND nxt_type = 'purchase'
+      |ORDER BY user_id, session, start_rn""".stripMargin
+  ) { (s, d) =>
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val z = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(wu))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") >= 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session", sum(col("is_new")).over(wu).cast("long"))
+    val ws = Window.partitionBy(col("user_id"), col("session"))
+      .orderBy(col("ms"), col("event_id"))
+    val wst = Window.partitionBy(col("user_id"), col("session"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    val runs = z
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("grp", col("rn") - row_number().over(wst))
+      .groupBy(col("user_id"), col("session"), col("event_type"), col("grp"))
+      .agg(min(col("rn")).as("start_rn"), count(lit(1)).as("run_len"))
+    val wr = Window.partitionBy(col("user_id"), col("session"))
+      .orderBy(col("start_rn"))
+    runs
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(wr))
+      .filter(col("event_type") === "view" && col("run_len") >= 1 &&
+        col("nxt_type") === "purchase")
+      .select(col("user_id"), col("session"),
+        col("start_rn").cast("long").as("start_rn"),
+        col("run_len").as("n_views"))
+      .orderBy(col("user_id"), col("session"), col("start_rn"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
     slidingWindow, rangeJoin, funnel, retention, locfFill, transitions,
-    gapStats, rateAnomaly)
+    gapStats, rateAnomaly, patternMatch)
 }
