@@ -1423,10 +1423,128 @@ object Similarity {
     (s, d) => ivfRecall(s, d, ivfProbes)
   }
 
+  /** Hybrid lexical+vector retrieval with RRF fusion (s22) — the
+    * two-channel search shape RAG / retrieval pipelines actually run:
+    * BM25 (k1=1.2, b=0.75) over the documents' own term statistics
+    * ranks one channel, exact cosine over the aligned embeddings ranks
+    * the other, and reciprocal-rank fusion (k=60) merges the top-20 of
+    * each into a final top-5 per query.
+    *
+    * Everything is exactly oracled by the same two tricks the suite
+    * already trusts: ORDER is the only float-sensitive output (s01
+    * proved cosine-rank parity), and BM25 term scores are frozen to
+    * fixed-point micro units before the per-document sum, so the
+    * reduction is exact integer arithmetic in any order (the t15
+    * discipline); RRF contributions are likewise integer nano units of
+    * 1/(60+rank). Absent-from-channel ranks surface as 0, not NULL.
+    *
+    * At scale: the 9-row query-term relation broadcasts and FILTERS
+    * the (doc, term) table before any wide join — the classic
+    * postings-fetch: per-query work is O(Σ posting lists), never a
+    * corpus scan per query; document/corpus statistics (len, df, the
+    * 1-row totals) are the standard index-build aggregates. The
+    * vector channel is s01's broadcast-queries corpus stream. Both
+    * rank windows partition by qid. */
+  val hybridSearch: QueryEntry = QueryEntry(
+    "s22_hybrid_search",
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+      |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS m FROM toks GROUP BY 1, 2),
+      |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS total FROM dl),
+      |q(qid, w) AS (VALUES (CAST(0 AS BIGINT),'table'),(0,'scan'),(0,'filter'),
+      |                     (1,'join'),(1,'merge'),(1,'sort'),
+      |                     (2,'vector'),(2,'spark'),(2,'query')),
+      |scored AS (SELECT qid, tf.doc_id,
+      |    CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+      |      * (m * 2.2 / (m + 1.2 * (0.25 + 0.75 * len * n / total)))
+      |      * 1000000) AS BIGINT)) AS BIGINT) AS bm_micro
+      |  FROM tf JOIN q USING (w) JOIN dfx USING (w)
+      |       JOIN dl ON tf.doc_id = dl.doc_id, tot
+      |  GROUP BY 1, 2),
+      |lex AS (SELECT qid, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm_micro DESC, doc_id) AS lex_rank
+      |        FROM scored),
+      |nv AS (SELECT vec_id, embedding,
+      |         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |       FROM embeddings),
+      |qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM nv WHERE vec_id < 3),
+      |cosc AS (SELECT qid, e.vec_id AS doc_id,
+      |           list_sum(list_transform(range(1, len(qe) + 1),
+      |             i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm) AS cs
+      |         FROM nv e, qv WHERE e.vec_id >= 10),
+      |vecr AS (SELECT qid, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS vec_rank
+      |         FROM cosc),
+      |fused AS (SELECT qid, doc_id,
+      |    COALESCE(l.lex_rank, 0) AS lex_rank, COALESCE(v.vec_rank, 0) AS vec_rank,
+      |    COALESCE(CAST(round(1000000000 / (60 + l.lex_rank)) AS BIGINT), 0)
+      |      + COALESCE(CAST(round(1000000000 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf_nano
+      |  FROM (SELECT * FROM lex WHERE lex_rank <= 20) l
+      |  FULL JOIN (SELECT * FROM vecr WHERE vec_rank <= 20) v USING (qid, doc_id))
+      |SELECT qid, doc_id, fused_rank, rrf_nano, lex_rank, vec_rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_nano DESC, doc_id) AS fused_rank
+      |  FROM fused)
+      |WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin
+  ) { (s, d) =>
+    val corpus = Tables.documents(s, d).filter(col("doc_id") >= 10)
+    val toks = corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+    val dfx = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("len")).as("total"))
+    val q = {
+      import s.implicits._
+      Seq(0L -> "table", 0L -> "scan", 0L -> "filter",
+        1L -> "join", 1L -> "merge", 1L -> "sort",
+        2L -> "vector", 2L -> "spark", 2L -> "query").toDF("qid", "w")
+    }
+    val scored = tf.join(broadcast(q), Seq("w"))
+      .join(dfx, Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro", expr(
+        "cast(round(ln(1 + (n - df + 0.5) / (df + 0.5))" +
+          " * (m * 2.2 / (m + 1.2 * (0.25 + 0.75 * len * n / total)))" +
+          " * 1000000) as bigint)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("bm_micro"))
+    val lex = scored.withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("bm_micro").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 20)
+      .select(col("qid"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val vecr = e.filter(col("vec_id") >= 10).crossJoin(broadcast(qv))
+      .withColumn("cs", cosine_similarity(col("qe"), col("embedding")))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("vec_rank") <= 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("vec_rank").cast("long").as("vec_rank"))
+    val fused = lex.join(vecr, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (coalesce(expr("cast(round(1000000000 / (60 + lex_rank)) as bigint)"), lit(0L))
+          + coalesce(expr("cast(round(1000000000 / (60 + vec_rank)) as bigint)"), lit(0L)))
+          .as("rrf_nano"))
+    fused.withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("doc_id"), col("fused_rank").cast("long").as("fused_rank"),
+        col("rrf_nano"), col("lex_rank"), col("vec_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
       annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline,
-      annRecallEval)
+      annRecallEval, hybridSearch)
 }
