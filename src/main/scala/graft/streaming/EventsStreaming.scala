@@ -181,6 +181,56 @@ object EventsStreaming {
       }
   }
 
+  case class CepState(session: Long, lastMs: Long, rn: Long,
+      curType: String, runStart: Long, runLen: Long)
+  case class CepMatch(user_id: Long, session: Long, start_rn: Long, n_views: Long)
+
+  /** Stateful CEP pattern matcher — the streaming twin of batch
+    * e15_pattern_match (`view+ purchase` within a 30-min session).
+    * Per-user state is ONE open run (type, start, length) plus the
+    * session/row counters — O(1) regardless of stream length, the
+    * Flink-CEP NFA state for this pattern. A match emits the moment
+    * the adjacent purchase ARRIVES, so unlike the rate twin there is
+    * no unclosable tail: streaming output equals the batch relation
+    * exactly (StreamingSpec, including a run split across
+    * micro-batches). In-order arrival per the other twins; an
+    * unbounded deployment would add an event-time timeout to retire
+    * idle users' state. */
+  def patternMatch(events: DataFrame, gapMs: Long = 1800000L): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) as ms")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[CepState]) =>
+          val sorted = it.toArray.sortBy(e => (e._4, e._2))
+          var st = state.getOption.getOrElse(
+            CepState(0L, Long.MinValue, 0L, "", 0L, 0L))
+          val out = Seq.newBuilder[CepMatch]
+          sorted.foreach { case (_, _, tpe, ms) =>
+            if (st.lastMs == Long.MinValue || ms - st.lastMs >= gapMs) {
+              // session boundary: no adjacency across it, open a fresh run
+              st = CepState(st.session + 1, ms, 1L, tpe, 1L, 1L)
+            } else {
+              val rn = st.rn + 1
+              if (tpe == st.curType)
+                st = st.copy(lastMs = ms, rn = rn, runLen = st.runLen + 1)
+              else {
+                if (st.curType == "view" && tpe == "purchase")
+                  out += CepMatch(uid, st.session, st.runStart, st.runLen)
+                st = st.copy(lastMs = ms, rn = rn, curType = tpe,
+                  runStart = rn, runLen = 1L)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class RateState(curHourMs: Long, curN: Long, hist: Seq[(Long, Long)])
   case class RateRow(h: java.sql.Timestamp, event_type: String, n: Long,
       base_mean: Double, z: Option[Double])

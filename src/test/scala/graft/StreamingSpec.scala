@@ -234,6 +234,57 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
   }
 
+  test("streaming CEP pattern matcher equals batch e15 exactly") {
+    val q = EventsStreaming.patternMatch(EventsStreaming.readStream(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cep_out")
+      .selectExpr("user_id", "session", "start_rn", "n_views")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e15_pattern_match")(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    // matches complete at purchase arrival, so no unclosable tail:
+    // full equality, not minus-last-window
+    assert(streamed == batch && batch.nonEmpty,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
+  test("streaming CEP match survives a view-run split across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-cep-in").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    import spark.implicits._
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(inDir)
+    // phase 1: the view-run arrives and is processed; NO match yet
+    write(Seq((1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(1), 1L, "view", 1.0, "{}")))
+    val q = EventsStreaming.patternMatch(
+        spark.readStream.schema(EventsStreaming.rawSchema).parquet(inDir)
+          .withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_split").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cep_split").isEmpty,
+        "match emitted before its purchase arrived")
+      // phase 2: the adjacent purchase arrives in a LATER micro-batch —
+      // the carried run state must complete the match
+      write(Seq((3L, ts(2), 1L, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("cep_split")
+        .selectExpr("user_id", "session", "start_rn", "n_views")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((1L, 1L, 1L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup carries d07's novelty semantics across micro-batches") {
     import graft.streaming.DocsStreaming
     import org.apache.spark.sql.functions._
