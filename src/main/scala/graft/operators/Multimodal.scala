@@ -408,6 +408,78 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).orderBy(col("doc_id"))
   }
 
+  /** Samples per analysis frame in [[audioFrames]] — 20 ms at the 8 kHz
+    * base rate, the standard speech-processing hop. */
+  val audioFrameSize = 160
+
+  /** Framed audio feature extraction (m06) — the windowed-DSP step
+    * after m02's decode: each payload's REAL WAV bytes are parsed
+    * ([[parseWav]]) and the PCM stream is cut into
+    * [[audioFrameSize]]-sample non-overlapping frames; per frame the
+    * decoder emits length, energy Σ(v−128)² and peak |v−128| — the
+    * short-time-energy features a VAD / silence-trimming pass runs on
+    * (all integers, so the oracle is exact; the synthesizer's
+    * byte↔character identity makes them recomputable from the text).
+    * One payload → many frame rows: the decode loop emits a row per
+    * frame inside the same batched mapPartitions shape (batch
+    * composition independence still holds — frames are a pure
+    * per-payload function). doc_id < 50 bounds output like m03.
+    * At 100 TB: map-only over the media column; frame rows are 5
+    * integers, never the samples. */
+  val audioFrames: QueryEntry = QueryEntry(
+    "m06_audio_frames",
+    """WITH t AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id < 50),
+      |f AS (SELECT doc_id, text, n, CAST(fidx AS BIGINT) AS fidx
+      |      FROM t, UNNEST(range((n + 159) // 160)) AS u(fidx)),
+      |s AS (SELECT doc_id, fidx,
+      |             ord(substring(text, CAST(fidx * 160 + i + 1 AS INTEGER), 1)) - 128 AS v
+      |      FROM f, UNNEST(range(LEAST(160, n - fidx * 160))) AS w(i))
+      |SELECT doc_id, CAST(fidx AS INTEGER) AS fidx,
+      |       COUNT(*) AS frame_len,
+      |       CAST(SUM(v * v) AS BIGINT) AS energy,
+      |       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+      |FROM s GROUP BY 1, 2 ORDER BY doc_id, fidx""".stripMargin
+  ) { (s, d) =>
+    val in = Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val wavs = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavBytes(8000 + (id % 3).toInt * 4000,
+          r.getString(1).getBytes("UTF-8")))
+      }
+    }(RowEncoder.encoderFor(paySchema))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fidx", IntegerType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    wavs.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (_, _, _, data) = parseWav(r.getAs[Array[Byte]](1))
+          val nFrames = (data.length + audioFrameSize - 1) / audioFrameSize
+          (0 until nFrames).map { fidx =>
+            val from = fidx * audioFrameSize
+            val to = math.min(from + audioFrameSize, data.length)
+            var energy = 0L; var peak = 0; var i = from
+            while (i < to) {
+              val v = (data(i) & 0xFF) - 128
+              energy += v.toLong * v; val a = math.abs(v)
+              if (a > peak) peak = a; i += 1
+            }
+            Row(r.getLong(0), fidx, (to - from).toLong, energy, peak)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).orderBy(col("doc_id"), col("fidx"))
+  }
+
   val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample,
-    batchEmbed, imageDecode)
+    batchEmbed, imageDecode, audioFrames)
 }

@@ -113,6 +113,34 @@ class MultimodalBatchSpec extends SparkSpec {
     }
   }
 
+  test("m06 frames tile each payload exactly and recompute per-document") {
+    val docs = spark.read.parquet(s"$sf2/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val got = SparkEntry.queries("m06_audio_frames")(spark, sf2).collect()
+      .groupBy(_.getLong(0))
+    docs.foreach { case (id, bytes) =>
+      val frames = got.getOrElse(id, Array.empty).sortBy(_.getInt(1))
+      val expFrames = (bytes.length + 159) / 160
+      assert(frames.length == expFrames, s"doc $id frame count")
+      // frames tile the payload: dense indexes, full interiors, exact tail
+      assert(frames.map(_.getInt(1)).toSeq == (0 until expFrames),
+        s"doc $id frame indexes not dense")
+      assert(frames.map(_.getLong(2)).sum == bytes.length.toLong,
+        s"doc $id frame lengths don't tile the payload")
+      frames.foreach { f =>
+        val from = f.getInt(1) * 160
+        val slice = bytes.slice(from, math.min(from + 160, bytes.length))
+          .map(b => (b & 0xFF) - 128)
+        assert(f.getLong(3) == slice.map(v => v.toLong * v).sum,
+          s"doc $id frame ${f.getInt(1)} energy")
+        assert(f.getInt(4) == (if (slice.isEmpty) 0 else slice.map(math.abs).max),
+          s"doc $id frame ${f.getInt(1)} peak")
+      }
+    }
+  }
+
   test("driver entry digests the raw embeddings and carries only scalars") {
     import spark.implicits._
     val entry = SparkEntry.queries("m04_batch_embed")(spark, sf2)
