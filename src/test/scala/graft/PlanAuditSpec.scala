@@ -193,6 +193,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("p19: card reads the corpus once and the median window shares the agg exchange") {
+    val plan = finalPlan(SparkEntry.queries("p19_dataset_card")(spark, sf1))
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    // one (source, lang) hash exchange feeds BOTH windows and the
+    // grouped aggregate; remaining exchanges only move the already-
+    // collapsed O(groups) cells (count-distinct expand + delivery)
+    val hashEx = "hashpartitioning\\(source".r.findAllIn(plan).length
+    assert(hashEx >= 1 && hashEx <= 3, s"corpus-key exchanges: $hashEx\n$plan")
+    assert("Window".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("s22: both retrieval channels bound their top-20 before the full sort") {
+    val plan = finalPlan(SparkEntry.queries("s22_hybrid_search")(spark, sf1))
+      .split("== Initial Plan ==").head
+    // rank<=20 filters compile to WindowGroupLimit (partial per-
+    // partition top-K below the exchange), one per channel at least
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("p05: mixture stats single-partitions only the aggregated cells") {
     val plan = finalPlan(SparkEntry.queries("p05_mixture_stats")(spark, sf1))
       .split("== Initial Plan ==").head
