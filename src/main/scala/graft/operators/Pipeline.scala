@@ -1041,10 +1041,67 @@ object Pipeline {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Interleaved multimodal sequence packing (p20) — the token
+    * accounting a vision-language training run does before sharding:
+    * each document contributes its TEXT tokens plus its image's
+    * ViT-patch tokens (⌈w/14⌉·⌈h/14⌉ for the m05 BMP dims, the
+    * standard 14-px patch grid) plus 2 modality-separator tokens, and
+    * the combined lengths pack into 2048-token bins with p03's
+    * deterministic greedy-by-id discipline (8 independent bucket
+    * streams — the manifest is reproducible across engines and
+    * partitionings, no rand()). Per bin the manifest splits the token
+    * budget by modality — the number a dataloader needs to balance
+    * patch-embedding vs token-embedding throughput. All integers →
+    * exact oracle.
+    *
+    * At scale: one projection computes per-doc totals (the image dims
+    * derive from metadata, not a decode — the decode already ran in
+    * m05's column), one window + agg per bucket stream. */
+  val multimodalPack: QueryEntry = QueryEntry(
+    "p20_multimodal_pack",
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+      |                  len(string_split(text, ' ')) AS toks,
+      |                  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) // (3 * (8 + doc_id % 9)) AS h
+      |           FROM documents),
+      |m AS (SELECT doc_id, bucket, toks,
+      |             ((w + 13) // 14) * ((h + 13) // 14) AS patches,
+      |             toks + ((w + 13) // 14) * ((h + 13) // 14) + 2 AS total
+      |      FROM t),
+      |c AS (SELECT *, SUM(total) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM m)
+      |SELECT bucket, CAST(FLOOR(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(toks) AS BIGINT) AS text_tokens,
+      |       CAST(SUM(patches) AS BIGINT) AS image_tokens,
+      |       CAST(SUM(total) AS BIGINT) AS tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        (lit(8) + col("doc_id") % 9).cast("long").as("w"),
+        expr("cast(octet_length(encode(text, 'UTF-8')) as bigint)" +
+          " div (3 * (8 + doc_id % 9))").as("h"))
+      .withColumn("patches",
+        expr("((w + 13) div 14) * ((h + 13) div 14)"))
+      .withColumn("total", col("toks") + col("patches") + 2)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("prior", coalesce(sum(col("total")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prior") / 2048))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("text_tokens"),
+        sum(col("patches")).as("image_tokens"),
+        sum(col("total")).as("tokens"))
+      .orderBy(col("bucket"), col("bin"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
       globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
-      datasetCard)
+      datasetCard, multimodalPack)
 }

@@ -63,6 +63,30 @@ class PipelineComposeSpec extends SparkSpec {
     }
   }
 
+  test("p20 manifest conserves every modality's tokens and bins densely") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // independent per-doc recompute of the m05-dim patch arithmetic
+    val perDoc = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).length.toLong
+      val w = 8 + (id % 9)
+      val h = text.getBytes("UTF-8").length / (3 * w)
+      val patches = ((w + 13) / 14) * ((h + 13) / 14)
+      (id, toks, patches, toks + patches + 2)
+    }
+    val got = SparkEntry.queries("p20_multimodal_pack")(spark, sf2).collect()
+    assert(got.map(_.getLong(2)).sum == docs.length, "manifest lost documents")
+    assert(got.map(_.getLong(3)).sum == perDoc.map(_._2).sum, "text tokens")
+    assert(got.map(_.getLong(4)).sum == perDoc.map(_._3).sum, "image tokens")
+    assert(got.map(_.getLong(5)).sum == perDoc.map(_._4).sum, "total tokens")
+    got.groupBy(_.getLong(0)).foreach { case (b, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq, s"bucket $b bins not dense: $bins")
+    }
+  }
+
   test("p13 drops exactly the larger ids of verified pairs and re-packs the rest") {
     val surv = Pipeline.composeSurvivors(spark, sf1).localCheckpoint()
     val pairs = Dedup.minhashVerifiedPairs(surv)
