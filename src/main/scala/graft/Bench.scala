@@ -52,7 +52,7 @@ object Bench {
     "s11_ann_persisted", "s12_ann_ivfpq_persisted", "s13_ann_filtered_probe",
     "s14_ann_persisted_append", "s15_index_compact", "s16_index_drift",
     "s18_index_delete", "s19_ivfpq_append", "s20_retrieval_pipeline",
-    "q74_bucketed_join")
+    "q74_bucketed_join", "e16_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,7 +52,7 @@ object ScaleProof {
     "s20_retrieval_pipeline",
     "t15_unigram_nll", "d21_entity_resolution", "q76_cms_topk",
     "s21_recall_eval", "e15_pattern_match", "p19_dataset_card",
-    "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack")
+    "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack", "e16_incremental_agg")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

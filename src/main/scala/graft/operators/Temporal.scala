@@ -463,8 +463,54 @@ object Temporal {
       .orderBy(col("user_id"), col("session"), col("start_rn"))
   }
 
+  /** Incremental materialized-aggregate maintenance (e16) — the
+    * production ETL pattern the persisted-ANN lifecycle (s14/s19)
+    * applies to a RELATIONAL aggregate: a stored (hour, type) count/sum
+    * table built from the historical 80% of events is MERGED with the
+    * arriving 20%'s delta aggregate — union + re-aggregate over
+    * already-collapsed cells — instead of re-scanning history. Sums
+    * stay DECIMAL(12,2) in the stored state so partial-sum merge order
+    * cannot drift (decimal addition is exact); the cast to double
+    * happens once at output, exactly where the e01 oracle casts. The
+    * oracle IS the full recompute over all events, so the correctness
+    * gate proves merged ≡ rebuilt; IncrementalAggSpec proves the merge
+    * plan touches only the arriving slice of the raw table (pushed
+    * residual filter) plus the O(cells) state file.
+    *
+    * State path: `graft.index.root`/e16agg/<dataset> (the s11
+    * single-writer contract). At 100 TB the stored relation is
+    * O(hours·types) cells — the raw history never re-enters any plan. */
+  val incrementalAgg: QueryEntry = QueryEntry(
+    "e16_incremental_agg",
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val stateDir = s.conf.get("graft.index.root", "target/graftindex") +
+      "/e16agg/" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("vd"))
+      .select(col("window.start").as("h"), col("event_type"),
+        col("n"), col("vd"))
+    val ev = Tables.events(s, d)
+    // build (or refresh) the stored historical aggregate: 80% of events
+    agg(ev.filter(col("event_id") % 10 < 8))
+      .write.mode("overwrite").parquet(stateDir)
+    // merge: stored cells + the arriving delta's cells, re-aggregated —
+    // the raw historical rows are NOT in this plan
+    val delta = agg(ev.filter(col("event_id") % 10 >= 8))
+    s.read.parquet(stateDir).unionByName(delta)
+      .groupBy(col("h"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("vd")).as("vd"))
+      .select(col("h"), col("event_type"), col("n"),
+        col("vd").cast("double").as("v"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
     slidingWindow, rangeJoin, funnel, retention, locfFill, transitions,
-    gapStats, rateAnomaly, patternMatch)
+    gapStats, rateAnomaly, patternMatch, incrementalAgg)
 }
