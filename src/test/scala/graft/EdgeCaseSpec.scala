@@ -77,6 +77,34 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("t15 scores the empty document finitely (empty text is one empty token)") {
+    val rows = SparkEntry.queries("t15_unigram_nll")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L), rows.toString)
+    val (n0, nll0) = rows(0L)
+    // split("", " ") = [""] in both engines: one token of the "" type
+    assert(n0 == 1L, s"empty doc token count $n0")
+    assert(nll0 > 0 && nll0.isFinite, s"empty doc nll $nll0")
+  }
+
+  test("p19 card handles 1-doc groups (median = the only length)") {
+    val rows = SparkEntry.queries("p19_dataset_card")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    // the zh group has exactly one doc (300 chars)
+    assert(rows(("web", "zh")) == ((1L, 300L, 300L, 300L)), rows.toString)
+    assert(rows(("web", "en"))._1 == 5L, rows.toString)
+  }
+
+  test("p20 pack: the empty document still costs its separators and empty image") {
+    val rows = SparkEntry.queries("p20_multimodal_pack")(spark, dir).collect()
+    // 6 docs total across buckets; doc 0 contributes 1 text token
+    // (the "" token), 0 patches (h = 0), + 2 separators
+    assert(rows.map(_.getLong(2)).sum == 6L, rows.mkString(", "))
+    val docs0bucket = rows.filter(_.getLong(0) == 0L)
+    assert(docs0bucket.map(_.getLong(5)).sum >= 3L, rows.mkString(", "))
+  }
+
   test("t14 redacts EVERY occurrence when a document carries multiple PII spans") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_pii").toString
