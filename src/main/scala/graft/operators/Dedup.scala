@@ -979,9 +979,62 @@ object Dedup {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Per-document n-gram novelty in corpus order (d22) — the
+    * "how much of this document is new content?" metric used to value
+    * marginal training data: for each doc, the fraction of its
+    * distinct word 3-grams whose FIRST occurrence (min doc_id) is this
+    * doc. Duplicate-heavy docs score near 0, fresh content near 1 —
+    * the per-document complement of corpus-level dedup.
+    *
+    * Scale: grams travel as sha256 digests (fixed 32 bytes, the p01
+    * pattern), never raw text; one groupBy(digest) with map-side
+    * combine computes first_doc, and the join back is on the SAME key
+    * the aggregate just partitioned by, so the aggregated side needs
+    * no second exchange. No stage is quadratic in docs or grams.
+    * Digest-collision risk over 2^256 is nil, so grouping by digest ≡
+    * the oracle's grouping by raw gram. */
+  val ngramNovelty: QueryEntry = QueryEntry(
+    "d22_ngram_novelty",
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, LEN(w) - 1),
+      |        i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE LEN(w) >= 3)),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g)
+      |SELECT gr.doc_id, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |         / COUNT(*) AS novelty
+      |FROM gr JOIN f USING (g)
+      |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 3)
+      // two zip_with folds over pre-shifted slices (the d13 pattern:
+      // arrays bind once per row, no per-element re-split)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """zip_with(
+             zip_with(slice(arr, 1, size(arr) - 2), slice(arr, 2, size(arr) - 2),
+                      (a, b) -> concat(a, '_', b)),
+             slice(arr, 3, size(arr) - 2), (ab, c) -> concat(ab, '_', c))""")))
+        .as("gram"))
+      .select(col("doc_id"), sha2(col("gram"), 256).as("dg"))
+    val first = g.groupBy(col("dg")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, Seq("dg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
     winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup,
-    boilerplateStrip, dupSpans, entityResolution)
+    boilerplateStrip, dupSpans, entityResolution, ngramNovelty)
 }

@@ -1098,10 +1098,104 @@ object Pipeline {
       .orderBy(col("bucket"), col("bin"))
   }
 
+  /** Z-order (Morton) layout audit (p21) — the multi-dimensional
+    * clustering a 100 TB table needs for data skipping on TWO
+    * predicate columns at once: interleave the bits of (l_orderkey,
+    * l_partkey) into one z-value, bucket by its high bits, and report
+    * each bucket's (count, min/max of both dims). A table REWRITTEN in
+    * this order gives every file a narrow min/max envelope on BOTH
+    * columns, so either predicate prunes files — a lexicographic sort
+    * only prunes its leading column. The entry is the audit relation
+    * (the layout decision + the skipping evidence); the rewrite itself
+    * is `repartitionByRange(zval).sortWithinPartitions(zval).write`.
+    *
+    * The bit-spread is the classic 5-step magic-mask dilation — pure
+    * codegen'd shift/and/or on longs, exact-oracled by the identical
+    * arithmetic in DuckDB. Scale: one map + one grouped agg; the
+    * exchange carries (bucket, partial min/max/count) only. */
+  val zorderLayout: QueryEntry = {
+    // dilate the low 32 bits of v into the even bit positions
+    def spread(v: Column): Column = {
+      val s1 = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s4 = (s3.bitwiseOR(shiftleft(s3, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (s4.bitwiseOR(shiftleft(s4, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    QueryEntry(
+      "p21_zorder_layout",
+      """WITH a AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+        |                  l_orderkey AS x, l_partkey AS y FROM lineitem),
+        |b AS (SELECT ok, pk, (x | (x << 16)) & 281470681808895 AS x,
+        |                     (y | (y << 16)) & 281470681808895 AS y FROM a),
+        |c AS (SELECT ok, pk, (x | (x << 8)) & 71777214294589695 AS x,
+        |                     (y | (y << 8)) & 71777214294589695 AS y FROM b),
+        |d AS (SELECT ok, pk, (x | (x << 4)) & 1085102592571150095 AS x,
+        |                     (y | (y << 4)) & 1085102592571150095 AS y FROM c),
+        |e AS (SELECT ok, pk, (x | (x << 2)) & 3689348814741910323 AS x,
+        |                     (y | (y << 2)) & 3689348814741910323 AS y FROM d),
+        |f AS (SELECT ok, pk,
+        |             ((x | (x << 1)) & 6148914691236517205)
+        |           | (((y | (y << 1)) & 6148914691236517205) << 1) AS z FROM e)
+        |SELECT z >> 22 AS zbucket, COUNT(*) AS n,
+        |       MIN(ok) AS min_ok, MAX(ok) AS max_ok,
+        |       MIN(pk) AS min_pk, MAX(pk) AS max_pk
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val z = spread(col("l_orderkey"))
+        .bitwiseOR(shiftleft(spread(col("l_partkey")), 1))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), z.as("z"))
+        .groupBy(shiftright(col("z"), 22).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+        .orderBy(col("zbucket"))
+    }
+  }
+
+  /** Deterministic denoising-objective mask prep (p22) — the T5-style
+    * "mask ~15% of tokens" step, made reproducible (and exactly
+    * oracle-able) by deriving each position's coin flip from an LCG
+    * over (doc_id, position) instead of an RNG: position i of doc d is
+    * masked iff ((1103515245·((d·65536 + i) mod 2³¹) + 12345) mod 2³¹)
+    * mod 100 < 15. Every worker computes the same mask for the same
+    * shard on any cluster, any partitioning, any retry — the property
+    * that matters when a 100 TB preprocessing job is resumed.
+    * Intermediate products stay < 2⁶² (the key is reduced mod 2³¹
+    * first), so the arithmetic is overflow-free in both engines.
+    *
+    * Output: per-doc token/mask counts, the masked positions
+    * themselves, and the realized mask rate. Pure per-row map
+    * (higher-order filter over a sequence — no UDF, no exchange). */
+  val lossMask: QueryEntry = QueryEntry(
+    "p22_loss_mask",
+    """WITH t AS (SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens,
+      |                  list_filter(range(0, LEN(string_split(text, ' '))),
+      |                    i -> ((1103515245 * ((doc_id * 65536 + i) % 2147483648)
+      |                           + 12345) % 2147483648) % 100 < 15) AS pos
+      |           FROM documents)
+      |SELECT doc_id, n_tokens, LEN(pos) AS n_masked, pos AS mask_positions,
+      |       CAST(LEN(pos) AS DOUBLE) / n_tokens AS mask_rate
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("""filter(sequence(cast(0 as bigint),
+                                cast(size(split(text, ' ')) - 1 as bigint)),
+                 i -> ((1103515245L * ((doc_id * 65536L + i) % 2147483648L)
+                        + 12345L) % 2147483648L) % 100 < 15)""").as("pos"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("pos")).as("n_masked"), col("pos").as("mask_positions"),
+        (size(col("pos")).cast("double") / col("n_tokens")).as("mask_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
       globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
-      datasetCard, multimodalPack)
+      datasetCard, multimodalPack, zorderLayout, lossMask)
 }

@@ -1541,10 +1541,50 @@ object Similarity {
       .orderBy(col("qid"), col("fused_rank"))
   }
 
+  /** Threshold (radius) similarity search (s23) — the missing third
+    * retrieval mode next to top-k (s01) and filtered top-k (s10): ALL
+    * corpus neighbors with cosine ≥ τ per query, however many there
+    * are. Used for near-dup sweeps ("everything suspiciously close to
+    * this example") and recall-oriented retrieval where a fixed k
+    * truncates. Unlike top-k there is no rank to tie-break, so the
+    * result set is fully deterministic and EXACTLY oracled — the one
+    * s-family shape where brute force admits a hash-equal DuckDB
+    * mirror including the pair list itself.
+    *
+    * Scale: broadcast the O(queries) batch, one pruned corpus scan
+    * (vec_id, embedding only), the codegen'd [[cosine_similarity]]
+    * fold per (vector, query), and NO shuffle before the output sort —
+    * the same block-scan shape 100 TB sharded retrieval uses. τ is
+    * 0.30, three orders of magnitude away from any pair's ULP noise at
+    * every test SF, so the predicate cannot flip between engines. */
+  val rangeSearch: QueryEntry = QueryEntry(
+    "s23_range_search",
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 8)
+      |SELECT qid, e.vec_id AS nid
+      |FROM n e, q
+      |WHERE e.vec_id >= 8
+      |  AND list_sum(list_transform(range(1, len(qe) + 1),
+      |        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |      / (qn * e.nrm) >= 0.30
+      |ORDER BY qid, nid""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .filter(cosine_similarity(col("qe"), col("embedding")) >= 0.30)
+      .select(col("qid"), col("vec_id").as("nid"))
+      .orderBy(col("qid"), col("nid"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
       annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline,
-      annRecallEval, hybridSearch)
+      annRecallEval, hybridSearch, rangeSearch)
 }

@@ -509,8 +509,61 @@ object Temporal {
       .orderBy(col("h"), col("event_type"))
   }
 
+  /** Sliding-window distinct users via HLL sketch partials (e17) — the
+    * at-scale pattern for "distinct users in the trailing 6 hours, per
+    * hour": raw events collapse to ONE ~KB sketch per hour (partial
+    * `hll_sketch_agg`, map-side combined), each hourly sketch is
+    * re-keyed to the ≤ 6 trailing windows it contributes to (an
+    * explode over O(hours) sketch rows, NOT over events), and windows
+    * merge their ≤ 6 sketches with `hll_union_agg`. No exchange ever
+    * carries user ids or event rows — only O(hours · 6) sketches — so
+    * the plan is identical at 100 TB, where the naive exact rewrite
+    * (events exploded 6× into a count-distinct per window) shuffles
+    * the whole corpus times the window length.
+    *
+    * EXACT oracle, deliberately: datasketches HLL (lgK=12) stays in
+    * coupon (LIST/SET) mode — estimate == true distinct — until ~512
+    * distinct values per sketch union; the corpus has 150 distinct
+    * users total, so every window estimate is exact by construction,
+    * and the oracle pins the whole pipeline (hour bucketing, window
+    * membership, sketch merge) against DuckDB's exact sliding
+    * count-distinct. SlidingHllSpec gates the approximate regime the
+    * oracle can't see: a 40k-distinct-id corpus where the same plan
+    * must land within HLL's published ±2σ error (~1.6% at lgK=12). */
+  val slidingHllDistinct: QueryEntry = QueryEntry(
+    "e17_sliding_hll_distinct",
+    """WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+      |SELECT hrs.h, COUNT(DISTINCT e.user_id) AS users_6h
+      |FROM hrs JOIN events e
+      |  ON date_trunc('hour', e.ts) BETWEEN hrs.h - INTERVAL 5 HOUR AND hrs.h
+      |GROUP BY hrs.h ORDER BY hrs.h""".stripMargin
+  ) { (s, d) => slidingHll(Tables.events(s, d)) }
+
+  /** Shared e17 transform: events → hourly sketches → trailing-window
+    * union. Factored so SlidingHllSpec can run it over a synthetic
+    * high-cardinality corpus. */
+  private[graft] def slidingHll(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(col("window.start").as("h"), col("sk"))
+    // an hour's sketch contributes to the 6 windows ending at h..h+5;
+    // windows with no events of their own must not appear (they have no
+    // anchor row), so keep only window hours that exist in `hourly`.
+    val contrib = hourly
+      .select(explode(expr(
+        "sequence(h, h + interval 5 hours, interval 1 hour)")).as("wh"),
+        col("sk"))
+    contrib
+      .join(hourly.select(col("h").as("wh")).distinct(), Seq("wh"))
+      .groupBy(col("wh"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("users_6h"))
+      .select(col("wh").as("h"), col("users_6h"))
+      .orderBy(col("h"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     eventsHourly, eventsLag, sessionize, jsonExtract, asofJoin,
     slidingWindow, rangeJoin, funnel, retention, locfFill, transitions,
-    gapStats, rateAnomaly, patternMatch, incrementalAgg)
+    gapStats, rateAnomaly, patternMatch, incrementalAgg, slidingHllDistinct)
 }

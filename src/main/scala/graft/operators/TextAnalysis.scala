@@ -522,8 +522,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Flesch reading-ease scoring (t16) — readability as a corpus
+    * quality signal, with a fully deterministic syllable heuristic
+    * (vowel-group count per word, floor 1) so the score is exactly
+    * oracle-able: score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), sentences = max(#[.!?], 1). Both engines
+    * evaluate the identical expression tree over the identical integer
+    * counts, so the doubles are bit-equal.
+    *
+    * Scale: embarrassingly parallel per-document map (split +
+    * higher-order fold, no UDF, no exchange before the output sort) —
+    * the cheapest possible shape; at 100 TB this runs at scan speed. */
+  val readability: QueryEntry = QueryEntry(
+    "t16_readability",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         LEN(string_split(text, ' ')) AS n_words,
+      |         GREATEST(LEN(regexp_extract_all(text, '[.!?]')), 1) AS n_sent,
+      |         CAST(list_sum(list_transform(string_split(lower(text), ' '),
+      |           w -> GREATEST(LEN(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syl
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sent, n_syl,
+      |       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |               - 84.6 * (CAST(n_syl AS DOUBLE) / n_words) AS flesch
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        greatest(expr("regexp_count(text, '[.!?]')"), lit(1)).as("n_sent"),
+        expr("""aggregate(transform(split(lower(text), ' '),
+                 w -> greatest(regexp_count(w, '[aeiouy]+'), 1)),
+               0L, (a, x) -> a + x)""").as("n_syl"))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syl"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("n_syl").cast("double") / col("n_words")))
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun, lexicalDiversity, redact, unigramNll)
+    maxRun, lexicalDiversity, redact, unigramNll, readability)
 }

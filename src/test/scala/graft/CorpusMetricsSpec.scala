@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent Scala re-derivations for the round-10 corpus metrics
+  * (d22 novelty, t16 readability, p22 loss mask, s23 range search).
+  * Each is driver-oracled against DuckDB; these gates recompute the
+  * same answers through a SECOND independent implementation path
+  * (driver-side Scala over collected rows), so a bug shared by the
+  * Spark plan and the oracle SQL (same mis-transcribed formula twice)
+  * cannot hide. */
+class CorpusMetricsSpec extends SparkSpec {
+
+  private lazy val docs: Array[(Long, String)] =
+    spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+  test("d22 novelty matches a brute-force first-occurrence scan") {
+    val grams = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString("_")).toSet
+    }.toMap
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    grams.toSeq.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val got = SparkEntry.queries("d22_ngram_novelty")(spark, sf1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"))).toMap
+    val expected = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(g => firstDoc(g) == id).toLong)
+    }
+    assert(got == expected)
+    // the metric is non-trivial on this corpus: both novel-heavy and
+    // duplicate-heavy documents exist
+    val ratios = got.map { case (_, (n, nov)) => nov.toDouble / n }
+    assert(ratios.exists(_ > 0.9) && ratios.exists(_ < 0.5))
+  }
+
+  test("t16 readability matches a regex re-derivation") {
+    val got = SparkEntry.queries("t16_readability")(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_words"),
+        r.getAs[Int]("n_sent"), r.getAs[Long]("n_syl")),
+        r.getAs[Double]("flesch"))).toMap
+    docs.foreach { case (id, t) =>
+      val words = t.split(" ", -1)
+      val sent = math.max("[.!?]".r.findAllIn(t).size, 1)
+      val syl = words.map(w =>
+        math.max("[aeiouy]+".r.findAllIn(w.toLowerCase).size, 1).toLong).sum
+      val ((gw, gs, gy), gf) = got(id)
+      assert((gw, gs, gy) == (words.length, sent, syl), s"counts for doc $id")
+      val flesch = 206.835 - 1.015 * (words.length.toDouble / sent) -
+        84.6 * (syl.toDouble / words.length)
+      assert(gf == flesch, s"flesch for doc $id")
+    }
+  }
+
+  test("p22 mask is deterministic, position-exact, and ~15% dense") {
+    val got = SparkEntry.queries("p22_loss_mask")(spark, sf1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_tokens"),
+        r.getSeq[Long](3).toVector)).toMap
+    var masked = 0L; var total = 0L
+    docs.foreach { case (id, t) =>
+      val n = t.split(" ", -1).length
+      val pos = (0L until n.toLong).filter { i =>
+        ((1103515245L * ((id * 65536L + i) % 2147483648L) + 12345L)
+          % 2147483648L) % 100 < 15
+      }.toVector
+      assert(got(id) == ((n, pos)), s"mask for doc $id")
+      masked += pos.length; total += n
+    }
+    val rate = masked.toDouble / total
+    assert(rate > 0.13 && rate < 0.17, s"global mask rate $rate")
+    // partitioning invariance: same masks under a different layout
+    val re = SparkEntry.queries("p22_loss_mask")(spark, sf1)
+    val re12 = re.repartition(12).orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3).toVector).toMap
+    assert(re12 == got.map { case (k, (_, p)) => k -> p })
+  }
+
+  test("s23 range search matches brute-force cosine over doubles") {
+    val embs = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = embs.filter(_._1 < 8)
+    val corpus = embs.filter(_._1 >= 8)
+    val expected = (for {
+      (qid, qe) <- qs; (nid, ne) <- corpus
+      if cos(qe, ne) >= 0.30
+    } yield (qid, nid)).toSet
+    val got = SparkEntry.queries("s23_range_search")(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // no knife-edge pairs: every cosine is comfortably away from τ,
+    // so engine ULP differences cannot flip membership
+    val margin = (for { (_, qe) <- qs; (_, ne) <- corpus }
+      yield math.abs(cos(qe, ne) - 0.30)).min
+    assert(margin > 1e-6, s"cosine within $margin of threshold")
+  }
+}
