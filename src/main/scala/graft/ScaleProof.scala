@@ -52,7 +52,9 @@ object ScaleProof {
     "s20_retrieval_pipeline",
     "t15_unigram_nll", "d21_entity_resolution", "q76_cms_topk",
     "s21_recall_eval", "e15_pattern_match", "p19_dataset_card",
-    "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack", "e16_incremental_agg")
+    "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack", "e16_incremental_agg",
+    "d22_ngram_novelty", "t16_readability", "p22_loss_mask", "s23_range_search",
+    "e17_sliding_hll_distinct", "p21_zorder_layout")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base
@@ -155,6 +157,23 @@ object ScaleProof {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
   }
 
+  /** Lineitem copies for the layout family (p21): l_orderkey gets
+    * disjoint per-copy ranges (fact keys grow with the table) while
+    * l_partkey is kept VERBATIM (dimension keys are bounded however
+    * large the fact table gets) — so the scaled table is exactly what
+    * a growing fact table looks like to a z-order audit: a wider
+    * orderkey axis over the same partkey axis, bucket count growing
+    * linearly in copies, per-bucket envelopes unchanged. Only the two
+    * layout columns are carried; p21 reads nothing else. */
+  private def scaleLineitem(li: DataFrame, copies: Int): DataFrame = {
+    assertIdsBelowOffset(li, Seq("l_orderkey"))
+    li.select(col("l_orderkey"), col("l_partkey"),
+        explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select(
+        (col("l_orderkey") + col("c").cast("long") * idOffset).as("l_orderkey"),
+        col("l_partkey"))
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.sliding(2).collectFirst {
       case Array("--copies", n) => n.toInt }.getOrElse(10)
@@ -188,6 +207,10 @@ object ScaleProof {
     if (needsCustomer && !new java.io.File(s"$outDir/customer.parquet").exists())
       scaleCustomer(spark.read.parquet(s"$sf/customer.parquet"), copies)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    val needsLineitem = names.contains("p21_zorder_layout")
+    if (needsLineitem && !new java.io.File(s"$outDir/lineitem.parquet").exists())
+      scaleLineitem(spark.read.parquet(s"$sf/lineitem.parquet"), copies)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
