@@ -54,7 +54,8 @@ object ScaleProof {
     "s21_recall_eval", "e15_pattern_match", "p19_dataset_card",
     "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack", "e16_incremental_agg",
     "d22_ngram_novelty", "t16_readability", "p22_loss_mask", "s23_range_search",
-    "e17_sliding_hll_distinct", "p21_zorder_layout")
+    "e17_sliding_hll_distinct", "p21_zorder_layout", "t17_char_entropy",
+    "p23_epoch_interleave", "s24_index_stats")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

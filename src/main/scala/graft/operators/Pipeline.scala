@@ -1192,10 +1192,58 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weight-proportional source interleave (p23) —
+    * stride scheduling for the training dataloader: each source s with
+    * n_s of N docs emits its r-th doc at virtual time
+    * (2r+1)·N·5·10⁸ div (2·n_s) (the exact-integer form of
+    * (r+½)/share), so sorting by that key yields a mixture-faithful
+    * round-robin — every prefix of the schedule contains each source
+    * in ≈ its corpus proportion, with no RNG and no epoch boundary
+    * artifacts. The entry emits the first 200 schedule positions (the
+    * bounded prefix a resuming dataloader would replay); keys are pure
+    * integer arithmetic, so the schedule is identical on any cluster.
+    *
+    * Scale: per-source ranks come from source-partitioned windows
+    * (p14's in-shard-rank discipline — source count bounds the
+    * parallelism of that one pass); the global prefix is a TopN, never
+    * a total sort. The final 200-row position window is O(prefix). */
+  val epochInterleave: QueryEntry = QueryEntry(
+    "p23_epoch_interleave",
+    """WITH sc AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(ns) AS n FROM sc),
+      |r AS (SELECT doc_id, source,
+      |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
+      |      FROM documents),
+      |k AS (SELECT r.doc_id, r.source,
+      |             CAST(((2 * r.rk + 1) * (SELECT n FROM tot) * 500000000)
+      |                  // (2 * sc.ns) AS BIGINT) AS vtime
+      |      FROM r JOIN sc USING (source))
+      |SELECT doc_id, source, vtime,
+      |       ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id) AS pos
+      |FROM k ORDER BY pos LIMIT 200""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val sc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val r = docs.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
+    val prefix = r.join(broadcast(sc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        expr("((2 * rk + 1) * n * 500000000L) div (2 * ns)").as("vtime"))
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(200)
+    prefix
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("vtime"), col("pos"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
       globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
-      datasetCard, multimodalPack, zorderLayout, lossMask)
+      datasetCard, multimodalPack, zorderLayout, lossMask, epochInterleave)
 }

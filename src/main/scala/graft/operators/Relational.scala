@@ -996,6 +996,34 @@ object Relational {
     }
   }
 
+  /** Salted skew join (q77) — the manual hot-key mitigation promoted
+    * to a first-class, exactly-oracled entry: the fact side's rows are
+    * spread across 8 salt partitions by a hash of a WITHIN-key-varying
+    * column, the dimension side is replicated once per salt value, and
+    * the join key becomes (key, salt) — so a pathologically hot
+    * supplier key occupies 8 tasks instead of straggling on one. AQE's
+    * skew-join split handles moderate skew at shuffle-block granularity
+    * for free; explicit salting is the tool for the single-key extreme
+    * where one key exceeds what block splitting can balance. The oracle
+    * is the PLAIN join — the gate proves the rewrite is semantically
+    * invisible. SkewSpec covers the mechanism on a crafted hot key. */
+  lazy val saltedSkewJoin: QueryEntry = QueryEntry(
+    "q77_salted_skew_join",
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+      col("l_orderkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"),
+      col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", col("l_orderkey"), 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -1007,7 +1035,8 @@ object Relational {
     nullSafeJoin, windowDistribution, hllSketch, havingAgg, filteredAgg,
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
-    unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK)
+    unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
+    saltedSkewJoin)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

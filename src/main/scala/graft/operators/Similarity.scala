@@ -1581,10 +1581,42 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Stored-index statistics relation (s24) — the `SHOW INDEX` /
+    * observability face of the s11 lifecycle: per-cell row counts,
+    * corpus share, and id ranges read from the STORED index alone
+    * (centroids + cell partitions — the corpus is never rescanned).
+    * This is the relation an operator dashboards and the
+    * retrain/compact decisions (s16 drift, s15 compaction) consume;
+    * partition pruning makes each cell's count a metadata-cheap scan
+    * at 100 TB. Output order is by cell id; rows-only (the stored
+    * layout is probabilistic via the quantizer) with IndexStatsSpec
+    * gating: counts partition the corpus exactly, every cell id is a
+    * stored centroid, shares sum to 1. */
+  val indexStats: QueryEntry = QueryEntry.noOracle("s24_index_stats") { (s, d) =>
+    val idxDir = indexDir(s, "s11", d)
+    val e = Tables.embeddings(s, d)
+    if (!new java.io.File(s"$idxDir/cells").exists()) {
+      val cent = ivfCentroids(e)
+      nearestCells(e, cent)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
+      cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    }
+    val cells = s.read.parquet(s"$idxDir/cells")
+    val stats = cells.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+    stats
+      .crossJoin(broadcast(stats.agg(sum(col("n_vectors")).as("n_total"))))
+      .select(col("cluster"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"),
+        col("min_id"), col("max_id"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
       annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline,
-      annRecallEval, hybridSearch, rangeSearch)
+      annRecallEval, hybridSearch, rangeSearch, indexStats)
 }

@@ -562,8 +562,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy (t17) — the "is this text or
+    * line noise?" quality signal (low entropy → repeated-char spam,
+    * high → random bytes): H = ln(n) − (1/n)·Σ m_c·ln(m_c) over
+    * per-doc character counts. t15's fixed-point discipline makes it
+    * exactly oracle-able: per-count logs freeze to micro-nats
+    * (round(ln·10⁶) — one knife-edge-free rounding per distinct count
+    * value), the per-doc reduction is pure integer arithmetic in any
+    * order, and ONE final rational division yields the double.
+    *
+    * Scale: (doc, char) cells collapse map-side (alphabet-bounded per
+    * doc), then one groupBy(doc_id) over O(docs·alphabet) rows. */
+  val charEntropy: QueryEntry = QueryEntry(
+    "t17_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, COUNT(*) AS m FROM ch GROUP BY 1, 2),
+      |l AS (SELECT doc_id, m, CAST(round(ln(m) * 1000000) AS BIGINT) AS lm FROM cc),
+      |d AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n,
+      |             CAST(SUM(m * lm) AS BIGINT) AS s FROM l GROUP BY 1)
+      |SELECT doc_id, n,
+      |       CAST(n * CAST(round(ln(n) * 1000000) AS BIGINT) - s AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * 1000000) AS entropy_nats
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ''), x -> x != '')")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("m"))
+      .select(col("doc_id"), col("m"),
+        round(log(col("m")) * 1000000).cast("long").as("lm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("lm")).as("s"))
+      .select(col("doc_id"), col("n"),
+        ((col("n") * round(log(col("n")) * 1000000).cast("long") - col("s"))
+          .cast("double") / (col("n").cast("double") * lit(1000000)))
+          .as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun, lexicalDiversity, redact, unigramNll, readability)
+    maxRun, lexicalDiversity, redact, unigramNll, readability, charEntropy)
 }

@@ -286,4 +286,19 @@ object EventsStreaming {
           out.result().iterator
       }
   }
+
+  /** e17's sliding distinct as a native streaming aggregation: 6h/1h
+    * sliding windows whose state is ONE approximate-distinct sketch
+    * per open window (HLL++ partials in the state store — O(windows)
+    * state however many events arrive), the streaming dual of the
+    * batch entry's sketch-per-hour + union plan. A window ending at
+    * hour boundary h+1 covers events in [h−5h, h+1h) — exactly the
+    * batch entry's trailing window anchored at h — so on a bounded
+    * input the two agree wherever both are in their sketches' exact
+    * regimes (SlidingHllSpec's anchor-hour equivalence gate). */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("users_6h"))
+      .select(col("window.end").as("wend"), col("users_6h"))
 }

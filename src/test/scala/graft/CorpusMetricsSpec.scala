@@ -79,6 +79,47 @@ class CorpusMetricsSpec extends SparkSpec {
     assert(re12 == got.map { case (k, (_, p)) => k -> p })
   }
 
+  test("t17 char entropy matches a driver-side recompute") {
+    val got = SparkEntry.queries("t17_char_entropy")(spark, sf1).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("entropy_nats"))).toMap
+    docs.foreach { case (id, t) =>
+      val counts = t.toCharArray.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val s = counts.map(m => m * math.round(math.log(m.toDouble) * 1e6)).sum
+      val ent = (n * math.round(math.log(n.toDouble) * 1e6) - s).toDouble /
+        (n.toDouble * 1e6)
+      assert(got(id) == ((n, ent)), s"entropy for doc $id")
+      // sanity: entropy of real text sits between degenerate bounds
+      assert(ent >= 0.0 && ent <= math.log(counts.size.toDouble) + 1e-9)
+    }
+  }
+
+  test("p23 interleave matches a driver-side stride schedule and is mixture-faithful") {
+    val sources = spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = sources.length.toLong
+    val bySource = sources.groupBy(_._2)
+    val expected = bySource.toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, rk) =>
+        val vt = ((2L * rk + 1) * n * 500000000L) / (2L * ds.length)
+        (vt, src, id)
+      }
+    }.sorted.take(200).zipWithIndex
+      .map { case ((vt, src, id), i) => (id, src, vt, (i + 1).toLong) }
+    val got = SparkEntry.queries("p23_epoch_interleave")(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // stride scheduling's fairness bound: every source appears in the
+    // 200-prefix within ~1 slot of its exact corpus proportion
+    bySource.foreach { case (src, ds) =>
+      val want = 200.0 * ds.length / n
+      val have = got.count(_._2 == src)
+      assert(math.abs(have - want) <= 2, s"$src: $have vs $want")
+    }
+  }
+
   test("s23 range search matches brute-force cosine over doubles") {
     val embs = spark.read.parquet(s"$sf1/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()

@@ -121,4 +121,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!red.contains("@") && !red.matches(".*[0-9]{6,}.*"), red)
     assert(red.contains("<EMAIL> then <EMAIL>") && red.contains("<NUM> <NUM>"), red)
   }
+
+  test("d22 novelty: sub-3-word docs are absent; herd docs share their boilerplate grams") {
+    val rows = SparkEntry.queries("d22_ngram_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"))).toMap
+    // docs 0 ("" = 1 empty token) and 1 ("solo") have no 3-grams
+    assert(!rows.contains(0L) && !rows.contains(1L))
+    // first herd doc owns all its grams; later herd docs only the
+    // grams their distinct tails introduce (boiler spans are seen)
+    val (n3, nov3) = rows(3L); val (n4, nov4) = rows(4L)
+    assert(nov3 == n3, "first herd bearer should be fully novel")
+    assert(nov4 < n4 && nov4 > 0, s"later bearer: $nov4 of $n4")
+  }
+
+  test("t16/t17 on degenerate docs: finite scores, no crash, empty-doc conventions hold") {
+    val t16 = SparkEntry.queries("t16_readability")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("flesch")).toMap
+    // empty text = one empty word (1 syllable floor), no sentences →
+    // finite score; single word likewise
+    assert(t16.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    t16.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+    val t17 = SparkEntry.queries("t17_char_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("entropy_nats")).toMap
+    // the empty doc has NO characters → absent (matches the oracle's
+    // unnest-of-empty-list); one-char-alphabet entropy is exactly 0
+    assert(!t17.contains(0L))
+    assert(t17.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    t17.values.foreach(v => assert(v >= 0.0 && !v.isNaN))
+  }
+
+  test("p22 masks the empty doc's single empty token deterministically") {
+    val rows = SparkEntry.queries("p22_loss_mask")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("n_masked"))).toMap
+    // "" splits to one empty token: exactly one maskable position
+    val (n0, m0) = rows(0L)
+    assert(n0 == 1 && (m0 == 0 || m0 == 1))
+    rows.values.foreach { case (n, m) => assert(m <= n) }
+  }
 }

@@ -53,6 +53,9 @@ class ExchangeAuditSpec extends SparkSpec {
       "— input is the bucket aggregate's output, O(occupied buckets) " +
       "cells, not O(docs); the corpus reduces map-side before the bucket " +
       "exchange and documents join phases back via broadcast"))
+  // p23's global position window needs NO whitelist entry: it sits
+  // above the LIMIT-200 prefix, whose GlobalLimit already outputs a
+  // single partition — the window adds no exchange at all.
 
   private def scalarFinalAgg(p: SparkPlan): Boolean = p match {
     case h: HashAggregateExec => h.groupingExpressions.isEmpty

@@ -286,4 +286,42 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  test("p21: z-order audit is one scan, two-column read, one hash exchange") {
+    val plan = finalPlan(SparkEntry.queries("p21_zorder_layout")(spark, sf1))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), plan)
+    assert("hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("s23: range search never shuffles the corpus — broadcast queries, scan-side filter") {
+    val plan = finalPlan(SparkEntry.queries("s23_range_search")(spark, sf1))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // only the presentation sort repartitions; no hash exchange at all
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("e17: window merge moves sketches, not events — user_id never crosses an exchange") {
+    val plan = finalPlan(SparkEntry.queries("e17_sliding_hll_distinct")(spark, sf1))
+      .split("== Initial Plan ==").head
+    // the first (partial sketch) aggregation happens below the first
+    // exchange: every exchange's output carries the sketch buffer, and
+    // no exchange output column list contains user_id
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("user_id"), e))
+    assert(plan.contains("partial_hll_sketch_agg") ||
+      plan.contains("hll_sketch_agg"), plan)
+  }
+
+  test("d22: join-back lands on the aggregate's own partitioning (3 exchanges total)") {
+    val plan = finalPlan(SparkEntry.queries("d22_ngram_novelty")(spark, sf1))
+      .split("== Initial Plan ==").head
+    // dg-exchange (grams), reused for first_doc agg + join; doc_id
+    // re-key; no 4th — a naive plan would exchange the agg side again
+    val n = "hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 3, s"expected <= 3 hash exchanges, got $n:\n$plan")
+  }
 }

@@ -51,6 +51,31 @@ class SlidingHllSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding-distinct twin equals batch e17 on anchor hours") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-e17")
+    Files.copy(Paths.get(s"$sf1/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = graft.streaming.EventsStreaming.slidingDistinct(
+        graft.streaming.EventsStreaming.readStream(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("e17_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // streaming window [h-5h, h+1h) ≡ batch trailing window anchored
+    // at h; streaming also emits non-anchor windows (ends at hours
+    // with no events of their own) — compare on the batch anchors
+    val streamed = spark.table("e17_out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = Temporal.slidingHll(Tables.events(spark, sf1)).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+    assert(batch.nonEmpty)
+    batch.foreach { case (h, users) =>
+      val wend = java.sql.Timestamp.from(h.toInstant.plusSeconds(3600))
+      assert(streamed.get(wend).contains(users),
+        s"anchor $h: batch $users vs streaming ${streamed.get(wend)}")
+    }
+  }
+
   test("windows exist only for event-bearing hours") {
     import spark.implicits._
     // events at hours 0 and 7 only: no phantom windows for hours 1-6
