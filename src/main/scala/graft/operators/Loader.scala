@@ -25,5 +25,95 @@ object Loader {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[QueryEntry] = Seq(bucketCounts)
+  /** Snapshot versioning + time travel through the DSv2 catalog (l02)
+    * — the lakehouse table lifecycle at its minimum, exercised
+    * end-to-end and EXACTLY oracled: CTAS a versioned table from
+    * `nation` (snapshot 1), INSERT INTO a shifted slice (snapshot 2 =
+    * 1 + the slice, old files reused by manifest reference, zero
+    * rewrites), INSERT OVERWRITE the slice alone (snapshot 3), then
+    * read ALL THREE through Spark's native `VERSION AS OF` — proving
+    * the overwrite did not disturb snapshots 1–2. The oracle recomputes
+    * each snapshot's (count, key-sum) directly from `nation`, so the
+    * whole commit protocol (manifest contents, pointer flips, file
+    * immutability) is hash-gated, not just spec-gated. At 100 TB this
+    * is the layout where readers pin a manifest and writers never
+    * rewrite a byte — commits are O(new data), never O(table).
+    * TimeTravelSpec covers the isolation/immutability corners. */
+  val timeTravel: QueryEntry = QueryEntry(
+    "l02_time_travel",
+    """WITH base AS (SELECT COUNT(*) AS n, SUM(n_nationkey) AS ks FROM nation),
+      |m AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 100) AS ks
+      |      FROM nation WHERE n_regionkey = 0)
+      |SELECT 1 AS version, base.n AS n_rows, CAST(base.ks AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT 2, base.n + m.n, CAST(base.ks + m.ks AS BIGINT) FROM base, m
+      |UNION ALL
+      |SELECT 3, m.n, CAST(m.ks AS BIGINT) FROM m
+      |ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(root).mkdirs()
+    s.conf.set("spark.sql.graft.root", root)
+    Tables.nation(s, d).createOrReplaceTempView("nation_src")
+    s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_tt")
+    s.sql("""CREATE TABLE psql.tpcds.nations_tt
+            |TBLPROPERTIES('versioned'='true')
+            |AS SELECT * FROM nation_src""".stripMargin)
+    s.sql("""INSERT INTO psql.tpcds.nations_tt
+            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+    s.sql("""INSERT OVERWRITE psql.tpcds.nations_tt
+            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+    (1 to 3).map(v => s.sql(
+        s"""SELECT $v AS version, COUNT(*) AS n_rows,
+           |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+           |FROM psql.tpcds.nations_tt VERSION AS OF $v""".stripMargin))
+      .reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
+  /** Snapshot expiration / vacuum (l03) — the retention half of l02's
+    * lifecycle: build the same 3-snapshot table, expire all but the
+    * newest 2 snapshots (v1's manifest goes; data files no surviving
+    * manifest references are vacuumed), and prove the SURVIVING
+    * snapshots read back byte-identically — the oracle recomputes
+    * v2/v3 from `nation` exactly as l02's does, so retention is
+    * hash-gated to be invisible to live readers. Deleted-file
+    * accounting is covered in TimeTravelSpec (only unreferenced files
+    * go; v2's reused-from-v1 files survive v1's expiry because the
+    * survivor set is computed over MANIFESTS, not version prefixes). */
+  val snapshotExpire: QueryEntry = QueryEntry(
+    "l03_snapshot_expire",
+    """WITH base AS (SELECT COUNT(*) AS n, SUM(n_nationkey) AS ks FROM nation),
+      |m AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 100) AS ks
+      |      FROM nation WHERE n_regionkey = 0)
+      |SELECT 2 AS version, base.n + m.n AS n_rows,
+      |       CAST(base.ks + m.ks AS BIGINT) AS key_sum FROM base, m
+      |UNION ALL
+      |SELECT 3, m.n, CAST(m.ks AS BIGINT) FROM m
+      |ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/exp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(root).mkdirs()
+    s.conf.set("spark.sql.graft.root", root)
+    Tables.nation(s, d).createOrReplaceTempView("nation_src")
+    s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_exp")
+    s.sql("""CREATE TABLE psql.tpcds.nations_exp
+            |TBLPROPERTIES('versioned'='true')
+            |AS SELECT * FROM nation_src""".stripMargin)
+    s.sql("""INSERT INTO psql.tpcds.nations_exp
+            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+    s.sql("""INSERT OVERWRITE psql.tpcds.nations_exp
+            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+    graft.sources.GraftVersions.expire(s"$root/nations_exp.parquet", keepLast = 2)
+    (2 to 3).map(v => s.sql(
+        s"""SELECT $v AS version, COUNT(*) AS n_rows,
+           |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+           |FROM psql.tpcds.nations_exp VERSION AS OF $v""".stripMargin))
+      .reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
+  val all: Seq[QueryEntry] = Seq(bucketCounts, timeTravel, snapshotExpire)
 }

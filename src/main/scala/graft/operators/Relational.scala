@@ -918,6 +918,47 @@ object Relational {
       .orderBy(col("node_id"))
   }
 
+  /** Query-profile relation (q78) — Trino's `EXPLAIN ANALYZE` /
+    * `system.runtime.tasks` observability surfaced as a RELATION: run
+    * a representative query (q03's join+agg+topN shape), then walk its
+    * EXECUTED plan and emit one row per physical operator with its
+    * realized row-flow metrics (numOutputRows where the operator
+    * reports it). This is how an operator answers "where did the rows
+    * go?" without screen-scraping a UI — the profile is O(plan nodes),
+    * driver-side by definition, like q73. Rows-only (metrics are not
+    * in parquet); ProfileSpec gates the physics: the scan rows equal
+    * the table counts, every join/agg output is consistent with the
+    * oracled q03 result, and node ordering is the plan's preorder. */
+  lazy val queryProfile: QueryEntry = QueryEntry.noOracle("q78_query_profile") { (s, d) =>
+    import s.implicits._
+    val df = joinAggTopN.build(s, d)
+    // execute through df's OWN QueryExecution (a sink write would plan
+    // a separate execution whose metrics this walk would never see);
+    // the profiled query is a TopN, so the driver-side result is O(k)
+    df.collect()
+    def executed(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val rows = scala.collection.mutable.ListBuffer[(Int, String, Long)]()
+    var i = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      val node = executed(p)
+      val out = node.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      rows += ((i, node.nodeName, out)); i += 1
+      node.children.foreach(walk)
+      node match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    rows.toSeq.toDF("node_idx", "node", "output_rows")
+      .orderBy(col("node_idx"))
+  }
+
   /** Bucketed co-located join (q74) — the storage-level shuffle
     * elimination every 100 TB warehouse leans on: both join sides are
     * written ONCE as bucketed tables (8 buckets on the join key, one
@@ -1036,7 +1077,7 @@ object Relational {
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
-    saltedSkewJoin)
+    saltedSkewJoin, queryProfile)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -61,6 +61,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[JsonTable]]; its schema is inferred by sampling on first load and
   * persisted to `<root>/_schema/<table>.json`, and every later load —
   * any session — reads the persisted schema instead of re-inferring.
+  *
+  * Snapshot versioning + time travel (opt-in, `TBLPROPERTIES
+  * ('versioned'='true')` at CTAS): the Iceberg idea at its minimum —
+  * data files are immutable under `data/`, each commit writes a NEW
+  * manifest (`_manifests/v<N>.txt`, the file list of that snapshot)
+  * and flips the `_current` pointer; INSERT INTO's manifest is the
+  * previous list plus the new files, INSERT OVERWRITE's is only the
+  * new files, and NO commit ever rewrites or deletes a data file, so
+  * a reader holding any manifest is isolated from every later commit.
+  * `SELECT … VERSION AS OF n` resolves through Spark's own DSv2
+  * time-travel seam ([[TableCatalog.loadTable(Identifier,String)]]) to
+  * a [[ParquetTable]] over exactly that manifest's files. Single
+  * writer per table (the s11 contract); TimeTravelSpec gates snapshot
+  * immutability under later overwrites.
   */
 class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -103,15 +117,19 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
   private val markerName = "_graft_ctas"
 
   /** Durable CTAS registry entry: the marker file inside the output
-    * directory records the creating catalog (line 1) and the identity
-    * partition columns (line 2, comma-separated, possibly empty). */
-  private def writeMarker(dir: java.io.File, partCols: Seq[String]): Unit =
+    * directory records the creating catalog (line 1), the identity
+    * partition columns (line 2, comma-separated, possibly empty), and
+    * whether the table is snapshot-versioned (line 3). */
+  private def writeMarker(dir: java.io.File, partCols: Seq[String],
+      versioned: Boolean = false): Unit =
     java.nio.file.Files.write(
       new java.io.File(dir, markerName).toPath,
-      s"catalog=$catalogName\npartitions=${partCols.mkString(",")}\n".getBytes("UTF-8"))
+      (s"catalog=$catalogName\npartitions=${partCols.mkString(",")}\n" +
+        s"versioned=$versioned\n").getBytes("UTF-8"))
 
-  /** (creatingCatalog, partitionCols) if `table` is CTAS output. */
-  private def ctasMeta(table: String): Option[(String, Seq[String])] = {
+  /** (creatingCatalog, partitionCols, versioned) if `table` is CTAS
+    * output. */
+  private def ctasMeta(table: String): Option[(String, Seq[String], Boolean)] = {
     val f = new java.io.File(new java.io.File(pathOf(table)), markerName)
     if (!f.exists()) None
     else {
@@ -120,7 +138,8 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
           case Array(k, v) => Some(k -> v); case _ => None } }
         .toMap
       Some((kv.getOrElse("catalog", ""),
-        kv.getOrElse("partitions", "").split(",").filter(_.nonEmpty).toSeq))
+        kv.getOrElse("partitions", "").split(",").filter(_.nonEmpty).toSeq,
+        kv.get("versioned").contains("true")))
     }
   }
 
@@ -157,6 +176,9 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
         CaseInsensitiveStringMap.empty(), Seq(jsonPathOf(table)),
         Some(persistedOrInferredSchema(table)), classOf[JsonFileFormat])
     if (!new java.io.File(pathOf(table)).exists()) missing()
+    if (ctasMeta(table).exists(_._3))
+      return versionedTable(fullName, table,
+        GraftVersions.current(pathOf(table)))
     val pt = ParquetTable(
       fullName,
       spark.asInstanceOf[ClassicSparkSession],
@@ -172,6 +194,39 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
         new GraftPartitionedTable(pt, pathOf(table), partCols)
       case None => pt
     }
+  }
+
+  /** DSv2 time travel (`SELECT … FROM t VERSION AS OF n`): Spark's
+    * parser routes the version literal here; serve exactly snapshot
+    * n's manifest. Only versioned CTAS tables travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val table = ident.name()
+    def missing() =
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ table)
+    if (!knownNamespace(ident.namespace()) || !serves(table)) missing()
+    if (!ctasMeta(table).exists(_._3))
+      throw new UnsupportedOperationException(
+        s"$catalogName.$table is not a versioned table — time travel " +
+          "requires CTAS with TBLPROPERTIES('versioned'='true')")
+    val v = version.stripPrefix("v").toInt
+    if (!GraftVersions.manifestFile(pathOf(table), v).exists()) missing()
+    versionedTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.$table@v$v", table, v)
+  }
+
+  /** Read/write table over snapshot `v`'s manifest files. */
+  private def versionedTable(fullName: String, table: String, v: Int): Table = {
+    val dir = pathOf(table)
+    val files = GraftVersions.manifest(dir, v)
+    val pt = ParquetTable(
+      fullName,
+      spark.asInstanceOf[ClassicSparkSession],
+      CaseInsensitiveStringMap.empty(),
+      files,
+      created.get(table).orElse(None),
+      classOf[ParquetFileFormat])
+    new GraftVersionedTable(pt, dir)
   }
 
   override def createTable(
@@ -192,12 +247,17 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     if (dir.exists())
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         catalogName +: ident.namespace().toSeq :+ table)
+    val versioned = Option(properties.get("versioned"))
+      .orElse(Option(properties.get("option.versioned"))).contains("true")
+    if (versioned && partCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: versioned tables do not support PARTITIONED BY")
     dir.mkdirs()
-    writeMarker(dir, partCols)
+    writeMarker(dir, partCols, versioned)
     created(table) = schema
-    new GraftCtasTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.$table",
-      pathOf(table), schema, partCols)
+    val fullName = s"$catalogName.${ident.namespace().mkString(".")}.$table"
+    if (versioned) new GraftVersionedCtasTable(fullName, pathOf(table), schema)
+    else new GraftCtasTable(fullName, pathOf(table), schema, partCols)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -340,4 +400,139 @@ private class GraftPartitionedTable(
           }
       }
     }
+}
+
+/** Snapshot bookkeeping for versioned tables: immutable data files
+  * under `data/`, per-snapshot file lists under `_manifests/v<N>.txt`,
+  * and a `_current` pointer. Commits are manifest-write-then-pointer-
+  * flip — a data file is never rewritten, so any held manifest stays
+  * readable forever (until DROP TABLE). */
+private[graft] object GraftVersions {
+  def dataDir(dir: String) = new java.io.File(dir, "data")
+  def manifestFile(dir: String, v: Int) =
+    new java.io.File(new java.io.File(dir, "_manifests"), s"v$v.txt")
+  private def currentFile(dir: String) = new java.io.File(dir, "_current")
+
+  def current(dir: String): Int =
+    if (currentFile(dir).exists())
+      new String(java.nio.file.Files.readAllBytes(currentFile(dir).toPath),
+        "UTF-8").trim.toInt
+    else 0
+
+  def manifest(dir: String, v: Int): Seq[String] = {
+    val f = manifestFile(dir, v)
+    if (!f.exists()) Seq.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath).toSeq
+  }
+
+  /** Retention: drop every snapshot older than the newest `keepLast`,
+    * then delete the data files no SURVIVING manifest references —
+    * the vacuum half of the lifecycle. Readers of expired snapshots
+    * lose them by contract (that is what retention means); readers of
+    * surviving snapshots are untouched because their manifests' files
+    * are exactly the ones kept. Returns (expired versions, deleted
+    * files). */
+  def expire(dir: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = current(dir)
+    val cutoff = math.max(1, cur - keepLast + 1)
+    val expired = (1 until cutoff).filter(manifestFile(dir, _).exists())
+    val keptFiles = (cutoff to cur)
+      .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
+    expired.foreach(v => manifestFile(dir, v).delete())
+    val deleted = Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => !keptFiles.contains(f.getName)).map { f =>
+        val n = f.getName; f.delete(); n
+      }
+    (expired, deleted.toSeq)
+  }
+
+  /** Commit one write: stage the DataFrame, move its files into the
+    * immutable store under version-prefixed names, write snapshot
+    * N+1's manifest (previous files + new for append, new only for
+    * overwrite), flip the pointer. */
+  def commit(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
+    val v = current(dir) + 1
+    val stage = new java.io.File(dir, s"_stage-v$v")
+    data.write.mode(SaveMode.Overwrite).parquet(stage.getAbsolutePath)
+    dataDir(dir).mkdirs()
+    val moved = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .map { case (f, i) =>
+        val rel = s"v$v-$i.parquet"
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dataDir(dir), rel).toPath)
+        rel
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(stage)
+    val prev =
+      if (overwrite || v == 1) Seq.empty
+      else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
+    val mf = manifestFile(dir, v)
+    mf.getParentFile.mkdirs()
+    java.nio.file.Files.write(mf.toPath,
+      (prev ++ moved).mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(currentFile(dir).toPath,
+      s"$v\n".getBytes("UTF-8"))
+  }
+}
+
+/** Write half of a versioned CTAS: the initial snapshot commit. */
+private class GraftVersionedCtasTable(
+    ident: String, path: String, tschema: StructType)
+  extends Table with SupportsWrite {
+  override def name(): String = ident
+  override def schema(): StructType = tschema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftVersionedWriteBuilder(path)
+}
+
+/** Snapshot-commit write builder: append by default; INSERT OVERWRITE
+  * arrives as truncate()/overwrite(always-true) and flips the commit
+  * to a files-replacing (but never file-deleting) new manifest. */
+private class GraftVersionedWriteBuilder(path: String)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    require(filters.isEmpty ||
+      filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue),
+      s"versioned tables support only full-table INSERT OVERWRITE, got ${filters.mkString(",")}")
+    replace = true; this
+  }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          GraftVersions.commit(path, data, replace || overwrite)
+      }
+  }
+}
+
+/** A versioned table after creation: scans delegate to the wrapped
+  * [[ParquetTable]] over ONE snapshot's manifest files; writes commit
+  * a new snapshot through [[GraftVersions]]. */
+private class GraftVersionedTable(parquet: ParquetTable, path: String)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = parquet.name
+  override def schema(): StructType = parquet.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    (parquet.capabilities().asScala.toSet + TableCapability.V1_BATCH_WRITE +
+      TableCapability.OVERWRITE_BY_FILTER + TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    parquet.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftVersionedWriteBuilder(path)
 }

@@ -99,7 +99,10 @@ class BroadcastAuditSpec extends SparkSpec {
     "s21_recall_eval" -> (Fixed, "s01 query set (10 vectors) + ivfK centroids + O(queries·probes) probe relation — the monitored index's own O(k)/O(queries) sides; ground truth streams the corpus un-broadcast"),
     "t15_unigram_nll" -> (Fixed, "smoothing-log scalar (K): single-row aggregate; the O(V) per-word log table is JOINED un-hinted (vocabulary is corpus-proportional under Heaps' law, must stay demotable)"),
     "q76_cms_topk" -> (Fixed, "CMS counter relation: hard-capped at depth·width = 4096 rows by the pmod, corpus-independent by construction"),
-    "s22_hybrid_search" -> (Fixed, "9-row query-term relation (filters the postings before any wide join) + 1-row corpus totals + 3 query vectors; tf/df/len relations are corpus-proportional and joined un-hinted"))
+    "s22_hybrid_search" -> (Fixed, "9-row query-term relation (filters the postings before any wide join) + 1-row corpus totals + 3 query vectors; tf/df/len relations are corpus-proportional and joined un-hinted"),
+    "s23_range_search" -> (Fixed, "query batch: 8 vectors (vec_id < 8), corpus-independent by construction; the corpus side is a single pruned scan, never broadcast"),
+    "s24_index_stats" -> (Fixed, "single-row n_total aggregate over the O(k) per-cell stats; the stored index is scanned, never broadcast"),
+    "p23_epoch_interleave" -> (Fixed, "per-source count cells (O(distinct sources) rows) + the 1-row corpus total; the ranked corpus side flows through source-partitioned windows un-broadcast"))
   // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
   // pool localCheckpoint severs the analyzed plan before this audit
   // sees it — the greedy loop itself joins the checkpointed

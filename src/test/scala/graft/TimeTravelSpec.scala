@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning + time travel gates (l02's catalog mechanics):
+  * commits are manifest-plus-pointer, data files are immutable, held
+  * snapshots are isolated from later commits, and time travel on an
+  * unversioned table fails loudly. */
+class TimeTravelSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    spark.conf.set("spark.sql.graft.root", dir)
+    dir
+  }
+
+  test("snapshots accumulate, overwrite replaces, every version stays readable") {
+    freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("tt_src")
+    spark.sql("""CREATE TABLE psql.tpcds.tt1 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src""".stripMargin)
+    spark.sql("INSERT INTO psql.tpcds.tt1 VALUES (3, 'c')")
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt1 VALUES (9, 'z')")
+    def rows(q: String) = spark.sql(q).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows("SELECT * FROM psql.tpcds.tt1 VERSION AS OF 1") ==
+      Set((1, "a"), (2, "b")))
+    assert(rows("SELECT * FROM psql.tpcds.tt1 VERSION AS OF 2") ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    assert(rows("SELECT * FROM psql.tpcds.tt1 VERSION AS OF 3") == Set((9, "z")))
+    // the bare name serves the current snapshot
+    assert(rows("SELECT * FROM psql.tpcds.tt1") == Set((9, "z")))
+  }
+
+  test("a held snapshot is isolated from commits made after it was resolved") {
+    freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src2")
+    spark.sql("""CREATE TABLE psql.tpcds.tt2 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src2""".stripMargin)
+    val held = spark.sql("SELECT * FROM psql.tpcds.tt2 VERSION AS OF 1")
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt2 VALUES (7, 'q')")
+    // the overwrite rewrote the POINTER, not the files the held plan
+    // references — the reader is unaffected
+    assert(held.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a")))
+  }
+
+  test("commits never rewrite or delete data files (append reuses v1's files by reference)") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src3")
+    spark.sql("""CREATE TABLE psql.tpcds.tt3 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src3""".stripMargin)
+    val dataDir = new java.io.File(s"$root/tt3.parquet/data")
+    val after1 = dataDir.listFiles().map(_.getName).toSet
+    spark.sql("INSERT INTO psql.tpcds.tt3 VALUES (2, 'b')")
+    val after2 = dataDir.listFiles().map(_.getName).toSet
+    assert(after1.subsetOf(after2), "append deleted or renamed v1 files")
+    // v2's manifest references v1's physical files — no copy, no rewrite
+    val m2 = scala.io.Source.fromFile(
+      s"$root/tt3.parquet/_manifests/v2.txt", "UTF-8").getLines().toSet
+    assert(after1.subsetOf(m2), s"v2 manifest $m2 does not reuse v1 files $after1")
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt3 VALUES (3, 'c')")
+    val after3 = dataDir.listFiles().map(_.getName).toSet
+    assert(after2.subsetOf(after3), "overwrite deleted data files")
+  }
+
+  test("expire drops old manifests but keeps files any survivor references") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src5")
+    spark.sql("""CREATE TABLE psql.tpcds.tt5 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src5""".stripMargin)
+    spark.sql("INSERT INTO psql.tpcds.tt5 VALUES (2, 'b')")
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt5 VALUES (3, 'c')")
+    val dir = s"$root/tt5.parquet"
+    // keepLast=2 keeps v2 (which REFERENCES v1's files) and v3: v1's
+    // manifest goes, but its files survive because v2 still lists them
+    val (exp1, del1) = graft.sources.GraftVersions.expire(dir, 2)
+    assert(exp1 == Seq(1) && del1.isEmpty, s"$exp1 / $del1")
+    assert(!new java.io.File(s"$dir/_manifests/v1.txt").exists())
+    assert(spark.sql("SELECT * FROM psql.tpcds.tt5 VERSION AS OF 2")
+      .collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // keepLast=1 keeps only the overwrite snapshot: v1/v2 data files
+    // are now unreferenced and vacuumed
+    val (exp2, del2) = graft.sources.GraftVersions.expire(dir, 1)
+    assert(exp2 == Seq(2) && del2.nonEmpty, s"$exp2 / $del2")
+    val remaining = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(remaining.forall(_.startsWith("v3-")), remaining.mkString(","))
+    assert(spark.sql("SELECT * FROM psql.tpcds.tt5")
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    // the expired snapshot is gone by contract
+    intercept[Exception] {
+      spark.sql("SELECT * FROM psql.tpcds.tt5 VERSION AS OF 1").collect()
+    }
+  }
+
+  test("time travel on an unversioned table fails loudly") {
+    freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src4")
+    spark.sql("CREATE TABLE psql.tpcds.tt4 AS SELECT * FROM tt_src4")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM psql.tpcds.tt4 VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("versioned") ||
+      e.getMessage.contains("time travel"), e.getMessage)
+  }
+}
