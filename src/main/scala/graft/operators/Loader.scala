@@ -51,25 +51,43 @@ object Loader {
       |SELECT 3, m.n, CAST(m.ks AS BIGINT) FROM m
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, "target/graftcat/tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_tt")
+      s.sql("""CREATE TABLE psql.tpcds.nations_tt
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT * FROM nation_src""".stripMargin)
+      s.sql("""INSERT INTO psql.tpcds.nations_tt
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      s.sql("""INSERT OVERWRITE psql.tpcds.nations_tt
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      (1 to 3).map(v => s.sql(
+          s"""SELECT $v AS version, COUNT(*) AS n_rows,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM psql.tpcds.nations_tt VERSION AS OF $v""".stripMargin))
+        .reduce(_.unionAll(_)).orderBy(col("version"))
+    }
+  }
+
+  /** Point the federated catalogs at a scratch root for the duration
+    * of `body`, then RESTORE the previous root — the l02/l03 entries
+    * must not leave the session-global `spark.sql.graft.root` aimed at
+    * their scratch dirs (any later unprepared catalog access would
+    * resolve there and miss its table). Safe because every s.sql()
+    * inside `body` resolves its tables at analysis time — the returned
+    * DataFrames hold absolute file paths, not catalog lookups. */
+  private def withScratchRoot[A](s: org.apache.spark.sql.SparkSession,
+      root: String)(body: => A): A = {
     new java.io.File(root).mkdirs()
+    val prev = s.conf.getOption("spark.sql.graft.root")
     s.conf.set("spark.sql.graft.root", root)
-    Tables.nation(s, d).createOrReplaceTempView("nation_src")
-    s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_tt")
-    s.sql("""CREATE TABLE psql.tpcds.nations_tt
-            |TBLPROPERTIES('versioned'='true')
-            |AS SELECT * FROM nation_src""".stripMargin)
-    s.sql("""INSERT INTO psql.tpcds.nations_tt
-            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
-            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
-    s.sql("""INSERT OVERWRITE psql.tpcds.nations_tt
-            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
-            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
-    (1 to 3).map(v => s.sql(
-        s"""SELECT $v AS version, COUNT(*) AS n_rows,
-           |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
-           |FROM psql.tpcds.nations_tt VERSION AS OF $v""".stripMargin))
-      .reduce(_.unionAll(_)).orderBy(col("version"))
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.graft.root", v)
+      case None => s.conf.unset("spark.sql.graft.root")
+    }
   }
 
   /** Snapshot expiration / vacuum (l03) — the retention half of l02's
@@ -94,25 +112,25 @@ object Loader {
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
     val root = "target/graftcat/exp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-    new java.io.File(root).mkdirs()
-    s.conf.set("spark.sql.graft.root", root)
-    Tables.nation(s, d).createOrReplaceTempView("nation_src")
-    s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_exp")
-    s.sql("""CREATE TABLE psql.tpcds.nations_exp
-            |TBLPROPERTIES('versioned'='true')
-            |AS SELECT * FROM nation_src""".stripMargin)
-    s.sql("""INSERT INTO psql.tpcds.nations_exp
-            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
-            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
-    s.sql("""INSERT OVERWRITE psql.tpcds.nations_exp
-            |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
-            |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
-    graft.sources.GraftVersions.expire(s"$root/nations_exp.parquet", keepLast = 2)
-    (2 to 3).map(v => s.sql(
-        s"""SELECT $v AS version, COUNT(*) AS n_rows,
-           |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
-           |FROM psql.tpcds.nations_exp VERSION AS OF $v""".stripMargin))
-      .reduce(_.unionAll(_)).orderBy(col("version"))
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_exp")
+      s.sql("""CREATE TABLE psql.tpcds.nations_exp
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT * FROM nation_src""".stripMargin)
+      s.sql("""INSERT INTO psql.tpcds.nations_exp
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      s.sql("""INSERT OVERWRITE psql.tpcds.nations_exp
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      graft.sources.GraftVersions.expire(s"$root/nations_exp.parquet", keepLast = 2)
+      (2 to 3).map(v => s.sql(
+          s"""SELECT $v AS version, COUNT(*) AS n_rows,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM psql.tpcds.nations_exp VERSION AS OF $v""".stripMargin))
+        .reduce(_.unionAll(_)).orderBy(col("version"))
+    }
   }
 
   val all: Seq[QueryEntry] = Seq(bucketCounts, timeTravel, snapshotExpire)

@@ -1111,11 +1111,20 @@ object Pipeline {
     *
     * The bit-spread is the classic 5-step magic-mask dilation — pure
     * codegen'd shift/and/or on longs, exact-oracled by the identical
-    * arithmetic in DuckDB. Scale: one map + one grouped agg; the
-    * exchange carries (bucket, partial min/max/count) only. */
+    * arithmetic in DuckDB. The audited domain is the low 32 bits of
+    * each key (masked explicitly in BOTH engines — a z-order over
+    * wider keys needs a wider dilation, not silent corruption).
+    * Scale: one map + one grouped agg; the exchange carries (bucket,
+    * partial min/max/count) only. */
   val zorderLayout: QueryEntry = {
-    // dilate the low 32 bits of v into the even bit positions
-    def spread(v: Column): Column = {
+    // dilate the low 32 bits of v into the even bit positions; the
+    // explicit 32-bit mask first makes the domain a hard boundary —
+    // without it, bits 32-47 of an oversized key survive the first
+    // mask via the un-shifted term and silently corrupt the interleave
+    // (and the oracle, using the same arithmetic, would corrupt
+    // identically, blinding the hash gate)
+    def spread(v0: Column): Column = {
+      val v = v0.bitwiseAND(lit(0xFFFFFFFFL))
       val s1 = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       val s2 = (s1.bitwiseOR(shiftleft(s1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
       val s3 = (s2.bitwiseOR(shiftleft(s2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -1125,7 +1134,8 @@ object Pipeline {
     QueryEntry(
       "p21_zorder_layout",
       """WITH a AS (SELECT l_orderkey AS ok, l_partkey AS pk,
-        |                  l_orderkey AS x, l_partkey AS y FROM lineitem),
+        |                  l_orderkey & 4294967295 AS x,
+        |                  l_partkey & 4294967295 AS y FROM lineitem),
         |b AS (SELECT ok, pk, (x | (x << 16)) & 281470681808895 AS x,
         |                     (y | (y << 16)) & 281470681808895 AS y FROM a),
         |c AS (SELECT ok, pk, (x | (x << 8)) & 71777214294589695 AS x,
@@ -1194,14 +1204,23 @@ object Pipeline {
 
   /** Deterministic weight-proportional source interleave (p23) —
     * stride scheduling for the training dataloader: each source s with
-    * n_s of N docs emits its r-th doc at virtual time
-    * (2r+1)·N·5·10⁸ div (2·n_s) (the exact-integer form of
-    * (r+½)/share), so sorting by that key yields a mixture-faithful
-    * round-robin — every prefix of the schedule contains each source
-    * in ≈ its corpus proportion, with no RNG and no epoch boundary
-    * artifacts. The entry emits the first 200 schedule positions (the
-    * bounded prefix a resuming dataloader would replay); keys are pure
-    * integer arithmetic, so the schedule is identical on any cluster.
+    * n_s docs emits its r-th doc at virtual time
+    * (2r+1)·10⁹ div (2·n_s) — the exact-integer form of (r+½)/n_s,
+    * which orders identically to classic stride scheduling's
+    * (r+½)/share (share = n_s/N; the two differ by the constant factor
+    * N, which cannot reorder anything). Sorting by that key yields a
+    * mixture-faithful round-robin — every prefix of the schedule
+    * contains each source in ≈ its corpus proportion, with no RNG and
+    * no epoch boundary artifacts. The entry emits the first 200
+    * schedule positions (the bounded prefix a resuming dataloader
+    * would replay); keys are pure integer arithmetic, so the schedule
+    * is identical on any cluster. Overflow headroom: the largest
+    * intermediate is (2·n_s+1)·10⁹ < 2⁶³ for any source below ~4.6
+    * BILLION documents (the previous form multiplied by the corpus
+    * total as well and overflowed at ~10⁵ docs/source — inside
+    * ScaleProof's own 100× regime); sub-slot ties beyond 5·10⁸ docs
+    * per source fall back to the deterministic (source, doc_id)
+    * tiebreak.
     *
     * Scale: per-source ranks come from source-partitioned windows
     * (p14's in-shard-rank discipline — source count bounds the
@@ -1210,12 +1229,11 @@ object Pipeline {
   val epochInterleave: QueryEntry = QueryEntry(
     "p23_epoch_interleave",
     """WITH sc AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
-      |tot AS (SELECT SUM(ns) AS n FROM sc),
       |r AS (SELECT doc_id, source,
       |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
       |      FROM documents),
       |k AS (SELECT r.doc_id, r.source,
-      |             CAST(((2 * r.rk + 1) * (SELECT n FROM tot) * 500000000)
+      |             CAST(((2 * r.rk + 1) * 1000000000)
       |                  // (2 * sc.ns) AS BIGINT) AS vtime
       |      FROM r JOIN sc USING (source))
       |SELECT doc_id, source, vtime,
@@ -1224,13 +1242,11 @@ object Pipeline {
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val sc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val tot = docs.agg(count(lit(1)).as("n"))
     val r = docs.withColumn("rk", row_number().over(
       Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
     val prefix = r.join(broadcast(sc), Seq("source"))
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("source"),
-        expr("((2 * rk + 1) * n * 500000000L) div (2 * ns)").as("vtime"))
+        expr("((2 * rk + 1) * 1000000000L) div (2 * ns)").as("vtime"))
       .orderBy(col("vtime"), col("source"), col("doc_id"))
       .limit(200)
     prefix

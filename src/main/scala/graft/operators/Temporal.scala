@@ -554,8 +554,9 @@ object Temporal {
       .select(explode(expr(
         "sequence(h, h + interval 5 hours, interval 1 hour)")).as("wh"),
         col("sk"))
+    // h is the groupBy(window) key, already unique — no distinct needed
     contrib
-      .join(hourly.select(col("h").as("wh")).distinct(), Seq("wh"))
+      .join(hourly.select(col("h").as("wh")), Seq("wh"))
       .groupBy(col("wh"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("users_6h"))
       .select(col("wh").as("h"), col("users_6h"))

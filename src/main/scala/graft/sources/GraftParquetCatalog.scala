@@ -133,7 +133,7 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     val f = new java.io.File(new java.io.File(pathOf(table)), markerName)
     if (!f.exists()) None
     else {
-      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      val kv = java.nio.file.Files.readAllLines(f.toPath).asScala
         .flatMap { l => l.split("=", 2) match {
           case Array(k, v) => Some(k -> v); case _ => None } }
         .toMap
@@ -209,8 +209,15 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       throw new UnsupportedOperationException(
         s"$catalogName.$table is not a versioned table — time travel " +
           "requires CTAS with TBLPROPERTIES('versioned'='true')")
-    val v = version.stripPrefix("v").toInt
-    if (!GraftVersions.manifestFile(pathOf(table), v).exists()) missing()
+    val v = version.stripPrefix("v").toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName.$table: VERSION AS OF expects a snapshot number, got '$version'"))
+    if (!GraftVersions.manifestFile(pathOf(table), v).exists())
+      // the TABLE exists — name the missing/expired SNAPSHOT, don't
+      // claim the table is gone
+      throw new IllegalArgumentException(
+        s"$catalogName.$table: snapshot $v does not exist or was expired " +
+          s"(current: ${GraftVersions.current(pathOf(table))})")
     versionedTable(
       s"$catalogName.${ident.namespace().mkString(".")}.$table@v$v", table, v)
   }
@@ -422,8 +429,9 @@ private[graft] object GraftVersions {
   def manifest(dir: String, v: Int): Seq[String] = {
     val f = manifestFile(dir, v)
     if (!f.exists()) Seq.empty
-    else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
-      .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath).toSeq
+    else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath)
   }
 
   /** Retention: drop every snapshot older than the newest `keepLast`,

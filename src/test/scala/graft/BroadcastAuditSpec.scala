@@ -102,7 +102,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "s22_hybrid_search" -> (Fixed, "9-row query-term relation (filters the postings before any wide join) + 1-row corpus totals + 3 query vectors; tf/df/len relations are corpus-proportional and joined un-hinted"),
     "s23_range_search" -> (Fixed, "query batch: 8 vectors (vec_id < 8), corpus-independent by construction; the corpus side is a single pruned scan, never broadcast"),
     "s24_index_stats" -> (Fixed, "single-row n_total aggregate over the O(k) per-cell stats; the stored index is scanned, never broadcast"),
-    "p23_epoch_interleave" -> (Fixed, "per-source count cells (O(distinct sources) rows) + the 1-row corpus total; the ranked corpus side flows through source-partitioned windows un-broadcast"))
+    "p23_epoch_interleave" -> (Fixed, "per-source count cells (O(distinct sources) rows); the ranked corpus side flows through source-partitioned windows un-broadcast"))
   // s17_ann_mmr broadcasts its 10-vector query set in stage 1, but the
   // pool localCheckpoint severs the analyzed plan before this audit
   // sees it — the greedy loop itself joins the checkpointed

@@ -18,7 +18,8 @@ class CorpusMetricsSpec extends SparkSpec {
 
   test("d22 novelty matches a brute-force first-occurrence scan") {
     val grams = docs.map { case (id, t) =>
-      id -> t.split(" ").sliding(3).filter(_.length == 3)
+      // limit -1 keeps trailing empty tokens — Spark split()'s semantics
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
         .map(_.mkString("_")).toSet
     }.toMap
     val firstDoc = scala.collection.mutable.Map.empty[String, Long]
@@ -103,7 +104,7 @@ class CorpusMetricsSpec extends SparkSpec {
     val bySource = sources.groupBy(_._2)
     val expected = bySource.toSeq.flatMap { case (src, ds) =>
       ds.map(_._1).sorted.zipWithIndex.map { case (id, rk) =>
-        val vt = ((2L * rk + 1) * n * 500000000L) / (2L * ds.length)
+        val vt = ((2L * rk + 1) * 1000000000L) / (2L * ds.length)
         (vt, src, id)
       }
     }.sorted.take(200).zipWithIndex

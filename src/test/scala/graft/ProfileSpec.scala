@@ -32,37 +32,4 @@ class ProfileSpec extends SparkSpec {
       s"aggregate outputs ${aggs.mkString(",")} vs $result result rows")
   }
 
-  test("streaming hourly agg drops late data beyond the watermark") {
-    import spark.implicits._
-    import java.nio.file.Files
-    val dir = Files.createTempDirectory("graft-late").toString
-    def write(rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
-      rows.toDF("event_id", "t", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), to_timestamp(col("t")).as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("append").parquet(dir)
-    // batch 1: one event per hour 00..12 → watermark settles at 10:00
-    write((0 to 12).map(h =>
-      (h.toLong, f"2024-05-01 $h%02d:15:00", 1L, "view", 1.0, "{}")))
-    val q = graft.streaming.EventsStreaming.hourlyAgg(
-        graft.streaming.EventsStreaming.readStream(spark, dir))
-      .writeStream.outputMode("append")
-      .format("memory").queryName("late_out").start()
-    try {
-      q.processAllAvailable()
-      // batch 2: a LATE duplicate into hour 03 (far below the 10:00
-      // watermark) plus an on-time event at 13:15 to advance time
-      write(Seq((100L, "2024-05-01 03:20:00", 2L, "view", 1.0, "{}"),
-        (101L, "2024-05-01 13:15:00", 1L, "view", 1.0, "{}")))
-      q.processAllAvailable()
-    } finally q.stop()
-    val got = spark.table("late_out")
-      .select(col("h"), col("n")).collect()
-      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
-    // hour 03 closed before the late event arrived: it stays n=1 —
-    // the late row was dropped, not double-counted and not re-emitted
-    assert(got("2024-05-01 03:00:00.0") == 1L, got.toString)
-    // sanity: watermark advanced enough to close hour 03 in batch 1
-    assert(got.contains("2024-05-01 09:00:00.0"))
-  }
 }
