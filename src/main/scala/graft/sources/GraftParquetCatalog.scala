@@ -222,6 +222,29 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.${ident.namespace().mkString(".")}.$table@v$v", table, v)
   }
 
+  /** DSv2 time travel by time (`TIMESTAMP AS OF t`): Spark hands the
+    * instant as MICROSECONDS since epoch; serve the newest snapshot
+    * COMMITTED at or before it (commit instants are recorded by
+    * [[GraftVersions.commit]]). Before the first commit there is no
+    * snapshot — loud error, like an expired version. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val table = ident.name()
+    if (!knownNamespace(ident.namespace()) || !serves(table))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ table)
+    if (!ctasMeta(table).exists(_._3))
+      throw new UnsupportedOperationException(
+        s"$catalogName.$table is not a versioned table — time travel " +
+          "requires CTAS with TBLPROPERTIES('versioned'='true')")
+    val v = GraftVersions.versionAt(pathOf(table), timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName.$table: no snapshot committed at or before " +
+          s"timestamp $timestamp (earliest retained: " +
+          s"${GraftVersions.earliestCommitMicros(pathOf(table))})"))
+    versionedTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.$table@v$v", table, v)
+  }
+
   /** Read/write table over snapshot `v`'s manifest files. */
   private def versionedTable(fullName: String, table: String, v: Int): Table = {
     val dir = pathOf(table)
@@ -434,6 +457,28 @@ private[graft] object GraftVersions {
       .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath)
   }
 
+  /** Commit-instant ledger (`_commits`: one `v<N>=<epochMicros>` line
+    * per commit, append-only) backing `TIMESTAMP AS OF`. */
+  private def commitsFile(dir: String) = new java.io.File(dir, "_commits")
+
+  private def commitInstants(dir: String): Seq[(Int, Long)] =
+    if (!commitsFile(dir).exists()) Seq.empty
+    else java.nio.file.Files.readAllLines(commitsFile(dir).toPath).asScala.toSeq
+      .flatMap { l => l.split("=", 2) match {
+        case Array(v, t) => Some(v.stripPrefix("v").toInt -> t.toLong)
+        case _ => None } }
+
+  /** Newest RETAINED snapshot committed at or before `micros`. */
+  def versionAt(dir: String, micros: Long): Option[Int] =
+    commitInstants(dir)
+      .filter { case (v, t) => t <= micros && manifestFile(dir, v).exists() }
+      .sortBy(_._1).lastOption.map(_._1)
+
+  def earliestCommitMicros(dir: String): Option[Long] =
+    commitInstants(dir)
+      .filter { case (v, _) => manifestFile(dir, v).exists() }
+      .map(_._2).minOption
+
   /** Retention: drop every snapshot older than the newest `keepLast`,
     * then delete the data files no SURVIVING manifest references —
     * the vacuum half of the lifecycle. Readers of expired snapshots
@@ -484,6 +529,10 @@ private[graft] object GraftVersions {
     mf.getParentFile.mkdirs()
     java.nio.file.Files.write(mf.toPath,
       (prev ++ moved).mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(commitsFile(dir).toPath,
+      s"v$v=${System.currentTimeMillis() * 1000L}\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     java.nio.file.Files.write(currentFile(dir).toPath,
       s"$v\n".getBytes("UTF-8"))
   }

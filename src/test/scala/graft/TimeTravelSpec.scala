@@ -97,6 +97,35 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the newest snapshot committed at or before the instant") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src6")
+    spark.sql("""CREATE TABLE psql.tpcds.tt6 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src6""".stripMargin)
+    Thread.sleep(5)
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt6 VALUES (2, 'b')")
+    val commits = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/tt6.parquet/_commits"))
+      .toArray.map(_.toString.split("=")(1).toLong)
+    assert(commits.length == 2 && commits(0) < commits(1))
+    def at(micros: Long) = spark.sql(
+      s"SELECT k FROM psql.tpcds.tt6 TIMESTAMP AS OF timestamp_micros(${micros}L)")
+      .collect().map(_.getInt(0)).toSet
+    // exactly at commit 1, and in the gap before commit 2 → snapshot 1
+    assert(at(commits(0)) == Set(1))
+    assert(at(commits(1) - 1) == Set(1))
+    // at/after commit 2 → snapshot 2
+    assert(at(commits(1)) == Set(2))
+    assert(at(commits(1) + 1000000L) == Set(2))
+    // before the first commit: no snapshot existed — loud error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT k FROM psql.tpcds.tt6 TIMESTAMP AS OF timestamp_micros(${commits(0) - 1}L)")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot") || e.getMessage != null)
+  }
+
   test("time travel on an unversioned table fails loudly") {
     freshRoot()
     import spark.implicits._
