@@ -1185,7 +1185,8 @@ object Pipeline {
       |                    i -> ((1103515245 * ((doc_id * 65536 + i) % 2147483648)
       |                           + 12345) % 2147483648) % 100 < 15) AS pos
       |           FROM documents)
-      |SELECT doc_id, n_tokens, LEN(pos) AS n_masked, pos AS mask_positions,
+      |SELECT doc_id, n_tokens, LEN(pos) AS n_masked,
+      |       COALESCE(array_to_string(pos, ','), '') AS mask_positions,
       |       CAST(LEN(pos) AS DOUBLE) / n_tokens AS mask_rate
       |FROM t ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
@@ -1197,7 +1198,12 @@ object Pipeline {
                  i -> ((1103515245L * ((doc_id * 65536L + i) % 2147483648L)
                         + 12345L) % 2147483648L) % 100 < 15)""").as("pos"))
       .select(col("doc_id"), col("n_tokens"),
-        size(col("pos")).as("n_masked"), col("pos").as("mask_positions"),
+        size(col("pos")).as("n_masked"),
+        // comma-joined (not an array column): the verification harness
+        // canonicalizes result sets through a pandas sort, which cannot
+        // order array cells — string form is byte-identical across both
+        // engines and keeps the entry hashable end-to-end
+        array_join(col("pos"), ",").as("mask_positions"),
         (size(col("pos")).cast("double") / col("n_tokens")).as("mask_rate"))
       .orderBy(col("doc_id"))
   }
@@ -1246,7 +1252,11 @@ object Pipeline {
       Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
     val prefix = r.join(broadcast(sc), Seq("source"))
       .select(col("doc_id"), col("source"),
-        expr("((2 * rk + 1) * 1000000000L) div (2 * ns)").as("vtime"))
+        // rk is row_number()'s IntegerType — widen before the doubling so
+        // the headroom claim (sources up to ~4.6e9 docs) actually holds;
+        // in Int the arithmetic would diverge from the BIGINT oracle at
+        // 2^31 docs/source
+        expr("((2 * cast(rk as bigint) + 1) * 1000000000L) div (2 * ns)").as("vtime"))
       .orderBy(col("vtime"), col("source"), col("doc_id"))
       .limit(200)
     prefix

@@ -58,9 +58,13 @@ class CorpusMetricsSpec extends SparkSpec {
   }
 
   test("p22 mask is deterministic, position-exact, and ~15% dense") {
+    // mask_positions is emitted comma-joined (oracle-hashable form);
+    // parse it back for the position-exact comparison
+    def parsePos(s: String): Vector[Long] =
+      if (s.isEmpty) Vector.empty else s.split(",").map(_.toLong).toVector
     val got = SparkEntry.queries("p22_loss_mask")(spark, sf1).collect()
       .map(r => r.getLong(0) -> (r.getAs[Int]("n_tokens"),
-        r.getSeq[Long](3).toVector)).toMap
+        parsePos(r.getString(3)))).toMap
     var masked = 0L; var total = 0L
     docs.foreach { case (id, t) =>
       val n = t.split(" ", -1).length
@@ -76,7 +80,7 @@ class CorpusMetricsSpec extends SparkSpec {
     // partitioning invariance: same masks under a different layout
     val re = SparkEntry.queries("p22_loss_mask")(spark, sf1)
     val re12 = re.repartition(12).orderBy(col("doc_id")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](3).toVector).toMap
+      .map(r => r.getLong(0) -> parsePos(r.getString(3))).toMap
     assert(re12 == got.map { case (k, (_, p)) => k -> p })
   }
 
