@@ -186,8 +186,14 @@ object Dedup {
 
   /** 64-bit SimHash fingerprints: per-word XXH64, bit votes weighted by
     * term frequency, sign-aggregated per bit. One grouped aggregation —
-    * no quadratic work. Rows-only (no XXH64 in the oracle engine). */
-  val simhash: QueryEntry = QueryEntry.noOracle("d04_simhash") { (s, d) =>
+    * no quadratic work. Fully oracled: the DuckDB mirror computes
+    * seed-0 XXH64 itself ([[XxhOracle]]) and replays the same
+    * vote/assemble arithmetic, so the compare is hash-exact. */
+  val simhash: QueryEntry = QueryEntry(
+    "d04_simhash",
+    s"""WITH ${XxhOracle.simhashCtes}
+       |SELECT doc_id, simhash FROM fs ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     simhashDf(s, d).orderBy(col("doc_id"))
   }
 
@@ -203,8 +209,27 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (two fingerprints
     * within Hamming distance 3 must share ≥1 exact chunk), then exact
-    * Hamming verification via bit_count(xor). Top-50 closest pairs. */
-  val simhashPairs: QueryEntry = QueryEntry.noOracle("d05_simhash_pairs") { (s, d) =>
+    * Hamming verification via bit_count(xor). Top-50 closest pairs.
+    * Oracled end-to-end: the mirror rebuilds the fingerprints
+    * ([[XxhOracle]]), re-derives the 16-bit chunks with unsigned
+    * div/mod arithmetic, and replays the band join + Hamming TopN. */
+  val simhashPairs: QueryEntry = QueryEntry(
+    "d05_simhash_pairs",
+    s"""WITH ${XxhOracle.simhashCtes},
+       |ch AS MATERIALIZED (SELECT doc_id, simhash, ci,
+       |         (((simhash::HUGEINT + 18446744073709551616::HUGEINT)
+       |            % 18446744073709551616::HUGEINT)
+       |          // (CASE ci WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+       |              WHEN 2 THEN 4294967296::HUGEINT
+       |              ELSE 281474976710656::HUGEINT END)) % 65536::HUGEINT AS cv
+       |       FROM fs, unnest(range(0, 4)) t(ci)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |            bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |          FROM ch x JOIN ch y
+       |            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, hamming FROM pairs
+       |ORDER BY hamming, a_id, b_id LIMIT 50""".stripMargin
+  ) { (s, d) =>
     val fp = simhashDf(s, d)
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>

@@ -59,13 +59,58 @@ object Similarity {
     * table needs p⁸ agreement — measured recall ~0 on this corpus,
     * round-3 fix). Candidates travel as narrow (vec_id, band, bucket)
     * rows; embeddings join back for the exact-cosine rerank only.
-    * Probabilistic recall → rows-only; RecallSpec asserts recall@5
-    * against the s01 brute-force ground truth. */
-  val annLsh: QueryEntry = QueryEntry.noOracle("s02_ann_lsh") { (s, d) =>
+    * The hyperplanes are deterministic constants, so despite the
+    * "approximate" label the whole operator is a pure function of its
+    * input — fully DuckDB-oracled: the oracle SQL embeds the same ±1
+    * sign literals (generated from the same XXH64.hashLong call) and
+    * replays banding, candidate join, and exact-cosine rerank;
+    * RecallSpec separately asserts recall@5 against s01 ground truth. */
+  val annLsh: QueryEntry = {
     val nPlanes = 32
     val bandBits = 4
     val nBands = nPlanes / bandBits
     val dim = 64
+    def signOf(i: Int, j: Int): Double =
+      (((org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(j.toLong, i.toLong) & 1L) * 2 - 1).toDouble)
+    val planeLits: Seq[String] = (0 until nPlanes).map { i =>
+      (0 until dim).map(j => if (signOf(i, j) > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    }
+    val sCols = (0 until nPlanes).map { i =>
+      s"  CASE WHEN list_sum(list_transform(range(1, len(embedding)+1)," +
+        s" k -> CAST(embedding[k] AS DOUBLE) * (${planeLits(i)})[k])) > 0" +
+        s" THEN 1 ELSE 0 END AS s$i"
+    }.mkString(",\n")
+    val bandsSql = (0 until nBands).map { b =>
+      s"SELECT vec_id, $b AS band, s${4 * b} + 2*s${4 * b + 1}" +
+        s" + 4*s${4 * b + 2} + 8*s${4 * b + 3} AS bucket FROM p"
+    }.mkString(" UNION ALL ")
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS MATERIALIZED (SELECT vec_id,
+         |$sCols
+         |FROM e),
+         |sig AS MATERIALIZED ($bandsSql),
+         |qb AS (SELECT vec_id AS qid, band, bucket FROM sig WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT qid, s.vec_id AS nid FROM sig s
+         |         JOIN qb USING (band, bucket) WHERE s.vec_id >= 10),
+         |n AS (SELECT vec_id, embedding,
+         |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |      FROM e),
+         |scored AS (SELECT qid, nid,
+         |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |          / (q.nrm * c.nrm) AS cos
+         |      FROM cand JOIN n q ON q.vec_id = cand.qid
+         |                JOIN n c ON c.vec_id = cand.nid)
+         |SELECT qid, nid, rank, cos FROM (
+         |  SELECT qid, nid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    QueryEntry("s02_ann_lsh", oracle) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val planes: Seq[Column] = (0 until nPlanes).map { i =>
       array(Array.tabulate(dim) { j =>
@@ -102,6 +147,7 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+    }
   }
 
   /** Number of IVF cells — FIXED, independent of corpus size. At 100 TB

@@ -101,8 +101,30 @@ object TextAnalysis {
   /** Document fingerprinting: rolling rotate-xor hash over words, each
     * word hashed with seed-0 XXH64 (graft.functions.TrinoFunctions).
     * Shift/xor arithmetic never overflows, so it stays deterministic
-    * under ANSI mode. DuckDB has no XXH64-compatible hash → rows-only. */
-  val fingerprint: QueryEntry = QueryEntry.noOracle("t04_fingerprint") { (s, d) =>
+    * under ANSI mode. Oracled: the DuckDB mirror computes the word
+    * hashes itself ([[XxhOracle]]) and replays the positional rotl-5
+    * xor fold via list_reduce over the per-doc ordered hash list. */
+  val fingerprint: QueryEntry = QueryEntry(
+    "t04_fingerprint",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |${XxhOracle.wordHashCtes},
+       |t AS (SELECT doc_id, i, ws[i] AS w
+       |      FROM d, unnest(range(1, len(ws) + 1)) u(i)),
+       |hp AS (SELECT doc_id, i, h FROM t JOIN wh USING (w)),
+       |l AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hp GROUP BY 1),
+       |r AS (SELECT doc_id,
+       |        list_reduce(list_prepend(0::HUGEINT, hs),
+       |          (acc, x) -> xor(
+       |            CAST(((acc % 576460752303423488::HUGEINT) * 32::HUGEINT
+       |                  + acc // 576460752303423488::HUGEINT) AS UBIGINT),
+       |            CAST(x AS UBIGINT))::HUGEINT) AS fp
+       |      FROM l)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+       |            THEN fp - 18446744073709551616::HUGEINT
+       |            ELSE fp END AS BIGINT) AS fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     graft.functions.TrinoFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
