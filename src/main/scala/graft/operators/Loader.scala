@@ -72,12 +72,22 @@ object Loader {
   }
 
   /** Point the federated catalogs at a scratch root for the duration
-    * of `body`, then RESTORE the previous root — the l02/l03 entries
-    * must not leave the session-global `spark.sql.graft.root` aimed at
-    * their scratch dirs (any later unprepared catalog access would
-    * resolve there and miss its table). Safe because every s.sql()
-    * inside `body` resolves its tables at analysis time — the returned
-    * DataFrames hold absolute file paths, not catalog lookups. */
+    * of `body`, then RESTORE the previous root — the l02/l03/l04
+    * entries must not leave the session-global `spark.sql.graft.root`
+    * aimed at their scratch dirs (any later unprepared catalog access
+    * would resolve there and miss its table). Safe because every
+    * s.sql() inside `body` resolves its tables at analysis time — the
+    * returned DataFrames hold absolute file paths, not catalog lookups.
+    *
+    * CONTRACT — sequential execution: the root swap is session-global,
+    * so any CONCURRENT query resolving graft-catalog tables in the
+    * same session during `body` would silently resolve against the
+    * scratch root. Every QueryEntry runs one-at-a-time under the
+    * driver/Bench/Verify harnesses (and the commit protocol itself is
+    * multi-writer-safe — see GraftVersions), but these l-entries must
+    * not be launched concurrently with other catalog-resolving queries
+    * in one session; a concurrent caller should scope roots per-table
+    * instead of using this helper. */
   private def withScratchRoot[A](s: org.apache.spark.sql.SparkSession,
       root: String)(body: => A): A = {
     new java.io.File(root).mkdirs()
@@ -133,5 +143,58 @@ object Loader {
     }
   }
 
-  val all: Seq[QueryEntry] = Seq(bucketCounts, timeTravel, snapshotExpire)
+  /** MERGE INTO / upsert (l04) — the corpus-refresh verb: CTAS a
+    * versioned table from `nation` (snapshot 1, written as 4 files so
+    * copy-on-write has granularity to prove), then merge a source of
+    * UPDATES (region-1 rows renamed) and INSERTS (region-2 keys shifted
+    * +200) through [[graft.sources.GraftMerge]]: matched rows replaced,
+    * unmatched appended, touched files rewritten, untouched files
+    * reused by manifest reference, old snapshot still readable. The
+    * entry emits the post-merge table PLUS the pre-merge snapshot
+    * re-read via `VERSION AS OF 1` — both halves recomputed exactly by
+    * the oracle from `nation`, so merge semantics AND snapshot
+    * isolation are hash-gated. MergeSpec covers file reuse counts and
+    * the concurrent-conflict path. */
+  val mergeUpsert: QueryEntry = QueryEntry(
+    "l04_merge_upsert",
+    """SELECT 2 AS version, n_nationkey,
+      |       CASE WHEN n_regionkey = 1 THEN n_name || '_u' ELSE n_name END AS n_name,
+      |       n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT 2, n_nationkey + 200, n_name, n_regionkey
+      |FROM nation WHERE n_regionkey = 2
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/mg_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_mg")
+      s.sql("""CREATE TABLE psql.tpcds.nations_mg
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
+              |FROM nation_src""".stripMargin)
+      val src = Tables.nation(s, d)
+        .filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("_u")).as("n_name"), col("n_regionkey"))
+        .unionByName(Tables.nation(s, d)
+          .filter(col("n_regionkey") === 2)
+          .select((col("n_nationkey") + 200).as("n_nationkey"),
+            col("n_name"), col("n_regionkey")))
+      graft.sources.GraftMerge.mergeInto(
+        s, s"$root/nations_mg.parquet", src, "n_nationkey")
+      s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+              |FROM psql.tpcds.nations_mg""".stripMargin)
+        .unionAll(s.sql(
+          """SELECT 1 AS version, n_nationkey, n_name, n_regionkey
+            |FROM psql.tpcds.nations_mg VERSION AS OF 1""".stripMargin))
+        .orderBy(col("version"), col("n_nationkey"))
+    }
+  }
+
+  val all: Seq[QueryEntry] =
+    Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert)
 }

@@ -1641,7 +1641,13 @@ object Similarity {
   val indexStats: QueryEntry = QueryEntry.noOracle("s24_index_stats") { (s, d) =>
     val idxDir = indexDir(s, "s11", d)
     val e = Tables.embeddings(s, d)
-    if (!new java.io.File(s"$idxDir/cells").exists()) {
+    // rebuild gate checks BOTH halves of the index: a crash between the
+    // cells write and the centroids write would otherwise leave a
+    // half-built index this guard never repairs (the later centroids
+    // read — and IndexStatsSpec's centroid-membership gate — would die
+    // on the missing path instead of rebuilding)
+    if (!new java.io.File(s"$idxDir/cells").exists() ||
+        !new java.io.File(s"$idxDir/centroids").exists()) {
       val cent = ivfCentroids(e)
       nearestCells(e, cent)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO (upsert) over a versioned table, expressed as Iceberg's
+  * copy-on-write: matched target rows are replaced by their source row,
+  * unmatched source rows are inserted, and ONLY the data files that
+  * actually contain a matched key are rewritten — every untouched file
+  * is carried into the new snapshot's manifest by reference. The old
+  * snapshot stays readable (nothing is deleted), and
+  * [[GraftVersions.mergeCommit]] detects a concurrent commit at the
+  * atomic manifest publish and fails loudly instead of silently losing
+  * it (read-modify-write is not blind-append retry-safe).
+  *
+  * Scale shape: the touched-file discovery is one semi-join of
+  * (key, `_metadata.file_path`) against the DISTINCT source keys — at
+  * 100 TB the driver holds only the touched file NAME list (O(files
+  * hit), not O(rows)), the rewrite reads only those files, and commit
+  * cost is O(rewritten + inserted data), never O(table). This is the
+  * corpus-refresh verb of a training-data lakehouse: a 0.1% daily
+  * update rewrites ~0.1% of files (modulo clustering), not the corpus.
+  *
+  * Reference anchor: the reference's loader only ever CTAS/INSERTs
+  * (loader.py:163-167); MERGE is the next lifecycle verb a refreshing
+  * corpus needs, absent there, added here as a first-class entry
+  * (l04). */
+object GraftMerge {
+
+  /** Upsert `source` into the versioned table at `dir` on equality of
+    * `keyCol`. WHEN MATCHED → replace the whole row with the source
+    * row; WHEN NOT MATCHED → insert. Returns (base snapshot, number of
+    * files reused by reference, number of files rewritten). */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String): (Int, Int, Int) = {
+    val base = GraftVersions.current(dir)
+    require(base >= 1, s"$dir: MERGE needs at least one committed snapshot")
+    val files = GraftVersions.manifest(dir, base)
+    val srcKeys = source.select(col(keyCol)).distinct()
+    // one pass: which files contain at least one matched key? Driver
+    // receives file names only — O(touched files), never O(rows).
+    val touchedNames = spark.read.parquet(files: _*)
+      .select(col(keyCol), col("_metadata.file_path").as("__path"))
+      .join(srcKeys, Seq(keyCol), "left_semi")
+      .select(col("__path")).distinct()
+      .collect().map(r => pathName(r.getString(0))).toSet
+    val (touched, untouched) =
+      files.partition(f => touchedNames.contains(pathName(f)))
+    // rewrite = touched files minus matched rows, plus ALL source rows
+    // (replacements for matched keys + inserts for new keys)
+    val survivors =
+      if (touched.isEmpty) source
+      else spark.read.parquet(touched: _*)
+        .join(srcKeys, Seq(keyCol), "left_anti")
+        .unionByName(source)
+    GraftVersions.mergeCommit(dir, base,
+      untouched.map(pathName), survivors)
+    (base, untouched.size, touched.size)
+  }
+
+  private def pathName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+}

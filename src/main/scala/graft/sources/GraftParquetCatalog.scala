@@ -205,6 +205,10 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ table)
     if (!knownNamespace(ident.namespace()) || !serves(table)) missing()
+    // a nonexistent table is "no such table", not "not versioned" —
+    // serves() is permissive when placement is unset, so check the
+    // directory like the plain loadTable does
+    if (!new java.io.File(pathOf(table)).exists()) missing()
     if (!ctasMeta(table).exists(_._3))
       throw new UnsupportedOperationException(
         s"$catalogName.$table is not a versioned table — time travel " +
@@ -229,9 +233,12 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     * snapshot — loud error, like an expired version. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val table = ident.name()
-    if (!knownNamespace(ident.namespace()) || !serves(table))
+    def missing() =
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ table)
+    if (!knownNamespace(ident.namespace()) || !serves(table)) missing()
+    // same nonexistent-table guard as the version overload
+    if (!new java.io.File(pathOf(table)).exists()) missing()
     if (!ctasMeta(table).exists(_._3))
       throw new UnsupportedOperationException(
         s"$catalogName.$table is not a versioned table — time travel " +
@@ -436,7 +443,22 @@ private class GraftPartitionedTable(
   * under `data/`, per-snapshot file lists under `_manifests/v<N>.txt`,
   * and a `_current` pointer. Commits are manifest-write-then-pointer-
   * flip — a data file is never rewritten, so any held manifest stays
-  * readable forever (until DROP TABLE). */
+  * readable forever (until DROP TABLE).
+  *
+  * Concurrency (optimistic, Iceberg-style): the COMMIT POINT is the
+  * atomic creation of `_manifests/v<N>.txt` (a hard-link publish of a
+  * temp manifest — `Files.createLink` fails atomically if the target
+  * exists). Two writers racing for version N: exactly one link
+  * succeeds; the loser re-reads the table state and retries at N+1
+  * (blind appends and full overwrites are retry-safe — their manifest
+  * is a pure function of the predecessor manifest, recomputed per
+  * attempt), or — for read-modify-write commits ([[mergeCommit]]) —
+  * fails loudly with the conflict instead of silently losing the
+  * concurrent writer's rows. Data files carry a version prefix AND a
+  * per-commit nonce, so racing writers never collide on a filename and
+  * a loser's already-moved files just get re-prefixed on retry. The
+  * `_current` pointer advances monotonically under a file lock; a
+  * reader between link and flip simply sees the previous snapshot. */
 private[graft] object GraftVersions {
   def dataDir(dir: String) = new java.io.File(dir, "data")
   def manifestFile(dir: String, v: Int) =
@@ -484,8 +506,12 @@ private[graft] object GraftVersions {
     * the vacuum half of the lifecycle. Readers of expired snapshots
     * lose them by contract (that is what retention means); readers of
     * surviving snapshots are untouched because their manifests' files
-    * are exactly the ones kept. Returns (expired versions, deleted
-    * files). */
+    * are exactly the ones kept. An IN-FLIGHT commit's files (version
+    * prefix beyond the current pointer — moved into `data/` before its
+    * manifest published) are excluded from the vacuum set, so expire
+    * racing a commit can never delete the uncommitted snapshot's data;
+    * files whose names don't parse a version prefix are conservatively
+    * kept. Returns (expired versions, deleted files). */
   def expire(dir: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = current(dir)
@@ -494,26 +520,76 @@ private[graft] object GraftVersions {
     val keptFiles = (cutoff to cur)
       .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
     expired.foreach(v => manifestFile(dir, v).delete())
+    val vPrefix = "^v(\\d+)-.*".r
+    def inFlightOrUnparsed(name: String): Boolean = name match {
+      case vPrefix(v) => v.toInt > cur
+      case _ => true
+    }
     val deleted = Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => !keptFiles.contains(f.getName)).map { f =>
-        val n = f.getName; f.delete(); n
-      }
+      .filter(f => !keptFiles.contains(f.getName) && !inFlightOrUnparsed(f.getName))
+      .map { f => val n = f.getName; f.delete(); n }
     (expired, deleted.toSeq)
   }
 
-  /** Commit one write: stage the DataFrame, move its files into the
-    * immutable store under version-prefixed names, write snapshot
-    * N+1's manifest (previous files + new for append, new only for
-    * overwrite), flip the pointer. */
-  def commit(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
-    val v = current(dir) + 1
-    val stage = new java.io.File(dir, s"_stage-v$v")
+  /** One lock object per JVM: `FileChannel.lock` throws
+    * OverlappingFileLockException for same-JVM contention, so
+    * intra-process serialization happens here and the file lock covers
+    * cross-process racers. */
+  private val ptrMutex = new Object
+  private def lockFile(dir: String) = new java.io.File(dir, "_lock")
+
+  /** Advance `_current` to `v` (monotonic — never backwards) and append
+    * the commit instant, both inside the pointer lock so concurrent
+    * winners of v and v+1 can't invert the flip order or interleave
+    * ledger lines. */
+  private def publishPointer(dir: String, v: Int): Unit = ptrMutex.synchronized {
+    val ch = java.nio.channels.FileChannel.open(lockFile(dir).toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val l = ch.lock()
+    try {
+      java.nio.file.Files.write(commitsFile(dir).toPath,
+        s"v$v=${System.currentTimeMillis() * 1000L}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      if (v > current(dir))
+        java.nio.file.Files.write(currentFile(dir).toPath,
+          s"$v\n".getBytes("UTF-8"))
+    } finally { l.release(); ch.close() }
+  }
+
+  /** Atomically publish `lines` as snapshot `v`'s manifest. True iff
+    * this writer won version `v` (hard-link creation is the atomic
+    * test-and-set; the temp file is always cleaned up). */
+  private def tryPublish(dir: String, v: Int, lines: Seq[String],
+      nonce: String): Boolean = {
+    val mf = manifestFile(dir, v)
+    mf.getParentFile.mkdirs()
+    val tmp = new java.io.File(mf.getParentFile, s".tmp-$nonce")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(mf.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally tmp.delete()
+  }
+
+  /** Stage `data` once and move its files into `data/` under
+    * `v<V>-<i>-<nonce>.parquet` names (collision-free across racing
+    * writers); on a lost race the files are re-prefixed to the next
+    * attempt's version by cheap same-directory renames. Returns the
+    * relative names for version `v`. */
+  private def stageFiles(dir: String, data: DataFrame, v: Int,
+      nonce: String): Seq[String] = {
+    val stage = new java.io.File(dir, s"_stage-$nonce")
     data.write.mode(SaveMode.Overwrite).parquet(stage.getAbsolutePath)
     dataDir(dir).mkdirs()
     val moved = Option(stage.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
       .map { case (f, i) =>
-        val rel = s"v$v-$i.parquet"
+        val rel = s"v$v-$i-$nonce.parquet"
         java.nio.file.Files.move(f.toPath,
           new java.io.File(dataDir(dir), rel).toPath)
         rel
@@ -522,19 +598,68 @@ private[graft] object GraftVersions {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(stage)
-    val prev =
-      if (overwrite || v == 1) Seq.empty
-      else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
-    val mf = manifestFile(dir, v)
-    mf.getParentFile.mkdirs()
-    java.nio.file.Files.write(mf.toPath,
-      (prev ++ moved).mkString("", "\n", "\n").getBytes("UTF-8"))
-    java.nio.file.Files.write(commitsFile(dir).toPath,
-      s"v$v=${System.currentTimeMillis() * 1000L}\n".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    java.nio.file.Files.write(currentFile(dir).toPath,
-      s"$v\n".getBytes("UTF-8"))
+    moved.toSeq
+  }
+
+  private def reprefix(dir: String, names: Seq[String], v: Int): Seq[String] =
+    names.map { old =>
+      val rel = old.replaceFirst("^v\\d+-", s"v$v-")
+      java.nio.file.Files.move(
+        new java.io.File(dataDir(dir), old).toPath,
+        new java.io.File(dataDir(dir), rel).toPath)
+      rel
+    }
+
+  /** Commit one write: stage the DataFrame, move its files into the
+    * immutable store, publish snapshot N+1's manifest (previous files +
+    * new for append, new only for overwrite), flip the pointer.
+    * Optimistically retried on a lost race — both commit shapes are
+    * retry-safe because their manifest is recomputed from the current
+    * predecessor on every attempt. */
+  def commit(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var v = current(dir) + 1
+    var moved = stageFiles(dir, data, v, nonce)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val prev =
+        if (overwrite || v == 1) Seq.empty
+        else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
+      if (tryPublish(dir, v, prev ++ moved, nonce)) {
+        publishPointer(dir, v)
+        return
+      }
+      v = math.max(v + 1, current(dir) + 1)
+      moved = reprefix(dir, moved, v)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$dir: commit lost $attempts optimistic races — giving up")
+  }
+
+  /** Read-modify-write commit (MERGE INTO's copy-on-write): publish a
+    * snapshot whose manifest is `keepNames` (the untouched files of
+    * snapshot `expectedBase`, reused by reference) plus `data` (the
+    * rewritten + inserted rows). UNLIKE blind appends this is NOT
+    * retry-safe — the kept-file set was derived by reading snapshot
+    * `expectedBase`, so if any other writer committed in between, the
+    * merge would silently drop their rows; detect the conflict at the
+    * atomic publish and fail loudly instead. */
+  def mergeCommit(dir: String, expectedBase: Int, keepNames: Seq[String],
+      data: DataFrame): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = expectedBase + 1
+    val moved = stageFiles(dir, data, v, nonce)
+    if (!tryPublish(dir, v, keepNames ++ moved, nonce)) {
+      // lost the race: surrender our staged files (they are orphans —
+      // no manifest references them; a later expire may vacuum them
+      // once their version prefix falls at or below the pointer)
+      moved.foreach(n => new java.io.File(dataDir(dir), n).delete())
+      throw new java.util.ConcurrentModificationException(
+        s"$dir: MERGE based on snapshot $expectedBase conflicts with a " +
+          s"concurrent commit of v$v — re-read and retry the merge")
+    }
+    publishPointer(dir, v)
   }
 }
 
