@@ -96,9 +96,49 @@ object Dedup {
   /** MinHash + LSH near-dup candidates: 32 seed-varied XXH64 min-hashes
     * over 2-gram shingles, banded 16×2; candidate pairs from band-bucket
     * equi-joins are exact-verified by shingle intersection. Output: the
-    * top-50 candidate pairs by true Jaccard. LSH banding is probabilistic
-    * → rows-only check (not SQL-expressible in the oracle). */
-  val minhashLsh: QueryEntry = QueryEntry.noOracle("d03_minhash_lsh") { (s, d) =>
+    * top-50 candidate pairs by true Jaccard. "Probabilistic" only in
+    * recall, not in value — every hash is deterministic, so the DuckDB
+    * mirror ([[XxhOracle]]) replays the whole pipeline exactly:
+    * signatures (double-hashed permutations, signed minima), band
+    * hashes (the chained two-long XxHash64), the est ≥ 0.25 signature
+    * screen, and the exact Jaccard verification — candidate SET and
+    * values both hash-gated since r11. */
+  val minhashLsh: QueryEntry = QueryEntry(
+    "d03_minhash_lsh", {
+      val (bic, bilast) = XxhOracle.hashLongCtes(
+        "bi", "bprep", "bv1", "0::HUGEINT", "bh_in")
+      val (boc, bolast) = XxhOracle.hashLongCtes(
+        "bo", bilast, "bv2", "bh_in", "bh")
+      s"""WITH ${XxhOracle.minhashSigCtes},
+         |bprep AS (SELECT doc_id, b, ${XxhOracle.unsigned("sig[2*b + 1]")} AS bv1,
+         |                 ${XxhOracle.unsigned("sig[2*b + 2]")} AS bv2
+         |          FROM sig, unnest(range(0, 16)) t(b)),
+         |$bic,
+         |$boc,
+         |bands AS MATERIALIZED (SELECT doc_id, b, bh FROM $bolast),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |plaus AS (SELECT a_id, b_id
+         |          FROM cand JOIN sig sa ON sa.doc_id = a_id
+         |                    JOIN sig sb ON sb.doc_id = b_id
+         |          WHERE CAST(list_sum(list_transform(range(1, 33),
+         |                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |                / 32 >= 0.25),
+         |common AS (SELECT a_id, b_id, COUNT(*) AS common
+         |           FROM plaus JOIN sh a ON a.doc_id = a_id
+         |                      JOIN sh b ON b.doc_id = b_id AND a.s = b.s
+         |           GROUP BY 1, 2),
+         |jac AS (SELECT p.a_id, p.b_id,
+         |          CAST(COALESCE(c.common, 0) AS DOUBLE)
+         |            / (sa.n + sb.n - COALESCE(c.common, 0)) AS jaccard
+         |        FROM plaus p
+         |        LEFT JOIN common c ON c.a_id = p.a_id AND c.b_id = p.b_id
+         |        JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id)
+         |SELECT a_id, b_id, jaccard FROM jac
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin
+    }
+  ) { (s, d) =>
     minhashVerifiedPairs(Tables.documents(s, d))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)

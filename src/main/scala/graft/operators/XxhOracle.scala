@@ -1,8 +1,8 @@
 package graft.operators
 
-/** DuckDB-SQL generator for seed-0 XXH64 over short ASCII strings —
-  * the hash-parity layer that lets the SimHash/fingerprint entries
-  * (d04, d05, t04) graduate from rows-only to fully DuckDB-oracled.
+/** DuckDB-SQL generator for XXH64 — the hash-parity layer that lets
+  * the MinHash/SimHash/fingerprint entries (d03, d04, d05, t04)
+  * graduate from rows-only to fully DuckDB-oracled.
   *
   * The oracle engine has no XXH64 builtin, so the oracle SQL computes
   * the hash itself: bytes via `unicode(substr(w,i,1))` (the corpus is
@@ -15,20 +15,24 @@ package graft.operators
   * two on the same representation; XOR round-trips through UBIGINT
   * (DuckDB's xor is not defined on HUGEINT).
   *
+  * Structure — COLUMN-CHAINED CTE STAGES, one hashing step per stage,
+  * each MATERIALIZED: naive textual nesting re-expands every operand at
+  * each level (a two-level hashLong composition reached 40 MB of SQL
+  * and stalled the engine); with every intermediate a named column the
+  * whole string hash is ~12 KB and nothing is ever evaluated twice.
+  * Callers hash the DISTINCT vocabulary (≪ token count) and join the
+  * token stream back against it — evaluating the expression per-token
+  * exhausts the 32-thread oracle allocator.
+  *
   * Only the tail path of XXH64 is emitted (inputs < 32 bytes — the
-  * corpus maxes out at 8-byte words); a ≥32-byte word hashes to NULL so
-  * a future corpus change fails the compare loudly instead of silently
-  * matching a wrong stripe-path transcription.
+  * corpus maxes out at 8-byte words, 17-byte shingles); a ≥32-byte
+  * input hashes to NULL so a corpus change fails the compare loudly
+  * instead of silently matching a wrong stripe-path transcription.
   *
-  * Validated two ways: the generated SQL reproduces the public XXH64
-  * vectors ("", "abc" — same vectors TrinoFunctionsSpec pins on the
-  * Spark side), and d04/d05/t04 hash-match Spark end-to-end at sf0.01.
-  *
-  * Cost discipline: the expression is heavyweight, so callers hash the
-  * DISTINCT vocabulary (31 words at every SF; always ≪ token count)
-  * inside a MATERIALIZED CTE and join the tokens against it — without
-  * this, 32 oracle threads each vectorizing the full nested-list
-  * expression over every token row exhaust the DuckDB allocator. */
+  * Validated: the generated SQL reproduces the public XXH64 vectors
+  * ("", "abc" — the vectors TrinoFunctionsSpec pins on the Spark side)
+  * and 20 random (value, seed) hashLong probes against an independent
+  * reference; d03/d04/d05/t04 hash-match Spark end-to-end at sf0.01. */
 object XxhOracle {
 
   private val M64 = "18446744073709551616::HUGEINT"
@@ -69,46 +73,92 @@ object XxhOracle {
   private def byteStep(acc: String, b: String): String =
     mulmod(rotl(xor(acc, mulmod(b, P5)), 11), P1)
 
-  private def avalanche(h0: String): String = {
-    val h1 = mulmod(xor(h0, shr(h0, 33)), P2)
-    val h2 = mulmod(xor(h1, shr(h1, 29)), P3)
-    xor(h2, shr(h2, 32))
-  }
+  private def stage(name: String, src: String, col: String,
+      expr: String): String =
+    s"$name AS MATERIALIZED (SELECT *, $expr AS $col FROM $src)"
 
-  /** XXH64(ascii string in column `w`, seed 0) as HUGEINT in [0, 2⁶⁴);
-    * NULL for inputs ≥ 32 bytes (stripe path intentionally absent). */
-  def hashSql(w: String): String = {
+  /** Reinterpret an unsigned HUGEINT in [0,2⁶⁴) as a signed BIGINT. */
+  def signed(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808::HUGEINT" +
+      s" THEN ($u) - $M64 ELSE ($u) END AS BIGINT)"
+
+  /** Reinterpret a signed BIGINT's bits as HUGEINT in [0,2⁶⁴). */
+  def unsigned(s0: String): String =
+    s"((($s0)::HUGEINT + $M64) % $M64)"
+
+  /** CTE chain hashing ASCII string column `w` (< 32 bytes) of CTE
+    * `src` with `seed` into new column `out`; every other column of
+    * `src` is carried through. Returns (cteSql, lastCteName). */
+  def hashStrCtes(p: String, src: String, w: String, seed: String,
+      out: String): (String, String) = {
     val bs = s"list_transform(range(1, length($w) + 1)," +
       s" i -> unicode(substr($w, i, 1))::HUGEINT)"
-    val h0 = addmod(P5, s"length($w)::HUGEINT")
-    // full 8-byte lanes, little-endian: fold the reversed byte slice
-    val le64 = s"list_reduce(list_reverse(($bs)[8*j+1:8*j+8])," +
+    val le64 = s"list_reduce(list_reverse((${p}_bs)[8*j+1:8*j+8])," +
       " (a, b) -> a * 256::HUGEINT + b)"
-    val lanes8 = s"CASE WHEN length($w) >= 8 THEN" +
-      s" list_transform(range(0, length($w) // 8), j -> $le64) ELSE [] END"
-    val h1 = s"CASE WHEN len($lanes8) > 0 THEN" +
-      s" list_reduce(list_prepend($h0, $lanes8)," +
-      s" (acc, lane) -> ${lane8Step("acc", "lane")}) ELSE $h0 END"
-    val off4 = s"8 * (length($w) // 8)"
-    val le32 = s"list_reduce(list_reverse(($bs)[($off4)+1:($off4)+4])," +
+    val le32 = s"list_reduce(list_reverse((${p}_bs)[(${p}_o4)+1:(${p}_o4)+4])," +
       " (a, b) -> a * 256::HUGEINT + b)"
-    val h2 = s"CASE WHEN length($w) % 8 >= 4 THEN ${lane4Step(h1, le32)}" +
-      s" ELSE ($h1) END"
-    val offb = s"(8 * (length($w) // 8)" +
-      s" + CASE WHEN length($w) % 8 >= 4 THEN 4 ELSE 0 END)"
-    val tail = s"($bs)[($offb)+1:length($w)]"
-    val h3 = s"CASE WHEN len($tail) > 0 THEN" +
-      s" list_reduce(list_prepend(($h2), $tail)," +
-      s" (acc, b) -> ${byteStep("acc", "b")}) ELSE ($h2) END"
-    s"(CASE WHEN length($w) < 32 THEN (${avalanche(h3)}) ELSE NULL END)"
+    val ctes = Seq(
+      stage(s"${p}0", src, s"${p}_bs", bs),
+      s"${p}1 AS MATERIALIZED (SELECT *, length($w)::HUGEINT AS ${p}_n," +
+        s" 8 * (length($w) // 8) AS ${p}_o4," +
+        s" (8 * (length($w) // 8) + CASE WHEN length($w) % 8 >= 4 THEN 4 ELSE 0 END) AS ${p}_ob" +
+        s" FROM ${p}0)",
+      stage(s"${p}2", s"${p}1", s"${p}_h0", addmod(addmod(seed, P5), s"${p}_n")),
+      stage(s"${p}3", s"${p}2", s"${p}_l8",
+        s"CASE WHEN length($w) >= 8 THEN" +
+          s" list_transform(range(0, length($w) // 8), j -> $le64) ELSE [] END"),
+      stage(s"${p}4", s"${p}3", s"${p}_h1",
+        s"CASE WHEN len(${p}_l8) > 0 THEN list_reduce(list_prepend(${p}_h0, ${p}_l8)," +
+          s" (acc, lane) -> ${lane8Step("acc", "lane")}) ELSE ${p}_h0 END"),
+      stage(s"${p}5", s"${p}4", s"${p}_l4",
+        s"CASE WHEN length($w) % 8 >= 4 THEN $le32 ELSE NULL END"),
+      stage(s"${p}6", s"${p}5", s"${p}_h2",
+        s"CASE WHEN ${p}_l4 IS NOT NULL THEN ${lane4Step(s"${p}_h1", s"${p}_l4")}" +
+          s" ELSE ${p}_h1 END"),
+      stage(s"${p}7", s"${p}6", s"${p}_tl", s"(${p}_bs)[(${p}_ob)+1:length($w)]"),
+      stage(s"${p}8", s"${p}7", s"${p}_h3",
+        s"CASE WHEN len(${p}_tl) > 0 THEN list_reduce(list_prepend(${p}_h2, ${p}_tl)," +
+          s" (acc, b) -> ${byteStep("acc", "b")}) ELSE ${p}_h2 END"),
+      stage(s"${p}9", s"${p}8", s"${p}_a1",
+        mulmod(xor(s"${p}_h3", shr(s"${p}_h3", 33)), P2)),
+      stage(s"${p}A", s"${p}9", s"${p}_a2",
+        mulmod(xor(s"${p}_a1", shr(s"${p}_a1", 29)), P3)),
+      s"${p}B AS MATERIALIZED (SELECT * EXCLUDE (${p}_bs, ${p}_n, ${p}_o4," +
+        s" ${p}_ob, ${p}_h0, ${p}_l8, ${p}_h1, ${p}_l4, ${p}_h2, ${p}_tl," +
+        s" ${p}_h3, ${p}_a1)," +
+        s" CASE WHEN length($w) < 32 THEN ${xor(s"${p}_a2", shr(s"${p}_a2", 32))}" +
+        s" ELSE NULL END AS $out FROM ${p}A)")
+    (ctes.mkString(",\n"), s"${p}B")
   }
 
-  /** CTE prelude `tok, vocab, wh`: token stream + per-distinct-word
-    * XXH64 — join tokens back on `w` to pick up column `h`. */
-  val wordHashCtes: String =
+  /** CTE chain for Spark's `XXH64.hashLong(v, seed)` (the multi-column
+    * XxHash64 expression chains: hash(b, hash(a, 0))). `v`/`seed` are
+    * HUGEINT-valued column names of `src`. Returns (cteSql, lastCte). */
+  def hashLongCtes(p: String, src: String, v: String, seed: String,
+      out: String): (String, String) = {
+    val ctes = Seq(
+      stage(s"${p}0", src, s"${p}_h0", addmod(addmod(s"($seed)", P5), "8::HUGEINT")),
+      stage(s"${p}1", s"${p}0", s"${p}_k", mulmod(rotl(mulmod(s"($v)", P2), 31), P1)),
+      stage(s"${p}2", s"${p}1", s"${p}_h1",
+        addmod(mulmod(rotl(xor(s"${p}_h0", s"${p}_k"), 27), P1), P4)),
+      stage(s"${p}3", s"${p}2", s"${p}_a1",
+        mulmod(xor(s"${p}_h1", shr(s"${p}_h1", 33)), P2)),
+      stage(s"${p}4", s"${p}3", s"${p}_a2",
+        mulmod(xor(s"${p}_a1", shr(s"${p}_a1", 29)), P3)),
+      s"${p}5 AS MATERIALIZED (SELECT * EXCLUDE (${p}_h0, ${p}_k, ${p}_h1, ${p}_a1)," +
+        s" ${xor(s"${p}_a2", shr(s"${p}_a2", 32))} AS $out FROM ${p}4)")
+    (ctes.mkString(",\n"), s"${p}5")
+  }
+
+  /** CTE prelude `tok, vocab, …, wh`: token stream + per-distinct-word
+    * seed-0 XXH64 — join tokens back on `w` to pick up column `h`. */
+  val wordHashCtes: String = {
+    val (ctes, last) = hashStrCtes("hw", "vocab", "w", "0::HUGEINT", "h")
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |vocab AS (SELECT DISTINCT w FROM tok),
-       |wh AS MATERIALIZED (SELECT w, ${hashSql("w")} AS h FROM vocab)""".stripMargin
+       |$ctes,
+       |wh AS MATERIALIZED (SELECT w, h FROM $last)""".stripMargin
+  }
 
   /** 64-row (bit, pw=2^bit) literal table — HUGEINT powers for bit
     * extraction (`h // pw % 2`) without a shift operator. */
@@ -124,15 +174,38 @@ object XxhOracle {
   val simhashCtes: String =
     s"""$wordHashCtes,
        |tw AS (SELECT doc_id, w, COUNT(*)::HUGEINT AS cnt FROM tok GROUP BY 1, 2),
-       |hw AS (SELECT doc_id, cnt, h FROM tw JOIN wh USING (w)),
+       |hw_j AS (SELECT doc_id, cnt, h FROM tw JOIN wh USING (w)),
        |$bitPowersCte,
        |v AS (SELECT doc_id, bit, pw, SUM(cnt * (2 * ((h // pw) % 2) - 1)) AS vote
-       |      FROM hw, bits GROUP BY 1, 2, 3),
+       |      FROM hw_j, bits GROUP BY 1, 2, 3),
        |f AS MATERIALIZED (SELECT doc_id,
        |        SUM(CASE WHEN vote > 0 THEN pw ELSE 0::HUGEINT END) AS fp
        |      FROM v GROUP BY 1),
-       |fs AS (SELECT doc_id,
-       |         CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
-       |              THEN fp - $M64 ELSE fp END AS BIGINT) AS simhash
-       |       FROM f)""".stripMargin
+       |fs AS (SELECT doc_id, ${signed("fp")} AS simhash FROM f)""".stripMargin
+
+  /** CTE chain ending in `sig(doc_id, sig BIGINT[32])`, `sh(doc_id,
+    * s)`, `sz(doc_id, n)` — the exact MinHashAggregate semantics over
+    * distinct word-2-gram shingles: per-shingle h1 = XXH64(s, seed 0),
+    * h2 = XXH64(s, seed 1) forced odd, permutation j's hash is
+    * h1 + j·h2 (mod 2⁶⁴, Kirsch–Mitzenmacher double hashing), minima
+    * taken over SIGNED 64-bit values exactly as the aggregate's
+    * `acc < buf(j)` comparison does. */
+  val minhashSigCtes: String = {
+    val (h1c, h1last) = hashStrCtes("x1", "svocab", "s", "0::HUGEINT", "h1u")
+    val (h2c, h2last) = hashStrCtes("x2", h1last, "s", "1::HUGEINT", "h2r")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM d),
+       |svocab AS (SELECT DISTINCT s FROM sh),
+       |$h1c,
+       |$h2c,
+       |shh AS MATERIALIZED (SELECT s, h1u, h2r + (1 - (h2r % 2)) AS h2u FROM $h2last),
+       |perm AS (SELECT doc_id, j,
+       |        MIN(${signed(s"(h1u + j * h2u) % $M64")}) AS sj
+       |      FROM sh JOIN shh USING (s), unnest(range(0, 32)) t(j)
+       |      GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sig AS MATERIALIZED (SELECT doc_id, list(sj ORDER BY j) AS sig
+       |                     FROM perm GROUP BY 1)""".stripMargin
+  }
 }

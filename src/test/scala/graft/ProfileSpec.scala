@@ -32,4 +32,32 @@ class ProfileSpec extends SparkSpec {
       s"aggregate outputs ${aggs.mkString(",")} vs $result result rows")
   }
 
+  test("q78 profile invariants hold with whole-stage codegen disabled") {
+    // the relation walks executedPlan NODE NAMES; codegen wraps change
+    // which wrappers appear (WholeStageCodegen spans vs bare operators),
+    // and a Spark upgrade could silently alter that. Pin the contract:
+    // the PHYSICS gates must hold under either plan shape, and the
+    // codegen-off profile must still expose the scan and aggregate flow.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val rows = SparkEntry.queries("q78_query_profile")(spark, sf1).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      assert(rows.map(_._1).toSeq == rows.indices.toSeq)
+      assert(!rows.exists(_._2.contains("WholeStageCodegen")),
+        "codegen wrappers present despite wholeStage=false")
+      val tableSizes = Seq("lineitem", "orders", "customer", "supplier",
+        "nation", "region").map(t =>
+        spark.read.parquet(s"$sf1/$t.parquet").count()).toSet
+      val scans = rows.filter(_._2.toLowerCase.contains("scan"))
+        .map(_._3).filter(_ > 0)
+      assert(scans.exists(tableSizes.contains),
+        s"no scan matches a base table size: $scans vs $tableSizes")
+      val result = SparkEntry.queries("q03_join_agg_topn")(spark, sf1).count()
+      val aggs = rows.filter(r => r._2.contains("HashAggregate") && r._3 >= 0)
+      assert(aggs.nonEmpty && aggs.forall(_._3 >= result),
+        s"aggregate outputs ${aggs.mkString(",")} vs $result result rows")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
 }
