@@ -16,9 +16,25 @@ import org.apache.spark.sql.functions._
 object Loader {
 
   /** Bucket histogram over orders keys — proves bucketing is complete
-    * and deterministic (property-tested in BucketingSpec); rows-only
-    * check, DuckDB has no XXH64. */
-  val bucketCounts: QueryEntry = QueryEntry.noOracle("l01_bucket_counts") { (s, d) =>
+    * and deterministic (property-tested in TrinoFunctionsSpec). Fully
+    * oracled since r11: the DuckDB mirror computes seed-0 XXH64 of each
+    * key's decimal string itself ([[XxhOracle]]) and replays the
+    * loader's `pmod(h & Long.MaxValue, 8)` as unsigned
+    * `(h mod 2⁶³) mod 8` — the reference's exact bucket assignment
+    * (loader.py:213-218) is now hash-gated, not just property-gated. */
+  val bucketCounts: QueryEntry = QueryEntry(
+    "l01_bucket_counts", {
+      val (hc, hlast) = XxhOracle.hashStrCtes("hk", "k", "w", "0::HUGEINT", "h")
+      s"""WITH k AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w FROM orders),
+         |$hc,
+         |b AS (SELECT w,
+         |        CAST(((h % 9223372036854775808::HUGEINT) % 8) AS BIGINT) AS bucket
+         |      FROM $hlast)
+         |SELECT bucket, COUNT(*) AS n
+         |FROM orders JOIN b ON CAST(o_orderkey AS VARCHAR) = b.w
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
     Tables.orders(s, d)
       .select(TrinoFunctions.trino_bucket(col("o_orderkey"), 8).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))

@@ -182,9 +182,65 @@ object Similarity {
     * Voronoi cells by cosine; queries probe their `ivfProbes` nearest
     * cells and rerank only those cells' members. Assignment is one
     * broadcast-join pass (centroid side is O(k)) and search touches
-    * ~nprobe/k of the data. Probabilistic recall → rows-only;
-    * RecallSpec gates recall@5, IvfSpec gates centroid cardinality. */
-  val annIvf: QueryEntry = QueryEntry.noOracle("s03_ann_ivf") { (s, d) =>
+    * ~nprobe/k of the data. "Probabilistic" only in recall, not value:
+    * since r11 the DuckDB mirror replays the whole chain exactly —
+    * the deterministic vec_id-mod training sample, first-k seeding,
+    * one Lloyd iteration in DECIMAL (s05's proven discipline), cosine
+    * cell assignment with (cs DESC, cid) tiebreaks, 2-cell probing,
+    * and the exact rerank — so cell structure AND neighbor lists are
+    * hash-gated. RecallSpec gates recall@5, IvfSpec cardinality. */
+  val annIvf: QueryEntry = QueryEntry(
+    "s03_ann_ivf",
+    s"""WITH nsz AS (SELECT GREATEST(1, COUNT(*) // $pqTrainSample) AS m FROM embeddings),
+       |v AS (SELECT vec_id, u['dim'] AS dim, CAST(u['x'] AS DOUBLE) AS x
+       |      FROM (SELECT vec_id,
+       |              unnest(list_transform(range(1, len(embedding) + 1),
+       |                     i -> {'dim': i - 1, 'x': embedding[i]})) AS u
+       |            FROM embeddings)
+       |      WHERE vec_id % (SELECT m FROM nsz) = 0),
+       |seed AS (SELECT DISTINCT vec_id FROM v ORDER BY vec_id LIMIT $ivfK),
+       |c0 AS (SELECT v.vec_id AS cl, dim, x AS c FROM v JOIN seed USING (vec_id)),
+       |d1 AS (SELECT v.vec_id, c0.cl,
+       |              SUM(CAST((v.x - c0.c) * (v.x - c0.c) AS DECIMAL(28,18))) AS dist
+       |       FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cl FROM (
+       |         SELECT vec_id, cl,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |         FROM d1) WHERE rk = 1),
+       |c1 AS (SELECT cl, dim,
+       |              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |cent AS (SELECT cl AS cid, list(c ORDER BY dim) AS ce FROM c1 GROUP BY 1),
+       |centn AS (SELECT cid, ce,
+       |            sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+       |                 i -> ce[i] * ce[i]))) AS cnrm
+       |          FROM cent),
+       |n AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |sc AS (SELECT e.vec_id, c.cid,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i])) / (e.nrm * c.cnrm) AS cs
+       |       FROM n e, centn c),
+       |rn AS (SELECT vec_id, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS crn
+       |       FROM sc),
+       |assigned AS (SELECT vec_id, cid AS cluster FROM rn WHERE crn = 1 AND vec_id >= 10),
+       |qprobe AS (SELECT vec_id AS qid, cid AS cluster
+       |           FROM rn WHERE crn <= $ivfProbes AND vec_id < 10),
+       |cand AS (SELECT qid, a.vec_id AS nid FROM assigned a JOIN qprobe USING (cluster)),
+       |scored AS (SELECT qid, nid,
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |          / (q.nrm * c.nrm) AS cos
+       |      FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n c ON c.vec_id = cand.nid)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
     val scoredCells = e.crossJoin(broadcast(cent))

@@ -62,12 +62,35 @@ object TextAnalysis {
   }
 
   /** Language ID by corpus-derived character-trigram profiles: per-lang
-    * top-K trigram profile (computed distributedly, then broadcast as a
-    * literal map via a small collect of K*langs rows — the profile is
-    * tiny by construction) scored against each doc's trigrams.
-    * Heuristic output — not SQL-oracle-expressible; driver records the
-    * rows-only check. */
-  val langId: QueryEntry = QueryEntry.noOracle("t03_lang_id") { (s, d) =>
+    * top-K trigram profile scored against each doc's trigrams. The
+    * output is a heuristic PREDICTION, but the computation is a pure
+    * integer-ranked pipeline (document-frequency counts, rank
+    * tiebreaks, 31−rk scores, argmax with full tiebreakers) — so since
+    * r11 the DuckDB mirror replays it exactly: training sample,
+    * profile ranks, scores, and argmax are all hash-gated.
+    * QualityGatesSpec's separable-corpus accuracy gate unchanged. */
+  val langId: QueryEntry = QueryEntry(
+    "t03_lang_id",
+    """WITH tri AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |       range(1, greatest(length(text) - 2, 1) + 1),
+      |       i -> substr(text, i, 3)))) AS tg
+      |     FROM documents),
+      |prof AS (SELECT lang AS p_lang, tg, rk FROM (
+      |    SELECT lang, tg,
+      |           ROW_NUMBER() OVER (PARTITION BY lang
+      |                              ORDER BY COUNT(*) DESC, tg) AS rk
+      |    FROM tri WHERE doc_id % 5 = 0 GROUP BY lang, tg) WHERE rk <= 30),
+      |scored AS (SELECT doc_id, p_lang, SUM(31 - rk) AS score
+      |    FROM tri JOIN prof USING (tg) GROUP BY 1, 2),
+      |best AS (SELECT doc_id, p_lang AS lang_pred FROM (
+      |    SELECT doc_id, p_lang, score,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                              ORDER BY score DESC, p_lang) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT b.doc_id, b.lang_pred, d.lang,
+      |       CASE WHEN b.lang_pred = d.lang THEN 1 ELSE 0 END AS correct
+      |FROM best b JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     val docs = Tables.documents(s, d)
     // per-doc-distinct trigrams map-side (array_distinct before explode):
     // profiles become document-frequency based and the scoring side needs
