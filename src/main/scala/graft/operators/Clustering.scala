@@ -254,10 +254,50 @@ object Clustering {
     * (key, label) pairs (d09's machinery, non-convergence throws),
     * and herd sizes come from the d16 digest pass — 32-byte digests
     * and packed longs cross the exchanges, never paragraph text.
-    * Banding-probabilistic edge set → rows-only; ParagraphDedupSpec
-    * recomputes the closure driver-side from the engine's own pair
-    * relation and requires exact cluster-partition equality. */
-  val paraClusters: QueryEntry = QueryEntry.noOracle("d20_para_clusters") { (s, d) =>
+    * ParagraphDedupSpec recomputes the closure driver-side from the
+    * engine's own pair relation and requires exact cluster-partition
+    * equality.
+    *
+    * Oracled r11 (was rows-only): the edge set is d17's — fully
+    * deterministic, transcribed in [[graft.operators.XxhOracle]] —
+    * and the min-label closure is replayed as a recursive-CTE
+    * reachability fixpoint (lbl = MIN over the reach set ≡ pointer
+    * jumping's converged min label; the sparse verified-pair graph
+    * keeps the closure's pair space tiny), herds folded in from the
+    * same chunk/digest SQL d16/d18 already prove. */
+  val paraClusters: QueryEntry = QueryEntry(
+    "d20_para_clusters", {
+      import graft.operators.{Dedup, XxhOracle}
+      s"""WITH RECURSIVE a0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr,
+         |               unnest(range(0, CAST(ceil(len(arr) / ${Dedup.paraWords}.0) AS BIGINT))) AS i
+         |        FROM a0),
+         |paras AS (SELECT doc_id * ${Dedup.paraKeyStride} + i AS key,
+         |                 array_to_string(arr[(i * ${Dedup.paraWords} + 1):(i * ${Dedup.paraWords} + ${Dedup.paraWords})], ' ') AS para
+         |          FROM idx),
+         |herd AS (SELECT MIN(key) AS key, COUNT(*) AS dups
+         |         FROM (SELECT key, sha256(para) AS dg FROM paras) GROUP BY dg),
+         |reps AS (SELECT key FROM herd),
+         |rp AS (SELECT key, string_split(para, ' ') AS ws
+         |       FROM paras JOIN reps USING (key)),
+         |sh AS (SELECT key, unnest(list_distinct(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM rp),
+         |${XxhOracle.minhashSigCtes("key", 16)},
+         |${XxhOracle.minhashPairCtes("key", 16, "0.25")},
+         |edges AS (SELECT a_key AS a, b_key AS b FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges
+         |        UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |lbl AS (SELECT src AS node, MIN(dst) AS lbl FROM reach GROUP BY 1)
+         |SELECT l.lbl AS cluster, COUNT(*) AS n_types,
+         |       CAST(SUM(h.dups) AS BIGINT) AS n_instances
+         |FROM lbl l JOIN herd h ON l.node = h.key
+         |GROUP BY 1 ORDER BY n_instances DESC, cluster""".stripMargin
+    }
+  ) { (s, d) =>
     val edges = Dedup.paraNearDupPairs(s, d)
       .select(col("a_key").as("a"), col("b_key").as("b"))
     // per-TYPE instance counts from the d16 digest pass (survivor key,

@@ -104,40 +104,14 @@ object Dedup {
     * screen, and the exact Jaccard verification — candidate SET and
     * values both hash-gated since r11. */
   val minhashLsh: QueryEntry = QueryEntry(
-    "d03_minhash_lsh", {
-      val (bic, bilast) = XxhOracle.hashLongCtes(
-        "bi", "bprep", "bv1", "0::HUGEINT", "bh_in")
-      val (boc, bolast) = XxhOracle.hashLongCtes(
-        "bo", bilast, "bv2", "bh_in", "bh")
-      s"""WITH ${XxhOracle.minhashSigCtes},
-         |bprep AS (SELECT doc_id, b, ${XxhOracle.unsigned("sig[2*b + 1]")} AS bv1,
-         |                 ${XxhOracle.unsigned("sig[2*b + 2]")} AS bv2
-         |          FROM sig, unnest(range(0, 16)) t(b)),
-         |$bic,
-         |$boc,
-         |bands AS MATERIALIZED (SELECT doc_id, b, bh FROM $bolast),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |         FROM bands x JOIN bands y
-         |           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |plaus AS (SELECT a_id, b_id
-         |          FROM cand JOIN sig sa ON sa.doc_id = a_id
-         |                    JOIN sig sb ON sb.doc_id = b_id
-         |          WHERE CAST(list_sum(list_transform(range(1, 33),
-         |                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-         |                / 32 >= 0.25),
-         |common AS (SELECT a_id, b_id, COUNT(*) AS common
-         |           FROM plaus JOIN sh a ON a.doc_id = a_id
-         |                      JOIN sh b ON b.doc_id = b_id AND a.s = b.s
-         |           GROUP BY 1, 2),
-         |jac AS (SELECT p.a_id, p.b_id,
-         |          CAST(COALESCE(c.common, 0) AS DOUBLE)
-         |            / (sa.n + sb.n - COALESCE(c.common, 0)) AS jaccard
-         |        FROM plaus p
-         |        LEFT JOIN common c ON c.a_id = p.a_id AND c.b_id = p.b_id
-         |        JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id)
-         |SELECT a_id, b_id, jaccard FROM jac
-         |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin
-    }
+    "d03_minhash_lsh",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM d),
+       |${XxhOracle.minhashSigCtes("doc_id", 32)},
+       |${XxhOracle.minhashPairCtes("doc_id", 32, "0.25")}
+       |SELECT a_doc_id AS a_id, b_doc_id AS b_id, jaccard FROM jac
+       |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin
   ) { (s, d) =>
     minhashVerifiedPairs(Tables.documents(s, d))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
@@ -750,8 +724,33 @@ object Dedup {
     * and never again — and every verification join key embeds a chunk
     * id, so no corpus-hot shingle forms a hot bucket either. Fewer
     * hashes than d03 (16 vs 32) because 19-shingle sets need less
-    * signature resolution than whole documents. */
-  val paragraphNearDup: QueryEntry = QueryEntry.noOracle("d17_paragraph_neardup") { (s, d) =>
+    * signature resolution than whole documents.
+    *
+    * Oracled r11 (was rows-only): the DuckDB mirror replays the whole
+    * tier — d18's proven chunking SQL, digest collapse to min-key
+    * survivors, then d03's shared MinHash transcription
+    * ([[XxhOracle]]) at 16 permutations / 8 bands over the type
+    * shingles, est screen, exact Jaccard, threshold, TopN. */
+  val paragraphNearDup: QueryEntry = QueryEntry(
+    "d17_paragraph_neardup",
+    s"""WITH a0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |idx AS (SELECT doc_id, arr,
+       |               unnest(range(0, CAST(ceil(len(arr) / $paraWords.0) AS BIGINT))) AS i
+       |        FROM a0),
+       |paras AS (SELECT doc_id * $paraKeyStride + i AS key,
+       |                 array_to_string(arr[(i * $paraWords + 1):(i * $paraWords + $paraWords)], ' ') AS para
+       |          FROM idx),
+       |reps AS (SELECT MIN(key) AS key FROM (SELECT key, sha256(para) AS dg FROM paras)
+       |         GROUP BY dg),
+       |rp AS (SELECT key, string_split(para, ' ') AS ws
+       |       FROM paras JOIN reps USING (key)),
+       |sh AS (SELECT key, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM rp),
+       |${XxhOracle.minhashSigCtes("key", 16)},
+       |${XxhOracle.minhashPairCtes("key", 16, "0.25")}
+       |SELECT a_key, b_key, jaccard FROM jac WHERE jaccard >= 0.5
+       |ORDER BY jaccard DESC, a_key, b_key LIMIT 50""".stripMargin
+  ) { (s, d) =>
     paraNearDupPairs(s, d)
       .orderBy(col("jaccard").desc, col("a_key"), col("b_key"))
       .limit(50)

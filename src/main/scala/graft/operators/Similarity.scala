@@ -190,56 +190,7 @@ object Similarity {
     * and the exact rerank — so cell structure AND neighbor lists are
     * hash-gated. RecallSpec gates recall@5, IvfSpec cardinality. */
   val annIvf: QueryEntry = QueryEntry(
-    "s03_ann_ivf",
-    s"""WITH nsz AS (SELECT GREATEST(1, COUNT(*) // $pqTrainSample) AS m FROM embeddings),
-       |v AS (SELECT vec_id, u['dim'] AS dim, CAST(u['x'] AS DOUBLE) AS x
-       |      FROM (SELECT vec_id,
-       |              unnest(list_transform(range(1, len(embedding) + 1),
-       |                     i -> {'dim': i - 1, 'x': embedding[i]})) AS u
-       |            FROM embeddings)
-       |      WHERE vec_id % (SELECT m FROM nsz) = 0),
-       |seed AS (SELECT DISTINCT vec_id FROM v ORDER BY vec_id LIMIT $ivfK),
-       |c0 AS (SELECT v.vec_id AS cl, dim, x AS c FROM v JOIN seed USING (vec_id)),
-       |d1 AS (SELECT v.vec_id, c0.cl,
-       |              SUM(CAST((v.x - c0.c) * (v.x - c0.c) AS DECIMAL(28,18))) AS dist
-       |       FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
-       |a1 AS (SELECT vec_id, cl FROM (
-       |         SELECT vec_id, cl,
-       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-       |         FROM d1) WHERE rk = 1),
-       |c1 AS (SELECT cl, dim,
-       |              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-       |       FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
-       |cent AS (SELECT cl AS cid, list(c ORDER BY dim) AS ce FROM c1 GROUP BY 1),
-       |centn AS (SELECT cid, ce,
-       |            sqrt(list_sum(list_transform(range(1, len(ce) + 1),
-       |                 i -> ce[i] * ce[i]))) AS cnrm
-       |          FROM cent),
-       |n AS (SELECT vec_id, embedding,
-       |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-       |      FROM embeddings),
-       |sc AS (SELECT e.vec_id, c.cid,
-       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |           i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i])) / (e.nrm * c.cnrm) AS cs
-       |       FROM n e, centn c),
-       |rn AS (SELECT vec_id, cid,
-       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS crn
-       |       FROM sc),
-       |assigned AS (SELECT vec_id, cid AS cluster FROM rn WHERE crn = 1 AND vec_id >= 10),
-       |qprobe AS (SELECT vec_id AS qid, cid AS cluster
-       |           FROM rn WHERE crn <= $ivfProbes AND vec_id < 10),
-       |cand AS (SELECT qid, a.vec_id AS nid FROM assigned a JOIN qprobe USING (cluster)),
-       |scored AS (SELECT qid, nid,
-       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
-       |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-       |          / (q.nrm * c.nrm) AS cos
-       |      FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n c ON c.vec_id = cand.nid)
-       |SELECT qid, nid, rank, cos FROM (
-       |  SELECT qid, nid, cos,
-       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-       |  FROM scored)
-       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    "s03_ann_ivf", IvfOracle.probeOracle()
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
@@ -435,9 +386,71 @@ object Similarity {
     * Assignment is one broadcast pass (n·k dense cosines — at extreme
     * scale assign hierarchically through s03's fixed-k coarse cells
     * first, the IVF-PQ layering); no full-corpus pairwise stage exists
-    * anywhere in the plan. Probabilistic clustering boundary →
-    * rows-only entry. */
-  val semanticDedup: QueryEntry = QueryEntry.noOracle("s06_semantic_dedup") { (s, d) =>
+    * anywhere in the plan.
+    *
+    * Oracled r11: every stage is deterministic, so the DuckDB mirror
+    * replays it exactly — dynamic k = max(8, ⌈n/512⌉), the vec_id-mod
+    * training sample, first-k seed, one DECIMAL Lloyd iteration,
+    * top-2 cosine assignment, within-cell pair join, threshold, and
+    * the min-cluster/max-cos pair dedup. The mirror replays the FLAT
+    * assignment path, which is the path taken wherever k <
+    * semanticHierarchicalMinCells (every correctness-gate SF); at a
+    * corpus large enough to flip to hierarchical descent the compare
+    * would fail loudly rather than silently pass — that path's
+    * candidate-space exactness is gated by SemDedupSpec, which forces
+    * BOTH paths on the same corpus. */
+  val semanticDedup: QueryEntry = QueryEntry(
+    "s06_semantic_dedup",
+    s"""WITH kk AS (SELECT GREATEST($ivfK, CAST(CEIL(COUNT(*) / $semanticCellTarget.0) AS INT)) AS k,
+       |                   GREATEST(1, COUNT(*) // $semanticTrainSample) AS m FROM embeddings),
+       |v AS (SELECT vec_id, u['dim'] AS dim, CAST(u['x'] AS DOUBLE) AS x
+       |      FROM (SELECT vec_id,
+       |              unnest(list_transform(range(1, len(embedding) + 1),
+       |                     i -> {'dim': i - 1, 'x': embedding[i]})) AS u
+       |            FROM embeddings)
+       |      WHERE vec_id % (SELECT m FROM kk) = 0),
+       |seed AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM v)
+       |         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |c0 AS (SELECT v.vec_id AS cl, dim, x AS c FROM v JOIN seed USING (vec_id)),
+       |d1 AS (SELECT v.vec_id, c0.cl,
+       |              SUM(CAST((v.x - c0.c) * (v.x - c0.c) AS DECIMAL(28,18))) AS dist
+       |       FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cl FROM (
+       |         SELECT vec_id, cl,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |         FROM d1) WHERE rk = 1),
+       |c1 AS (SELECT cl, dim,
+       |              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |cent AS (SELECT cl AS cid, list(c ORDER BY dim) AS ce FROM c1 GROUP BY 1),
+       |centn AS (SELECT cid, ce,
+       |            sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+       |                 i -> ce[i] * ce[i]))) AS cnrm
+       |          FROM cent),
+       |n AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |sc AS (SELECT e.vec_id, c.cid,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i])) / (e.nrm * c.cnrm) AS cs
+       |       FROM n e, centn c),
+       |assigned AS (SELECT vec_id, cid AS cluster FROM (
+       |       SELECT vec_id, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS crn
+       |       FROM sc) WHERE crn <= $semanticProbes),
+       |pairs AS (SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id
+       |          FROM assigned a JOIN assigned b USING (cluster)
+       |          WHERE a.vec_id < b.vec_id),
+       |scored AS (SELECT p.cluster, p.a_id, p.b_id,
+       |        list_sum(list_transform(range(1, len(x.embedding) + 1),
+       |             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+       |          / (x.nrm * y.nrm) AS cos
+       |      FROM pairs p JOIN n x ON x.vec_id = p.a_id JOIN n y ON y.vec_id = p.b_id),
+       |surv AS (SELECT a_id, b_id, MIN(cluster) AS cluster, MAX(cos) AS cos
+       |         FROM scored WHERE cos >= $semanticThreshold GROUP BY 1, 2)
+       |SELECT cluster, a_id, b_id, cos FROM surv ORDER BY a_id, b_id""".stripMargin
+  ) { (s, d) =>
     semanticPairs(semanticAssignments(Tables.embeddings(s, d), semanticProbes))
   }
 
@@ -918,7 +931,15 @@ object Similarity {
     * (O(k) centroid broadcast, per-cell rerank). Probabilistic IVF
     * recall → rows-only; FilteredAnnSpec gates predicate soundness,
     * no-starvation, and recall vs predicate-restricted brute force. */
-  val annFiltered: QueryEntry = QueryEntry.noOracle("s10_ann_filtered") { (s, d) =>
+  val annFiltered: QueryEntry = QueryEntry(
+    "s10_ann_filtered",
+    // oracled r11: s03's mirror with BOTH the training population and
+    // the assigned corpus restricted to the metadata-eligible ids --
+    // filter-then-index, exactly the entry's semantics
+    IvfOracle.probeOracle(
+      trainWhere = "vec_id >= 10 AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)",
+      assignedWhere = "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)")
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val corpus = e.filter(col("vec_id") >= 10)
       .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
@@ -1049,7 +1070,14 @@ object Similarity {
     * are IDENTICAL to s03 (same quantizer, same probe rule, same
     * rerank — PersistedAnnSpec asserts row equality), so correctness
     * rides on s03's RecallSpec gate. */
-  val annPersisted: QueryEntry = QueryEntry.noOracle("s11_ann_persisted") { (s, d) =>
+  val annPersisted: QueryEntry = QueryEntry(
+    "s11_ann_persisted",
+    // oracled r11: the stored-layout probe is row-identical to s03
+    // (PersistedAnnSpec), so s03's mirror IS this entry's oracle --
+    // the persistence layer is now gated engine-vs-engine, not only
+    // stored-vs-rebuilt
+    IvfOracle.probeOracle()
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s11", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
@@ -1086,7 +1114,15 @@ object Similarity {
     * assignment distance) says so — a monitored offline decision, not a
     * per-batch cost. Probabilistic recall (rides s03's quantizer) →
     * rows-only. */
-  val annPersistedAppend: QueryEntry = QueryEntry.noOracle("s14_ann_persisted_append") { (s, d) =>
+  val annPersistedAppend: QueryEntry = QueryEntry(
+    "s14_ann_persisted_append",
+    // oracled r11: append under frozen centroids == assignment of the
+    // whole corpus against a quantizer trained on the base slice only
+    // (probe-after-append == full-rebuild probe, the PersistedAnnSpec
+    // equivalence, now hash-gated against the oracle engine)
+    IvfOracle.probeOracle(
+      trainWhere = "NOT (vec_id % 10 = 7 AND vec_id >= 10)")
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s14", d)
     val e = Tables.embeddings(s, d)
     val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
@@ -1145,7 +1181,12 @@ object Similarity {
     * (s11), plus one narrow semi-join of the probed cells' members
     * against the eligible-id relation — corpus-proportional but
     * id-only, shuffled not broadcast. */
-  val annFilteredProbe: QueryEntry = QueryEntry.noOracle("s13_ann_filtered_probe") { (s, d) =>
+  val annFilteredProbe: QueryEntry = QueryEntry(
+    "s13_ann_filtered_probe",
+    // oracled r11: full-corpus index, eligibility applied to the
+    // probed candidates BEFORE ranking (filter-then-rank)
+    IvfOracle.probeOracle(candWhere = "nid IN (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)")
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s13", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
@@ -1172,7 +1213,13 @@ object Similarity {
     * really was multi-file per cell, and that the compacted one is
     * single-file per cell. Probabilistic recall (s03's quantizer) →
     * rows-only. */
-  val annIndexCompact: QueryEntry = QueryEntry.noOracle("s15_index_compact") { (s, d) =>
+  val annIndexCompact: QueryEntry = QueryEntry(
+    "s15_index_compact",
+    // oracled r11: compaction changes bytes, not rows -- the probe
+    // equals assignment under the base-slice-trained quantizer
+    IvfOracle.probeOracle(
+      trainWhere = "NOT (vec_id % 10 IN (7, 8, 9) AND vec_id >= 10)")
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s15", d)
     val e = Tables.embeddings(s, d)
     def batch(m: Int) = col("vec_id") % 10 === m && col("vec_id") >= 10
@@ -1370,7 +1417,13 @@ object Similarity {
     * bytes but not rows — PersistedAnnSpec asserts both equivalences
     * and that the compacted generation contains zero tombstoned ids.
     * Probabilistic recall (s03's quantizer) → rows-only. */
-  val annPersistedDelete: QueryEntry = QueryEntry.noOracle("s18_index_delete") { (s, d) =>
+  val annPersistedDelete: QueryEntry = QueryEntry(
+    "s18_index_delete",
+    // oracled r11: tombstoned ids are masked from the candidate set;
+    // quantizer trained on the full corpus as the entry does
+    IvfOracle.probeOracle(
+      candWhere = "NOT (nid % 10 = 3 AND nid >= 10)")
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s18", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)
@@ -1519,9 +1572,29 @@ object Similarity {
     * says what that costs in ANSWER quality — the number that decides
     * nprobe bumps or a retrain. Ground-truth cost is O(|sample|·n),
     * NOT O(n²) — the sample stays fixed as the corpus grows.
-    * IVF ranking is training-dependent → rows-only; RecallSpec gates
-    * the monitor (probe-all ⇒ recall 1.0 on every query, bounds). */
-  val annRecallEval: QueryEntry = QueryEntry.noOracle("s21_recall_eval") {
+    * Oracled r11: both inputs are deterministic (s01's exact truth,
+    * s03's deterministic quantizer), so the mirror recomputes truth,
+    * probe, and the per-query overlap exactly; RecallSpec still gates
+    * the monitor's bounds (probe-all ⇒ recall 1.0 on every query). */
+  val annRecallEval: QueryEntry = QueryEntry(
+    "s21_recall_eval",
+    s"""WITH ${IvfOracle.ivfCtes()},
+       |${IvfOracle.probeSql()},
+       |truth AS (SELECT qid, nid FROM (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |           list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |             / (q.nrm * c.nrm) DESC, c.vec_id) AS trank
+       |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE trank <= 5)
+       |SELECT t.qid,
+       |       CAST(SUM(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+       |         AS recall_at_5
+       |FROM truth t LEFT JOIN ranked r ON r.qid = t.qid AND r.nid = t.nid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+  ) {
     (s, d) => ivfRecall(s, d, ivfProbes)
   }
 
@@ -1690,11 +1763,22 @@ object Similarity {
     * This is the relation an operator dashboards and the
     * retrain/compact decisions (s16 drift, s15 compaction) consume;
     * partition pruning makes each cell's count a metadata-cheap scan
-    * at 100 TB. Output order is by cell id; rows-only (the stored
-    * layout is probabilistic via the quantizer) with IndexStatsSpec
-    * gating: counts partition the corpus exactly, every cell id is a
-    * stored centroid, shares sum to 1. */
-  val indexStats: QueryEntry = QueryEntry.noOracle("s24_index_stats") { (s, d) =>
+    * at 100 TB. Output order is by cell id. Oracled r11: the stored
+    * layout is the deterministic crn=1 assignment, so the mirror
+    * recomputes per-cell counts, id envelopes, and shares exactly;
+    * IndexStatsSpec's partition/membership/share gates unchanged. */
+  val indexStats: QueryEntry = QueryEntry(
+    "s24_index_stats",
+    s"""WITH ${IvfOracle.ivfCtes()},
+       |assigned AS (SELECT vec_id, cid AS cluster FROM rn WHERE crn = 1),
+       |st AS (SELECT cluster, COUNT(*) AS n_vectors,
+       |              MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+       |       FROM assigned GROUP BY 1),
+       |tot AS (SELECT SUM(n_vectors) AS n_total FROM st)
+       |SELECT cluster, n_vectors,
+       |       CAST(n_vectors AS DOUBLE) / n_total AS share, min_id, max_id
+       |FROM st, tot ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s11", d)
     val e = Tables.embeddings(s, d)
     // rebuild gate checks BOTH halves of the index: a crash between the

@@ -183,29 +183,67 @@ object XxhOracle {
        |      FROM v GROUP BY 1),
        |fs AS (SELECT doc_id, ${signed("fp")} AS simhash FROM f)""".stripMargin
 
-  /** CTE chain ending in `sig(doc_id, sig BIGINT[32])`, `sh(doc_id,
-    * s)`, `sz(doc_id, n)` — the exact MinHashAggregate semantics over
-    * distinct word-2-gram shingles: per-shingle h1 = XXH64(s, seed 0),
-    * h2 = XXH64(s, seed 1) forced odd, permutation j's hash is
-    * h1 + j·h2 (mod 2⁶⁴, Kirsch–Mitzenmacher double hashing), minima
-    * taken over SIGNED 64-bit values exactly as the aggregate's
-    * `acc < buf(j)` comparison does. */
-  val minhashSigCtes: String = {
+  /** CTE chain ending in `sig(<idCol>, sig BIGINT[nSig])` and
+    * `sz(<idCol>, n)` over a caller-provided shingle relation
+    * `sh(<idCol>, s)` — the exact MinHashAggregate semantics: per
+    * distinct shingle h1 = XXH64(s, seed 0), h2 = XXH64(s, seed 1)
+    * forced odd, permutation j's hash is h1 + j·h2 (mod 2⁶⁴,
+    * Kirsch–Mitzenmacher double hashing), minima taken over SIGNED
+    * 64-bit values exactly as the aggregate's `acc < buf(j)`
+    * comparison does. Parameterized so the document tier (d03: 32
+    * permutations over doc shingles) and the paragraph tier (d17: 16
+    * over type shingles) share one transcription. */
+  def minhashSigCtes(idCol: String, nSig: Int): String = {
     val (h1c, h1last) = hashStrCtes("x1", "svocab", "s", "0::HUGEINT", "h1u")
     val (h2c, h2last) = hashStrCtes("x2", h1last, "s", "1::HUGEINT", "h2r")
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
-       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM d),
-       |svocab AS (SELECT DISTINCT s FROM sh),
+    s"""svocab AS (SELECT DISTINCT s FROM sh),
        |$h1c,
        |$h2c,
        |shh AS MATERIALIZED (SELECT s, h1u, h2r + (1 - (h2r % 2)) AS h2u FROM $h2last),
-       |perm AS (SELECT doc_id, j,
+       |perm AS (SELECT $idCol, j,
        |        MIN(${signed(s"(h1u + j * h2u) % $M64")}) AS sj
-       |      FROM sh JOIN shh USING (s), unnest(range(0, 32)) t(j)
+       |      FROM sh JOIN shh USING (s), unnest(range(0, $nSig)) t(j)
        |      GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |sig AS MATERIALIZED (SELECT doc_id, list(sj ORDER BY j) AS sig
+       |sz AS (SELECT $idCol, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sig AS MATERIALIZED (SELECT $idCol, list(sj ORDER BY j) AS sig
        |                     FROM perm GROUP BY 1)""".stripMargin
+  }
+
+  /** The LSH band/candidate/estimate/verify tail shared by d03 and
+    * d17, over the `sh`/`sz`/`sig` CTEs of [[minhashSigCtes]]: band
+    * hashes via the chained two-long XxHash64, distinct band-collision
+    * candidates, the signature-agreement screen at `estMin`, and exact
+    * shingle-intersection Jaccard. Ends in `jac(a_<id>, b_<id>,
+    * jaccard)`. */
+  def minhashPairCtes(idCol: String, nSig: Int, estMin: String): String = {
+    val (bic, bilast) = hashLongCtes("bi", "bprep", "bv1", "0::HUGEINT", "bh_in")
+    val (boc, bolast) = hashLongCtes("bo", bilast, "bv2", "bh_in", "bh")
+    val a = s"a_$idCol"
+    val b = s"b_$idCol"
+    s"""bprep AS (SELECT $idCol, b, ${unsigned("sig[2*b + 1]")} AS bv1,
+       |                 ${unsigned("sig[2*b + 2]")} AS bv2
+       |          FROM sig, unnest(range(0, ${nSig / 2})) t(b)),
+       |$bic,
+       |$boc,
+       |bands AS MATERIALIZED (SELECT $idCol, b, bh FROM $bolast),
+       |cand AS (SELECT DISTINCT x.$idCol AS $a, y.$idCol AS $b
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.bh = y.bh AND x.$idCol < y.$idCol),
+       |plaus AS (SELECT $a, $b
+       |          FROM cand JOIN sig sa ON sa.$idCol = $a
+       |                    JOIN sig sb ON sb.$idCol = $b
+       |          WHERE CAST(list_sum(list_transform(range(1, ${nSig + 1}),
+       |                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |                / $nSig >= $estMin),
+       |common AS (SELECT $a, $b, COUNT(*) AS common
+       |           FROM plaus JOIN sh x ON x.$idCol = $a
+       |                      JOIN sh y ON y.$idCol = $b AND x.s = y.s
+       |           GROUP BY 1, 2),
+       |jac AS (SELECT p.$a, p.$b,
+       |          CAST(COALESCE(c.common, 0) AS DOUBLE)
+       |            / (sa.n + sb.n - COALESCE(c.common, 0)) AS jaccard
+       |        FROM plaus p
+       |        LEFT JOIN common c ON c.$a = p.$a AND c.$b = p.$b
+       |        JOIN sz sa ON sa.$idCol = p.$a JOIN sz sb ON sb.$idCol = p.$b)""".stripMargin
   }
 }
