@@ -95,4 +95,209 @@ object IvfOracle {
     s"""WITH ${ivfCtes(trainWhere)},
        |${probeSql(assignedWhere, candWhere)}
        |SELECT qid, nid, rank, cos FROM ranked ORDER BY qid, rank""".stripMargin
+
+  /** s07's product-quantization mirror: first-k-init + one-Lloyd
+    * codebook per subspace over the deterministic sample (squared-L2
+    * assignment as the same fixed-order double fold, DECIMAL mean
+    * update, dense-remapped ids), frozen-codebook encode of the whole
+    * corpus, per-query DECIMAL LUTs, the ADC scan as a subspace-ordered
+    * double fold, and the exact top-5 rerank of the top-`pqCandidates`
+    * ADC survivors. */
+  def pqProbeOracle: String = {
+    val M = Similarity.pqSubspaces
+    val SD = Similarity.pqSubDim
+    val K = Similarity.pqK
+    s"""WITH nsz AS (SELECT GREATEST(1, COUNT(*) // ${Similarity.pqTrainSample}) AS m
+       |             FROM embeddings),
+       |sv AS (SELECT vec_id, sub, list_transform(range(1, $SD + 1),
+       |              j -> CAST(embedding[sub * $SD + j] AS DOUBLE)) AS xs
+       |       FROM embeddings, unnest(range(0, $M)) t(sub)
+       |       WHERE vec_id % (SELECT m FROM nsz) = 0),
+       |c0 AS (SELECT sub, vec_id AS cl, xs AS cs FROM sv
+       |       WHERE vec_id < $K * (SELECT m FROM nsz)),
+       |a0 AS (SELECT vec_id, sub, cl FROM (
+       |         SELECT sv.vec_id, sv.sub, c0.cl,
+       |                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |                  ORDER BY list_sum(list_transform(range(1, $SD + 1),
+       |                    j -> (sv.xs[j] - c0.cs[j]) * (sv.xs[j] - c0.cs[j]))), c0.cl) AS rk
+       |         FROM sv JOIN c0 USING (sub)) WHERE rk = 1),
+       |sx AS (SELECT vec_id, sub, j - 1 AS sdim,
+       |              CAST(embedding[sub * $SD + j] AS DOUBLE) AS x
+       |       FROM embeddings, unnest(range(0, $M)) t(sub),
+       |            unnest(range(1, $SD + 1)) u(j)
+       |       WHERE vec_id % (SELECT m FROM nsz) = 0),
+       |c1 AS (SELECT sx.sub, a0.cl, sx.sdim,
+       |              CAST(SUM(CAST(sx.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM sx JOIN a0 ON sx.vec_id = a0.vec_id AND sx.sub = a0.sub
+       |       GROUP BY 1, 2, 3),
+       |c1d AS (SELECT sub, DENSE_RANK() OVER (PARTITION BY sub ORDER BY cl) - 1 AS cl,
+       |               sdim, c FROM c1),
+       |cbarr AS MATERIALIZED (SELECT sub, cl, list(c ORDER BY sdim) AS cs
+       |                       FROM c1d GROUP BY 1, 2),
+       |ev AS (SELECT vec_id, sub, list_transform(range(1, $SD + 1),
+       |              j -> CAST(embedding[sub * $SD + j] AS DOUBLE)) AS xs
+       |       FROM embeddings, unnest(range(0, $M)) t(sub)),
+       |codes AS MATERIALIZED (SELECT vec_id, sub, cl FROM (
+       |         SELECT ev.vec_id, ev.sub, cb.cl,
+       |                ROW_NUMBER() OVER (PARTITION BY ev.vec_id, ev.sub
+       |                  ORDER BY list_sum(list_transform(range(1, $SD + 1),
+       |                    j -> (ev.xs[j] - cb.cs[j]) * (ev.xs[j] - cb.cs[j]))), cb.cl) AS rk
+       |         FROM ev JOIN cbarr cb USING (sub)) WHERE rk = 1),
+       |qx AS (SELECT vec_id AS qid, sub, j - 1 AS sdim,
+       |              CAST(embedding[sub * $SD + j] AS DOUBLE) AS x
+       |       FROM embeddings, unnest(range(0, $M)) t(sub),
+       |            unnest(range(1, $SD + 1)) u(j)
+       |       WHERE vec_id < 10),
+       |pdot AS MATERIALIZED (SELECT qid, c1d.sub, c1d.cl,
+       |              CAST(SUM(CAST(qx.x * c1d.c AS DECIMAL(28,18))) AS DOUBLE) AS pd,
+       |              CAST(SUM(CAST(c1d.c * c1d.c AS DECIMAL(28,18))) AS DOUBLE) AS cq
+       |         FROM qx JOIN c1d ON qx.sub = c1d.sub AND qx.sdim = c1d.sdim
+       |         GROUP BY 1, 2, 3),
+       |terms AS (SELECT p.qid, c.vec_id, c.sub, p.pd, p.cq
+       |          FROM codes c JOIN pdot p ON p.sub = c.sub AND p.cl = c.cl
+       |          WHERE c.vec_id >= 10),
+       |adc AS (SELECT qid, vec_id,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list(pd ORDER BY sub)),
+       |            (a, b) -> a + b) AS num,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list(cq ORDER BY sub)),
+       |            (a, b) -> a + b) AS den
+       |        FROM terms GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY num / sqrt(den) DESC, vec_id) AS arn
+       |          FROM adc) WHERE arn <= ${Similarity.pqCandidates}),
+       |n AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |scored AS (SELECT qid, cand.vec_id AS nid,
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |          / (q.nrm * c.nrm) AS cos
+       |      FROM cand JOIN n q ON q.vec_id = cand.qid
+       |                JOIN n c ON c.vec_id = cand.vec_id)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** s08/s12/s19's residual IVF-PQ mirror: coarse quantizer + PQ
+    * codebook trained on the `baseWhere` population (one count sizes
+    * both training samples, as ivfPqBuild does), residuals r = x −
+    * c(x) in double, frozen-state encode of the WHOLE corpus (append ≡
+    * rebuild — the pure-function property PersistedAnnSpec pins, here
+    * hash-gated), DECIMAL ADC lookup state (pdot/cdot/csq/qc/cnorm),
+    * the probed-cell ADC scan with subspace-ordered double folds and
+    * the dsq≥0 clamp, and the exact top-5 rerank of the top-
+    * `pqCandidates` survivors. */
+  def ivfPqProbeOracle(baseWhere: String = "TRUE"): String = {
+    val M = Similarity.pqSubspaces
+    val SD = Similarity.pqSubDim
+    val K = Similarity.pqK
+    s"""WITH ${ivfCtes(baseWhere)},
+       |aw AS (SELECT vec_id, cid AS cell FROM rn WHERE crn = 1),
+       |resid AS MATERIALIZED (SELECT a.vec_id, a.cell,
+       |          list_transform(range(1, len(e.embedding) + 1),
+       |            i -> CAST(e.embedding[i] AS DOUBLE) - ct.ce[i]) AS emb
+       |        FROM aw a JOIN n e ON e.vec_id = a.vec_id
+       |                  JOIN cent ct ON ct.cid = a.cell),
+       |rsv AS (SELECT vec_id, sub, list_transform(range(1, $SD + 1),
+       |              j -> emb[sub * $SD + j]) AS xs
+       |        FROM resid, unnest(range(0, $M)) t(sub)
+       |        WHERE ($baseWhere) AND vec_id % (SELECT m FROM kk) = 0),
+       |pc0 AS (SELECT sub, vec_id AS cl, xs AS cs FROM rsv
+       |        WHERE vec_id < $K * (SELECT m FROM kk)),
+       |pa0 AS (SELECT vec_id, sub, cl FROM (
+       |         SELECT rsv.vec_id, rsv.sub, pc0.cl,
+       |                ROW_NUMBER() OVER (PARTITION BY rsv.vec_id, rsv.sub
+       |                  ORDER BY list_sum(list_transform(range(1, $SD + 1),
+       |                    j -> (rsv.xs[j] - pc0.cs[j]) * (rsv.xs[j] - pc0.cs[j]))), pc0.cl) AS rk
+       |         FROM rsv JOIN pc0 USING (sub)) WHERE rk = 1),
+       |psx AS (SELECT vec_id, sub, j - 1 AS sdim, xs[j] AS x
+       |        FROM rsv, unnest(range(1, $SD + 1)) u(j)),
+       |pc1 AS (SELECT psx.sub, pa0.cl, psx.sdim,
+       |              CAST(SUM(CAST(psx.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+       |       FROM psx JOIN pa0 ON psx.vec_id = pa0.vec_id AND psx.sub = pa0.sub
+       |       GROUP BY 1, 2, 3),
+       |pc1d AS (SELECT sub, DENSE_RANK() OVER (PARTITION BY sub ORDER BY cl) - 1 AS cl,
+       |               sdim, c FROM pc1),
+       |pcb AS MATERIALIZED (SELECT sub, cl, list(c ORDER BY sdim) AS cs
+       |                     FROM pc1d GROUP BY 1, 2),
+       |evr AS (SELECT vec_id, cell, sub, list_transform(range(1, $SD + 1),
+       |              j -> emb[sub * $SD + j]) AS xs
+       |        FROM resid, unnest(range(0, $M)) t(sub)),
+       |codes AS MATERIALIZED (SELECT vec_id, cell, sub, cl FROM (
+       |         SELECT evr.vec_id, evr.cell, evr.sub, cb.cl,
+       |                ROW_NUMBER() OVER (PARTITION BY evr.vec_id, evr.sub
+       |                  ORDER BY list_sum(list_transform(range(1, $SD + 1),
+       |                    j -> (evr.xs[j] - cb.cs[j]) * (evr.xs[j] - cb.cs[j]))), cb.cl) AS rk
+       |         FROM evr JOIN pcb cb USING (sub)) WHERE rk = 1),
+       |cellSub AS (SELECT cid AS cell, CAST((i - 1) // $SD AS INT) AS sub,
+       |                   (i - 1) % $SD AS sdim, ce[i] AS cx
+       |            FROM cent, unnest(range(1, len(ce) + 1)) t(i)),
+       |cdot AS MATERIALIZED (SELECT cs2.cell, p.sub, p.cl,
+       |              CAST(SUM(CAST(cs2.cx * p.c AS DECIMAL(28,18))) AS DOUBLE) AS cd
+       |        FROM cellSub cs2 JOIN pc1d p ON p.sub = cs2.sub AND p.sdim = cs2.sdim
+       |        GROUP BY 1, 2, 3),
+       |csq AS MATERIALIZED (SELECT sub, cl,
+       |              CAST(SUM(CAST(c * c AS DECIMAL(28,18))) AS DOUBLE) AS sq
+       |        FROM pc1d GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(CAST(cx * cx AS DECIMAL(28,18))) AS cnormsq
+       |          FROM cellSub GROUP BY 1),
+       |probeList AS (SELECT vec_id AS qid, cid AS cell
+       |              FROM rn WHERE crn <= ${Similarity.ivfProbes} AND vec_id < 10),
+       |qsub AS (SELECT vec_id AS qid, CAST((i - 1) // $SD AS INT) AS sub,
+       |                (i - 1) % $SD AS sdim, CAST(embedding[i] AS DOUBLE) AS qx
+       |         FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+       |         WHERE vec_id < 10),
+       |qc AS (SELECT q.qid, pl.cell,
+       |              SUM(CAST(q.qx * cs2.cx AS DECIMAL(28,18))) AS qcv
+       |       FROM qsub q JOIN probeList pl ON pl.qid = q.qid
+       |            JOIN cellSub cs2 ON cs2.cell = pl.cell
+       |                            AND cs2.sub = q.sub AND cs2.sdim = q.sdim
+       |       GROUP BY 1, 2),
+       |pdot AS MATERIALIZED (SELECT q.qid, p.sub, p.cl,
+       |              CAST(SUM(CAST(q.qx * p.c AS DECIMAL(28,18))) AS DOUBLE) AS pd
+       |        FROM qsub q JOIN pc1d p ON p.sub = q.sub AND p.sdim = q.sdim
+       |        GROUP BY 1, 2, 3),
+       |terms AS (SELECT pl.qid, c.vec_id, c.cell, c.sub, pd.pd, cd.cd, sq.sq
+       |          FROM codes c
+       |          JOIN probeList pl ON pl.cell = c.cell
+       |          JOIN pdot pd ON pd.qid = pl.qid AND pd.sub = c.sub AND pd.cl = c.cl
+       |          JOIN cdot cd ON cd.cell = c.cell AND cd.sub = c.sub AND cd.cl = c.cl
+       |          JOIN csq sq ON sq.sub = c.sub AND sq.cl = c.cl
+       |          WHERE c.vec_id >= 10),
+       |adc AS (SELECT qid, vec_id, cell,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list(pd ORDER BY sub)),
+       |            (a, b) -> a + b) AS pds,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list(cd ORDER BY sub)),
+       |            (a, b) -> a + b) AS cds,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list(sq ORDER BY sub)),
+       |            (a, b) -> a + b) AS sqs
+       |        FROM terms GROUP BY 1, 2, 3),
+       |scoredadc AS (SELECT a.qid, a.vec_id,
+       |          GREATEST(0.0::DOUBLE,
+       |            CAST(cn.cnormsq AS DOUBLE) + 2 * a.cds + a.sqs) AS dsq,
+       |          CAST(q.qcv AS DOUBLE) + a.pds AS num
+       |        FROM adc a JOIN qc q ON q.qid = a.qid AND q.cell = a.cell
+       |                   JOIN cnorm cn ON cn.cell = a.cell),
+       |cand AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY CASE WHEN dsq > 0 THEN num / sqrt(dsq)
+       |                          ELSE -1.7976931348623157e308 END DESC, vec_id) AS arn
+       |          FROM scoredadc) WHERE arn <= ${Similarity.pqCandidates}),
+       |rer AS (SELECT qid, cand.vec_id AS nid,
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |          / (q.nrm * c.nrm) AS cos
+       |      FROM cand JOIN n q ON q.vec_id = cand.qid
+       |                JOIN n c ON c.vec_id = cand.vec_id)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 }

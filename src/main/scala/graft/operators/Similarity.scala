@@ -644,10 +644,15 @@ object Similarity {
     * search after that scans 8 B/vector instead of 256 B — the FAISS
     * PQ argument relationally — and rerank I/O is O(queries·C·dim).
     * Compose with s03's coarse quantizer for IVF-PQ (probe, then
-    * ADC-scan the probed cells' codes). Probabilistic recall →
-    * rows-only; RecallSpec gates recall@5 vs s01 ground truth, PqSpec
-    * gates codebook/code-state bounds. */
-  val annPq: QueryEntry = QueryEntry.noOracle("s07_ann_pq") { (s, d) =>
+    * ADC-scan the probed cells' codes). "Probabilistic" only in
+    * recall: since r11 the DuckDB mirror ([[IvfOracle.pqProbeOracle]])
+    * replays training, dense remap, frozen-codebook encode, the
+    * DECIMAL LUTs, the subspace-ordered ADC fold, and the exact
+    * rerank — codes AND neighbor lists hash-gated. RecallSpec gates
+    * recall@5 vs s01 ground truth, PqSpec codebook/code-state bounds. */
+  val annPq: QueryEntry = QueryEntry(
+    "s07_ann_pq", IvfOracle.pqProbeOracle
+  ) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, d)
     // footer-only count (aggregate pushdown) sizing the training sample
@@ -698,7 +703,13 @@ object Similarity {
     * Probabilistic recall → rows-only; RecallSpec gates recall@5
     * (bounded above by s03's probed-cell recall, approached from below
     * as the top-C rerank absorbs ADC ranking error). */
-  val annIvfPq: QueryEntry = QueryEntry.noOracle("s08_ann_ivfpq") { (s, d) =>
+  val annIvfPq: QueryEntry = QueryEntry(
+    "s08_ann_ivfpq",
+    // oracled r11: the full residual IVF-PQ chain replayed
+    // (IvfOracle.ivfPqProbeOracle) - coarse + residual-PQ training,
+    // frozen-state encode, DECIMAL ADC state, clamped ADC scan, rerank
+    IvfOracle.ivfPqProbeOracle()
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val (cent, codebook, codesCell) = ivfPqBuild(e)
     ivfPqProbe(e, cent, codebook, codesCell)
@@ -871,7 +882,48 @@ object Similarity {
     * candidate IDs. Probabilistic ranking → rows-only; RecallSpec
     * gates recall@5 against s01 and SqSpec gates the quantization
     * invariants. */
-  val annSq: QueryEntry = QueryEntry.noOracle("s09_ann_sq") { (s, d) =>
+  val annSq: QueryEntry = QueryEntry(
+    "s09_ann_sq",
+    // oracled r11: per-vector scale, HALF-UP int8 codes, the
+    // approximate cosine scan over codes, the top-20 screen, and the
+    // exact rerank all replayed — both engines round half away from
+    // zero and the int codes make the approximate dot exact
+    """WITH n AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |      FROM embeddings),
+      |sc AS (SELECT vec_id, embedding,
+      |         GREATEST(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE),
+      |                  CAST(1e-30::FLOAT AS DOUBLE)) / 127 AS scale
+      |       FROM embeddings WHERE vec_id >= 10),
+      |coded AS (SELECT vec_id,
+      |            list_transform(range(1, len(embedding) + 1),
+      |              i -> round(CAST(embedding[i] AS DOUBLE) / scale)) AS codes
+      |          FROM sc),
+      |cn AS (SELECT vec_id, codes,
+      |         sqrt(list_sum(list_transform(range(1, len(codes) + 1),
+      |              i -> codes[i] * codes[i]))) AS cnrm
+      |       FROM coded),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+      |cand AS (SELECT qid, vec_id FROM (
+      |          SELECT q.qid, c.vec_id,
+      |                 ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |                   list_sum(list_transform(range(1, len(q.qe) + 1),
+      |                     i -> CAST(q.qe[i] AS DOUBLE) * c.codes[i])) / (q.qn * c.cnrm)
+      |                   DESC, c.vec_id) AS arn
+      |          FROM cn c, q) WHERE arn <= 20),
+      |scored AS (SELECT qid, cand.vec_id AS nid,
+      |        list_sum(list_transform(range(1, len(x.embedding) + 1),
+      |             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      |          / (x.nrm * y.nrm) AS cos
+      |      FROM cand JOIN n x ON x.vec_id = cand.qid
+      |                JOIN n y ON y.vec_id = cand.vec_id)
+      |SELECT qid, nid, rank, cos FROM (
+      |  SELECT qid, nid, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val coded = sqEncode(e.filter(col("vec_id") >= 10))
     val q = e.filter(col("vec_id") < 10)
@@ -1152,7 +1204,12 @@ object Similarity {
     * asserts exact row equality with s08 (the identical build state
     * round-tripped through parquet) and pins the dynamicpruning
     * filter on the codes scan. */
-  val annIvfPqPersisted: QueryEntry = QueryEntry.noOracle("s12_ann_ivfpq_persisted") { (s, d) =>
+  val annIvfPqPersisted: QueryEntry = QueryEntry(
+    "s12_ann_ivfpq_persisted",
+    // oracled r11: persistence changes bytes, not rows (stored ==
+    // fresh, PersistedAnnSpec) - s08's mirror IS this entry's oracle
+    IvfOracle.ivfPqProbeOracle()
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s12", d)
     val e = Tables.embeddings(s, d)
     val (cent, codebook, codesCell) = ivfPqBuild(e)
@@ -1466,7 +1523,14 @@ object Similarity {
     * Drift accumulates in the RESIDUALS as the true cell population
     * shifts — s16's monitor is the retrain trigger here too.
     * Probabilistic recall → rows-only. */
-  val annIvfPqAppend: QueryEntry = QueryEntry.noOracle("s19_ivfpq_append") { (s, d) =>
+  val annIvfPqAppend: QueryEntry = QueryEntry(
+    "s19_ivfpq_append",
+    // oracled r11: both quantizers trained on the base slice, the
+    // whole corpus (base + arriving) encoded under the frozen state -
+    // append == rebuild, now gated against the oracle engine
+    IvfOracle.ivfPqProbeOracle(
+      baseWhere = "NOT (vec_id % 10 = 7 AND vec_id >= 10)")
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s19", d)
     val e = Tables.embeddings(s, d)
     val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
