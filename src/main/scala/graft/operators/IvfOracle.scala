@@ -300,4 +300,45 @@ object IvfOracle {
        |  FROM rer)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
+
+  /** The greedy MMR rerank (s17/s20's mmrSelect) UNROLLED: the loop is
+    * mmrK−1 identical argmax steps, so the mirror emits one CTE pair
+    * per step — candidates not yet selected score λ·cos −
+    * (1−λ)·max(sim to selected), argmax with the same (score DESC,
+    * vec_id) tiebreak. The 1−λ literal is embedded via Scala's
+    * shortest-round-trip Double printing, so both engines subtract the
+    * bit-identical constant. Requires CTEs `pool(qid, vec_id, cos)`
+    * and `n(vec_id, embedding, nrm)` upstream; emits the final
+    * (qid, nid, rank, cos) SELECT. */
+  def mmrTailSql(): String = {
+    val lam = Similarity.mmrLambda.toString
+    val oneMinus = (1 - Similarity.mmrLambda).toString
+    val steps = (2 to Similarity.mmrK).map { k =>
+      s"""sc$k AS (SELECT p.qid, p.vec_id, p.cos, MAX(pc.sim) AS maxsim
+         |        FROM pool p
+         |        LEFT JOIN u${k - 1} d ON d.qid = p.qid AND d.vec_id = p.vec_id
+         |        JOIN u${k - 1} s ON s.qid = p.qid
+         |        JOIN pc ON pc.qid = p.qid AND pc.av = p.vec_id AND pc.bv = s.vec_id
+         |        WHERE d.vec_id IS NULL
+         |        GROUP BY 1, 2, 3),
+         |s$k AS (SELECT qid, vec_id, cos, $k AS rank FROM (
+         |        SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY $lam * cos - $oneMinus * maxsim DESC, vec_id) AS r
+         |        FROM sc$k) WHERE r = 1),
+         |u$k AS (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""pc AS MATERIALIZED (SELECT x.qid, x.vec_id AS av, y.vec_id AS bv,
+       |         list_sum(list_transform(range(1, len(na.embedding) + 1),
+       |           i -> CAST(na.embedding[i] AS DOUBLE) * CAST(nb.embedding[i] AS DOUBLE)))
+       |           / (na.nrm * nb.nrm) AS sim
+       |       FROM pool x JOIN pool y ON x.qid = y.qid AND x.vec_id <> y.vec_id
+       |       JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id),
+       |s1 AS (SELECT qid, vec_id, cos, 1 AS rank FROM (
+       |       SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+       |         ORDER BY cos DESC, vec_id) AS r FROM pool) WHERE r = 1),
+       |u1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT qid, vec_id AS nid, rank, cos FROM u${Similarity.mmrK}
+       |ORDER BY qid, rank""".stripMargin
+  }
 }

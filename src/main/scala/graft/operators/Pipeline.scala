@@ -626,9 +626,11 @@ object Pipeline {
     * digest-keyed exchange, survivors flow straight into the packing
     * window without touching storage. Every rule is integer-exact →
     * full DuckDB oracle. */
-  val pipelineCompose: QueryEntry = QueryEntry(
-    "p12_pipeline_compose",
-    s"""WITH g AS (
+  /** p12's survivor spine as oracle CTEs (quality gate → boilerplate
+    * strip → exact dedup), ending in `surv(doc_id, text)` — shared by
+    * the p12 and p13 mirrors. */
+  private def composeSurvivorCtes: String =
+    s"""g AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text, n_chars,
        |           len(string_split(text, ' ')) AS nw,
@@ -653,15 +655,23 @@ object Pipeline {
        |surv AS (SELECT doc_id, text FROM (
        |           SELECT doc_id, text,
        |                  ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-       |           FROM stripped) WHERE rn = 1),
-       |t AS (SELECT doc_id, doc_id % 8 AS bucket,
-       |             len(string_split(text, ' ')) AS toks FROM surv),
+       |           FROM stripped) WHERE rn = 1)""".stripMargin
+
+  /** The pack-manifest oracle tail over a `kept(doc_id, text)` CTE. */
+  private def packManifestSql(src: String): String =
+    s"""t AS (SELECT doc_id, doc_id % 8 AS bucket,
+       |             len(string_split(text, ' ')) AS toks FROM $src),
        |c AS (SELECT doc_id, bucket, toks,
        |             SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM t)
        |SELECT bucket, CAST(FLOOR(COALESCE(prior, 0) / 2048) AS BIGINT) AS bin,
        |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val pipelineCompose: QueryEntry = QueryEntry(
+    "p12_pipeline_compose",
+    s"""WITH $composeSurvivorCtes,
+       |${packManifestSql("surv")}""".stripMargin
   ) { (s, d) =>
     val surv = composeSurvivors(s, d)
     packManifest(surv.select(col("doc_id"), size(ws).as("toks")))
@@ -681,14 +691,29 @@ object Pipeline {
     * NEAR-dup removal stage between exact dedup and packing — d03's
     * MinHash→LSH→exact-verify pairs at the d02 report threshold
     * (0.85), dropping the larger id of every verified pair (greedy
-    * keep-first, the same survivor rule as the exact tier). LSH
-    * banding is probabilistic → rows-only entry; PipelineComposeSpec
-    * gates the chain algebra instead: p13's survivor set ⊆ p12's,
-    * every dropped document has a verified ≥0.85 partner with a
-    * smaller id, and the manifest totals re-add. The survivor relation is
-    * localCheckpoint'd once — consumed by both the pair generator and
-    * the final anti-join, the one diamond in the chain. */
-  val pipelineFull: QueryEntry = QueryEntry.noOracle("p13_pipeline_full") { (s, d) =>
+    * keep-first, the same survivor rule as the exact tier). Oracled
+    * r11: the whole chain is a composition of already-transcribed
+    * mirrors — p12's survivor spine, d03's MinHash/band/verify CTEs
+    * over the SURVIVOR relation, the ≥0.85 drop, and the pack tail —
+    * so the five-stage pipeline is hash-gated end-to-end.
+    * PipelineComposeSpec still gates the chain algebra (survivor ⊆
+    * p12's, dropped docs have smaller-id partners, totals re-add).
+    * The survivor relation is localCheckpoint'd once — consumed by
+    * both the pair generator and the final anti-join, the one diamond
+    * in the chain. */
+  val pipelineFull: QueryEntry = QueryEntry(
+    "p13_pipeline_full",
+    s"""WITH $composeSurvivorCtes,
+       |dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM dd),
+       |${XxhOracle.minhashSigCtes("doc_id", 32)},
+       |${XxhOracle.minhashPairCtes("doc_id", 32, "0.25")},
+       |drop0 AS (SELECT DISTINCT b_doc_id AS doc_id FROM jac WHERE jaccard >= 0.85),
+       |kept AS (SELECT surv.doc_id, surv.text FROM surv
+       |         LEFT JOIN drop0 USING (doc_id) WHERE drop0.doc_id IS NULL),
+       |${packManifestSql("kept")}""".stripMargin
+  ) { (s, d) =>
     val surv = composeSurvivors(s, d).localCheckpoint()
     val drop = Dedup.minhashVerifiedPairs(surv)
       .filter(col("jaccard") >= 0.85)
@@ -814,12 +839,17 @@ object Pipeline {
     * than raw-like", a scale-free threshold needing no global rank
     * (the deterministic analogue of DSIR's Gumbel resampling).
     *
-    * Determinism: the per-doc weight is a SUM OF DOUBLES, so it folds
-    * over the doc's (bucket, contribution) cells sorted by bucket —
-    * p11's explicit-left-fold discipline — making the score identical
-    * under any partitioning (DeterminismSpec) and exactly
-    * recomputable (DsirSpec re-derives one doc's weight from raw
-    * counts). ln() is engine-library-specific → rows-only.
+    * Determinism (r11, the t15/s22 fixed-point discipline): each
+    * bucket's log-ratio is frozen to integer NANO-UNITS
+    * (round(lr·10⁹)) the moment it leaves ln(), so the per-doc weight
+    * is an integer sum — order-free under any partitioning, no sorted
+    * fold needed — and the emitted double is one exact nano→unit
+    * division. This also makes the entry fully DuckDB-oracled: the
+    * raw ln() differs between Java's Math.log and the oracle engine's
+    * libm at the last ulp (measured: 212/500 docs at sf0.01 before
+    * quantization), but a 1-ulp input wobble cannot move round(x·10⁹)
+    * except exactly at a .5 boundary — and the sign threshold, the
+    * decision the operator exists for, is unaffected entirely.
     *
     * At 100 TB: both LM tables are capped at [[dsirBuckets]] rows by
     * construction (broadcast, declared in BroadcastAuditSpec); feature
@@ -829,7 +859,36 @@ object Pipeline {
     * elements, doc-bounded, never corpus-bounded. One corpus scan
     * builds feats; Spark reuses it across the raw/target aggregates
     * and the scoring join via the checkpointed lineage. */
-  val dsirWeights: QueryEntry = QueryEntry.noOracle("p16_dsir_weights") { (s, d) =>
+  val dsirWeights: QueryEntry = QueryEntry(
+    "p16_dsir_weights", {
+      val (hc, hlast) = XxhOracle.hashStrCtes(
+        "hg", "gvocab", "g", "42::HUGEINT", "h")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+         |uni AS (SELECT doc_id, lang, unnest(arr) AS g FROM d),
+         |bi AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(arr)),
+         |         i -> arr[i] || '_' || arr[i+1])) AS g FROM d WHERE len(arr) >= 2),
+         |fg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         |gvocab AS (SELECT DISTINCT g FROM fg),
+         |$hc,
+         |gb AS MATERIALIZED (SELECT g, CAST(h % $dsirBuckets AS BIGINT) AS bucket
+         |                    FROM $hlast),
+         |feats AS (SELECT doc_id, lang, bucket FROM fg JOIN gb USING (g)),
+         |raw AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY 1),
+         |tgt AS (SELECT bucket, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT SUM(ct) FROM tgt) AS tt),
+         |lm AS MATERIALIZED (SELECT r.bucket,
+         |        CAST(round((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tot.tt + $dsirBuckets))
+         |          - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.tr + $dsirBuckets))) * 1000000000)
+         |          AS BIGINT) AS lrn
+         |      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot),
+         |w AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+         |        CAST(SUM(lm.lrn) AS BIGINT) AS wn
+         |      FROM feats f JOIN lm USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_feats, CAST(wn AS DOUBLE) / 1e9 AS weight,
+         |       wn > 0 AS selected
+         |FROM w ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val bi = docs.withColumn("arr", ws)
       .filter(size(col("arr")) >= 2)
@@ -849,19 +908,16 @@ object Pipeline {
     val lm = raw.join(tgt, Seq("bucket"), "left")
       .crossJoin(totals)
       .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
             (col("tt") + dsirBuckets)) -
           log((col("cr") + 1).cast("double") /
-            (col("tr") + dsirBuckets))).as("lr"))
+            (col("tr") + dsirBuckets))) * 1e9).cast("long").as("lrn"))
     feats.join(broadcast(lm), Seq("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("n"), first(col("lr")).as("lr"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_feats"),
-        expr("aggregate(array_sort(collect_list(named_struct(" +
-          "'bucket', bucket, 'contrib', n * lr))), cast(0.0 as double), " +
-          "(acc, x) -> acc + x.contrib)").as("weight"))
-      .withColumn("selected", col("weight") > 0)
+      .agg(count(lit(1)).as("n_feats"), sum(col("lrn")).as("wn"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("wn").cast("double") / 1e9).as("weight"),
+        (col("wn") > 0).as("selected"))
       .orderBy(col("doc_id"))
   }
 

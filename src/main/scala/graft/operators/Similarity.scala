@@ -1392,11 +1392,31 @@ object Similarity {
     * once so the corpus scan never re-executes). At 100 TB the corpus
     * cost is exactly one s01 pass (or any indexed entry swapped in as
     * the candidate generator); the rerank cost is independent of
-    * corpus size, the property that makes MMR deployable. Greedy
-    * float argmax chains are engine-specific → rows-only; MmrSpec
-    * pins selection-order invariants and measures the diversity gain
-    * vs plain top-k. */
-  val annMmr: QueryEntry = QueryEntry.noOracle("s17_ann_mmr") { (s, d) =>
+    * corpus size, the property that makes MMR deployable. Oracled
+    * r11: the greedy loop is mmrK−1 deterministic argmax steps, so
+    * the mirror unrolls them ([[IvfOracle.mmrTailSql]]) with the same
+    * float arithmetic (bit-identical λ / 1−λ literals) and tiebreaks;
+    * MmrSpec's selection-order invariants and diversity-gain
+    * measurements unchanged. */
+  val annMmr: QueryEntry = QueryEntry(
+    "s17_ann_mmr",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+       |pool AS MATERIALIZED (SELECT qid, vec_id, cos FROM (
+       |       SELECT q.qid, c.vec_id,
+       |              list_sum(list_transform(range(1, len(q.qe) + 1),
+       |                i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |                / (q.qn * c.nrm) AS cos,
+       |              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |                list_sum(list_transform(range(1, len(q.qe) + 1),
+       |                  i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |                  / (q.qn * c.nrm) DESC, c.vec_id) AS rk
+       |       FROM n c, q WHERE c.vec_id >= 10) WHERE rk <= $mmrPool),
+       |${IvfOracle.mmrTailSql()}""".stripMargin
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1563,10 +1583,37 @@ object Similarity {
     * only probed cells (dynamic partition pruning, pinned), the
     * eligible set is an id-only shuffled semi-join applied BEFORE
     * ranking (no starvation), and the rerank cost is
-    * corpus-independent. Probabilistic (quantizer recall) →
-    * rows-only; MmrSpec gates first-pick equivalence with the plain
-    * filtered probe, eligibility soundness, and selection shape. */
-  val annRetrievalPipeline: QueryEntry = QueryEntry.noOracle("s20_retrieval_pipeline") { (s, d) =>
+    * corpus-independent. Oracled r11: the composition is a pure
+    * chain of already-transcribed stages — s03's quantizer mirror,
+    * s13's eligible screen, the bounded pool, and the unrolled MMR
+    * tail — so the whole serving path is hash-gated end-to-end;
+    * MmrSpec gates first-pick equivalence with the plain filtered
+    * probe, eligibility soundness, and selection shape. */
+  val annRetrievalPipeline: QueryEntry = QueryEntry(
+    "s20_retrieval_pipeline",
+    s"""WITH ${IvfOracle.ivfCtes()},
+       |assigned AS (SELECT vec_id, cid AS cluster FROM rn
+       |             WHERE crn = 1 AND vec_id >= 10),
+       |qprobe AS (SELECT vec_id AS qid, cid AS cluster
+       |           FROM rn WHERE crn <= $ivfProbes AND vec_id < 10),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+       |pool AS MATERIALIZED (SELECT qid, vec_id, cos FROM (
+       |       SELECT p.qid, a.vec_id,
+       |              list_sum(list_transform(range(1, len(q.qe) + 1),
+       |                i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |                / (q.qn * c.nrm) AS cos,
+       |              ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |                list_sum(list_transform(range(1, len(q.qe) + 1),
+       |                  i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |                  / (q.qn * c.nrm) DESC, a.vec_id) AS rk
+       |       FROM assigned a JOIN qprobe p USING (cluster)
+       |            JOIN q ON q.qid = p.qid
+       |            JOIN n c ON c.vec_id = a.vec_id
+       |       WHERE a.vec_id IN (SELECT doc_id FROM documents
+       |                          WHERE lang = 'en' AND n_chars >= 200))
+       |       WHERE rk <= $mmrPool),
+       |${IvfOracle.mmrTailSql()}""".stripMargin
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s20", d)
     val e = Tables.embeddings(s, d)
     val cent = ivfCentroids(e)

@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** p16 DSIR importance-weighting gates. The entry is rows-only (ln is
-  * engine-library-specific), so these pin the semantics directly: a
-  * crafted corpus whose target (en) and off-target (de) documents use
-  * disjoint vocabularies must split cleanly by weight sign, and one
-  * document's weight must be EXACTLY recomputable from raw bucket
-  * counts via the same sorted-fold the entry uses. */
+/** p16 DSIR importance-weighting gates: a crafted corpus whose target
+  * (en) and off-target (de) documents use disjoint vocabularies must
+  * split cleanly by weight sign, and one document's weight must be
+  * EXACTLY recomputable from raw bucket counts via the entry's
+  * nano-quantized integer sum (r11: log-ratios freeze to round(lr·10⁹)
+  * so the fold is order-free integer arithmetic and the DuckDB oracle
+  * is exact despite libm ulp differences). */
 class DsirSpec extends SparkSpec {
 
   private val enVocab = Seq("apple", "banana", "cherry", "date", "elder", "fig")
@@ -86,12 +87,12 @@ class DsirSpec extends SparkSpec {
     val ct = instances.filter(_._2).groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
     val tr = cr.values.sum
     val tt = ct.values.sum
-    def lr(bk: Long): Double =
-      math.log((ct.getOrElse(bk, 0L) + 1).toDouble / (tt + 1024)) -
-        math.log((cr(bk) + 1).toDouble / (tr + 1024))
+    def lrNano(bk: Long): Long =
+      math.round((math.log((ct.getOrElse(bk, 0L) + 1).toDouble / (tt + 1024)) -
+        math.log((cr(bk) + 1).toDouble / (tr + 1024))) * 1e9)
     texts.foreach { case (id, t, _) =>
-      val cells = grams(t).groupBy(b(_)).map { case (bk, gs) => (bk, gs.size * lr(bk)) }
-      val expected = cells.toSeq.sortBy(_._1).foldLeft(0.0)((acc, x) => acc + x._2)
+      val wn = grams(t).map(g => lrNano(b(g))).sum
+      val expected = wn.toDouble / 1e9
       assert(rows(id) == expected,
         s"doc $id weight ${rows(id)} != recomputed $expected")
     }
