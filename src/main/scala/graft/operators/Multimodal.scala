@@ -259,8 +259,48 @@ object Multimodal {
     * that factorizes columns (pandas, the driver's rows-only check) can
     * handle every column while the digest still pins the vector values
     * bit-for-bit. Floats are 1e-3-quantized by construction (see
-    * [[stubEmbed]]) so the JSON rendering is stable. */
-  val batchEmbed: QueryEntry = QueryEntry.noOracle("m04_batch_embed") { (s, d) =>
+    * [[stubEmbed]]) so the JSON rendering is stable.
+    *
+    * Oracled r11 — even the "stub" is a pure deterministic function:
+    * the mirror transcribes Spark's Murmur3-of-long hash partitioner
+    * ([[graft.operators.XxhOracle.murmur3LongCtes]]) to reproduce the
+    * partition → sorted-rank → ⌊rank/32⌋ batch assignment, recomputes
+    * the byte-lane sums, and renders the k/1000 floats exactly as
+    * Jackson does (shortest-decimal "0.k" with trailing zeros
+    * stripped, "0.0" for zero) before hashing — so the inference
+    * PLUMBING (batch shape, ordinals, per-payload purity) is
+    * hash-gated, not just spec-gated. */
+  val batchEmbed: QueryEntry = QueryEntry(
+    "m04_batch_embed", {
+      val (mc, mlast) = graft.operators.XxhOracle.murmur3LongCtes(
+        "mm", "documents", "doc_id", "h32")
+      s"""WITH $mc,
+         |pt AS (SELECT doc_id, CAST(h32 % 8 AS BIGINT) AS part FROM $mlast),
+         |rk AS (SELECT doc_id, part,
+         |         ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) - 1 AS r
+         |       FROM pt),
+         |bb AS (SELECT doc_id, part, CAST(r // $embedBatchSize AS INTEGER) AS bidx
+         |       FROM rk),
+         |bsz AS (SELECT part, bidx, CAST(COUNT(*) AS INTEGER) AS bsize
+         |        FROM bb GROUP BY 1, 2),
+         |lanes AS (SELECT d.doc_id, t.j,
+         |            COALESCE(SUM(CASE WHEN (i - 1) % 8 = t.j
+         |              THEN unicode(substr(d.text, CAST(i AS INTEGER), 1)) END), 0) AS a
+         |          FROM documents d, unnest(range(0, 8)) t(j),
+         |               unnest(range(1, length(d.text) + 1)) u(i)
+         |          GROUP BY 1, 2),
+         |emb AS (SELECT doc_id, j, a % 1000 AS k FROM lanes),
+         |js AS (SELECT doc_id,
+         |         '[' || string_agg(CASE WHEN k = 0 THEN '0.0'
+         |             ELSE '0.' || rtrim(lpad(CAST(k AS VARCHAR), 3, '0'), '0')
+         |             END, ',' ORDER BY j) || ']' AS jtxt
+         |       FROM emb GROUP BY 1)
+         |SELECT b.doc_id, b.bidx, z.bsize, sha256(j.jtxt) AS emb_digest
+         |FROM bb b JOIN bsz z ON z.part = b.part AND z.bidx = b.bidx
+         |          JOIN js j ON j.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }
+  ) { (s, d) =>
     batchEmbedRaw(s, d)
       .select(col("doc_id"), col("bidx"), col("bsize"),
         sha2(to_json(col("emb")), 256).as("emb_digest"))

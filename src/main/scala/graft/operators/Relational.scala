@@ -794,9 +794,44 @@ object Relational {
     * Candidates here are the corpus's own distinct words (exact counts
     * carried alongside to expose the overestimate); in production the
     * candidate set is a fixed query list and the corpus is scanned
-    * once. Sketch innards are hash-layout-specific → rows-only;
-    * SketchSpec gates the deterministic bounds. */
-  val cmsTopK: QueryEntry = QueryEntry.noOracle("q76_cms_topk") { (s, d) =>
+    * once. Oracled r11: the sketch IS a deterministic relation —
+    * counters are grouped counts over seed-chained XXH64 buckets
+    * (row r's seed = XXH64.hashInt(r, 42), computed once here and
+    * embedded as literals; the word hash itself transcribed in
+    * [[graft.operators.XxhOracle]]) — so the mirror rebuilds the
+    * 4×1024 counter table and replays the min-over-rows estimates
+    * exactly. SketchSpec's bound gates (est ≥ exact, containment)
+    * unchanged. */
+  val cmsTopK: QueryEntry = QueryEntry(
+    "q76_cms_topk", {
+      val seeds = (0 until cmsDepth).map(i =>
+        java.lang.Long.toUnsignedString(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
+      val (chains, last) = seeds.zipWithIndex
+        .foldLeft((Seq.empty[String], "vocab")) { case ((acc, src), (seed, r)) =>
+          val (c, l) = graft.operators.XxhOracle.hashStrCtes(
+            s"q$r", src, "w", s"$seed::HUGEINT", s"h$r")
+          (acc :+ c, l)
+        }
+      val bCols = (0 until cmsDepth)
+        .map(r => s"CAST(h$r % $cmsWidth AS BIGINT) AS b$r").mkString(", ")
+      val melt = (0 until cmsDepth)
+        .map(r => s"SELECT w, $r AS r, b$r AS b FROM wb").mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM tok),
+         |${chains.mkString(",\n")},
+         |wb AS (SELECT w, $bCols FROM $last),
+         |cnt AS (SELECT w, COUNT(*) AS exact FROM tok GROUP BY 1),
+         |melt AS ($melt),
+         |cms AS (SELECT m.r, m.b, SUM(c.exact) AS cnt
+         |        FROM melt m JOIN cnt c USING (w) GROUP BY 1, 2),
+         |est AS (SELECT m.w, CAST(MIN(s.cnt) AS BIGINT) AS est
+         |        FROM melt m JOIN cms s ON s.r = m.r AND s.b = m.b GROUP BY 1)
+         |SELECT c.w, c.exact, e.est
+         |FROM cnt c JOIN est e ON e.w = c.w
+         |ORDER BY e.est DESC, c.w LIMIT 20""".stripMargin
+    }
+  ) { (s, d) =>
     val w = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
     val buckets = (0 until cmsDepth).map(i =>

@@ -1323,12 +1323,55 @@ object Similarity {
     * At 100 TB nothing here scans stored data: the monitor reads two
     * O(k) relations and folds the in-flight batch — the index is never
     * re-opened, and retraining stays a monitored offline decision
-    * instead of a per-batch cost. Mean-cosine aggregation order is
-    * engine-specific → rows-only; PersistedAnnSpec recomputes the
-    * flags from the emitted columns and IndexDriftSpec (crafted
-    * drifted batch) proves the flag fires exactly on the drifted
-    * cell. */
-  val annIndexDrift: QueryEntry = QueryEntry.noOracle("s16_index_drift") { (s, d) =>
+    * instead of a per-batch cost.
+    *
+    * Determinism (r11, p16's nano-unit discipline): each assignment
+    * cosine freezes to round(cs·10⁹) before the per-cell mean, so the
+    * mean is an integer-sum ratio — order-free AND exactly mirrorable
+    * in the oracle (the raw double mean's fold order was
+    * engine-specific, the old rows-only reason; a 10⁻⁹ quantization is
+    * noise against the 0.05 drift threshold). Fully oracled: the
+    * mirror replays the base-slice quantizer, both stat tables, and
+    * the share/ratio/drop/retrain algebra with identical expression
+    * order. IndexDriftSpec's crafted-drift gate unchanged. */
+  val annIndexDrift: QueryEntry = QueryEntry(
+    "s16_index_drift",
+    s"""WITH ${IvfOracle.ivfCtes(
+          "NOT (vec_id % 10 = 7 AND vec_id >= 10) AND vec_id >= 10")},
+       |asg AS (SELECT vec_id, cid AS cluster,
+       |               CAST(round(cs * 1000000000) AS BIGINT) AS csn
+       |        FROM rn JOIN sc USING (vec_id, cid)
+       |        WHERE crn = 1),
+       |bstat AS (SELECT cluster, COUNT(*) AS base_n,
+       |                 (CAST(SUM(csn) AS DOUBLE) / COUNT(*)) / 1e9 AS base_cos
+       |          FROM asg
+       |          WHERE NOT (vec_id % 10 = 7 AND vec_id >= 10) AND vec_id >= 10
+       |          GROUP BY 1),
+       |nstat AS (SELECT cluster, COUNT(*) AS new_n,
+       |                 (CAST(SUM(csn) AS DOUBLE) / COUNT(*)) / 1e9 AS new_cos
+       |          FROM asg
+       |          WHERE vec_id % 10 = 7 AND vec_id >= 10
+       |          GROUP BY 1),
+       |tt AS (SELECT (SELECT CAST(SUM(base_n) AS DOUBLE) FROM bstat) AS bt,
+       |              (SELECT CAST(SUM(new_n) AS DOUBLE) FROM nstat) AS nt),
+       |j AS (SELECT COALESCE(b.cluster, ne.cluster) AS cluster,
+       |             COALESCE(b.base_n, 0) AS base_n, COALESCE(ne.new_n, 0) AS new_n,
+       |             COALESCE(b.base_n, 0) / tt.bt AS base_share,
+       |             COALESCE(ne.new_n, 0) / tt.nt AS new_share,
+       |             b.base_cos, ne.new_cos
+       |      FROM bstat b FULL OUTER JOIN nstat ne ON ne.cluster = b.cluster, tt),
+       |r AS (SELECT *,
+       |        CASE WHEN base_share > 0 THEN new_share / base_share END AS share_ratio,
+       |        CASE WHEN base_cos IS NOT NULL AND new_cos IS NOT NULL
+       |             THEN base_cos - new_cos END AS cos_drop
+       |      FROM j)
+       |SELECT cluster, base_n, new_n, base_share, new_share, base_cos, new_cos,
+       |       share_ratio, cos_drop,
+       |       (COALESCE(share_ratio >= $driftShareBand, TRUE)
+       |        OR COALESCE(share_ratio <= ${1.0 / driftShareBand}, TRUE)
+       |        OR COALESCE(cos_drop >= $driftCosDrop, FALSE)) AS retrain
+       |FROM r ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
     val idxDir = indexDir(s, "s16", d)
     val e = Tables.embeddings(s, d)
     val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
@@ -1339,15 +1382,20 @@ object Similarity {
     assignedBase.drop("cs")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    // nano-quantized mean (p16's fixed-point discipline): integer sum
+    // over round(cs·1e9), divided out at the end — order-free and
+    // oracle-exact where a raw double avg's fold order is not
+    def meanCosNano(cs: Column): Column =
+      (sum(round(cs * 1e9).cast("long")).cast("double") / count(lit(1))) / 1e9
     assignedBase.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("base_n"), avg(col("cs")).as("base_cos"))
+      .agg(count(lit(1)).as("base_n"), meanCosNano(col("cs")).as("base_cos"))
       .write.mode("overwrite").parquet(s"$idxDir/stats")
     // ingest batch: same stats over the arriving vectors, assigned
     // against the STORED centroids (the s14 append pass's by-product)
     val newStats = assignCells(e.filter(arriving),
         s.read.parquet(s"$idxDir/centroids"))
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("new_n"), avg(col("cs")).as("new_cos"))
+      .agg(count(lit(1)).as("new_n"), meanCosNano(col("cs")).as("new_cos"))
     val baseStats = s.read.parquet(s"$idxDir/stats")
     val totals = baseStats.agg(sum(col("base_n")).cast("double").as("bt"))
       .crossJoin(newStats.agg(sum(col("new_n")).cast("double").as("nt")))

@@ -209,6 +209,46 @@ object XxhOracle {
        |                     FROM perm GROUP BY 1)""".stripMargin
   }
 
+  /** CTE chain for Spark's Murmur3 hash of a non-negative BIGINT
+    * column (`Murmur3Hash` over LongType, seed 42 — the hash behind
+    * `repartition(n, col)`'s HashPartitioning): the two 32-bit
+    * little-endian halves through mixK1/mixH1, then the finalizer.
+    * All 32-bit wraparound arithmetic is HUGEINT mod 2³² (a 32×32
+    * product overflows BIGINT). Emits `out` as the UNSIGNED 32-bit
+    * hash — `out % n` equals Spark's `pmod(signed, n)` whenever n
+    * divides 2³². */
+  def murmur3LongCtes(p: String, src: String, v: String,
+      out: String): (String, String) = {
+    val m32 = "4294967296::HUGEINT"
+    def mul32(a: String, b: String) = s"((($a) * $b) % $m32)"
+    def rotl32(x: String, r: Int) = {
+      val lo = BigInt(1) << (32 - r)
+      val hi = BigInt(1) << r
+      s"(((($x) % $lo::HUGEINT) * $hi::HUGEINT) + (($x) // $lo::HUGEINT))"
+    }
+    def sh32(x: String, r: Int) = s"(($x) // ${BigInt(1) << r}::HUGEINT)"
+    def mixK1(k: String) =
+      mul32(rotl32(mul32(k, "3432918353::HUGEINT"), 15), "461845907::HUGEINT")
+    def mixH1(h: String, k: String) =
+      s"((${rotl32(xor(h, k), 13)} * 5 + 3864292196::HUGEINT) % $m32)"
+    val ctes = Seq(
+      s"${p}0 AS MATERIALIZED (SELECT *, (($v)::HUGEINT % $m32) AS ${p}_lo," +
+        s" (($v)::HUGEINT // $m32) AS ${p}_hi FROM $src)",
+      stage(s"${p}1", s"${p}0", s"${p}_k1", mixK1(s"${p}_lo")),
+      stage(s"${p}2", s"${p}1", s"${p}_h1", mixH1("42::HUGEINT", s"${p}_k1")),
+      stage(s"${p}3", s"${p}2", s"${p}_k2", mixK1(s"${p}_hi")),
+      stage(s"${p}4", s"${p}3", s"${p}_h2", mixH1(s"${p}_h1", s"${p}_k2")),
+      stage(s"${p}5", s"${p}4", s"${p}_f1", xor(s"${p}_h2", "8::HUGEINT")),
+      stage(s"${p}6", s"${p}5", s"${p}_f2",
+        mul32(xor(s"${p}_f1", sh32(s"${p}_f1", 16)), "2246822507::HUGEINT")),
+      stage(s"${p}7", s"${p}6", s"${p}_f3",
+        mul32(xor(s"${p}_f2", sh32(s"${p}_f2", 13)), "3266489909::HUGEINT")),
+      s"${p}8 AS MATERIALIZED (SELECT * EXCLUDE (${p}_lo, ${p}_hi, ${p}_k1," +
+        s" ${p}_h1, ${p}_k2, ${p}_h2, ${p}_f1, ${p}_f2)," +
+        s" ${xor(s"${p}_f3", sh32(s"${p}_f3", 16))} AS $out FROM ${p}7)")
+    (ctes.mkString(",\n"), s"${p}8")
+  }
+
   /** The LSH band/candidate/estimate/verify tail shared by d03 and
     * d17, over the `sh`/`sz`/`sig` CTEs of [[minhashSigCtes]]: band
     * hashes via the chained two-long XxHash64, distinct band-collision
