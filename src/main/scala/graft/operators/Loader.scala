@@ -211,6 +211,63 @@ object Loader {
     }
   }
 
+  /** Snapshot diff / change-data-feed (l05) — "what changed between
+    * versions", answered from the MANIFESTS alone: added rows are the
+    * files the newer manifest gained, removed rows the files it lost,
+    * so the diff costs O(changed files) and never re-scans either
+    * snapshot (the EXCEPT formulation a non-versioned store is stuck
+    * with reads both in full — at 100 TB a daily diff should touch the
+    * day's files). Granularity is the commit protocol's: FILES — an
+    * INSERT OVERWRITE reports every pre-image row as removed and every
+    * post-image row as added, including logically-unchanged ones that
+    * were rewritten, which is exactly what the files say. The entry
+    * builds l02's 3-snapshot table and emits per-consecutive-pair
+    * (insert, delete) row counts and key sums — all recomputed exactly
+    * by the oracle from `nation` (v1→v2 is a pure append: +slice, −0;
+    * v2→v3 is an overwrite: +slice rewrite, −(base+slice)). */
+  val snapshotDiff: QueryEntry = QueryEntry(
+    "l05_snapshot_diff",
+    """WITH base AS (SELECT COUNT(*) AS n, SUM(n_nationkey) AS ks FROM nation),
+      |m AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 100) AS ks
+      |      FROM nation WHERE n_regionkey = 0)
+      |SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change,
+      |       m.n AS n_rows, CAST(m.ks AS BIGINT) AS key_sum FROM m
+      |UNION ALL
+      |SELECT 1, 2, 'delete', 0, 0
+      |UNION ALL
+      |SELECT 2, 3, 'insert', m.n, CAST(m.ks AS BIGINT) FROM m
+      |UNION ALL
+      |SELECT 2, 3, 'delete', base.n + m.n, CAST(base.ks + m.ks AS BIGINT)
+      |FROM base, m
+      |ORDER BY from_v, change""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/cdf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_cdf")
+      s.sql("""CREATE TABLE psql.tpcds.nations_cdf
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT * FROM nation_src""".stripMargin)
+      s.sql("""INSERT INTO psql.tpcds.nations_cdf
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      s.sql("""INSERT OVERWRITE psql.tpcds.nations_cdf
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      val dir = s"$root/nations_cdf.parquet"
+      val parts = Seq((1, 2), (2, 3)).flatMap { case (v1, v2) =>
+        val (added, removed) = graft.sources.GraftMerge.snapshotDiff(s, dir, v1, v2)
+        Seq(("insert", added), ("delete", removed)).map { case (ch, df) =>
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("n_nationkey")), lit(0L)).as("key_sum"))
+            .select(lit(v1).as("from_v"), lit(v2).as("to_v"),
+              lit(ch).as("change"), col("n_rows"), col("key_sum"))
+        }
+      }
+      parts.reduce(_.unionAll(_)).orderBy(col("from_v"), col("change"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
-    Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert)
+    Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff)
 }

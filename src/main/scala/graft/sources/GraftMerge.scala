@@ -60,4 +60,29 @@ object GraftMerge {
 
   private def pathName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  /** Change data feed between two snapshots, FROM THE MANIFESTS alone:
+    * added rows live in files v2's manifest has and v1's lacks,
+    * removed rows in the reverse set — so the diff costs O(changed
+    * files), never a two-snapshot table scan (the EXCEPT formulation
+    * reads both snapshots in full; at 100 TB a daily diff touches the
+    * day's files). Granularity is the commit protocol's: files, not
+    * rows — a copy-on-write rewrite reports its surviving rows as
+    * removed+added (exactly what the files say; row-lineage tracking
+    * would need row ids the format deliberately doesn't have).
+    * Returns (added DataFrame, removed DataFrame); either may be
+    * empty-with-schema when the version pair shares every file. */
+  def snapshotDiff(spark: SparkSession, dir: String, v1: Int, v2: Int)
+      : (DataFrame, DataFrame) = {
+    val f1 = GraftVersions.manifest(dir, v1)
+    val f2 = GraftVersions.manifest(dir, v2)
+    val n1 = f1.map(pathName).toSet
+    val n2 = f2.map(pathName).toSet
+    val addedFiles = f2.filterNot(f => n1.contains(pathName(f)))
+    val removedFiles = f1.filterNot(f => n2.contains(pathName(f)))
+    def readOrEmpty(files: Seq[String]): DataFrame =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(f2.headOption.getOrElse(f1.head)).limit(0)
+    (readOrEmpty(addedFiles), readOrEmpty(removedFiles))
+  }
 }

@@ -27,4 +27,30 @@ object DocsStreaming {
       .withColumn("digest", sha2(col("text"), 256))
       .dropDuplicates("digest")
       .select(col("doc_id"), col("digest"))
+
+  /** Streaming upsert into a versioned lakehouse table — the CDC-sink
+    * shape (l04's MERGE driven by an unbounded source): each
+    * micro-batch copy-on-write-merges into the table via
+    * [[graft.sources.GraftMerge.mergeInto]], so every micro-batch
+    * becomes one snapshot commit — the ingest history is
+    * time-travelable for free (`VERSION AS OF` any micro-batch
+    * boundary), untouched files are reused by reference, and a reader
+    * mid-stream sees a consistent snapshot, never a torn batch.
+    * Micro-batches are sequential by Structured Streaming's contract,
+    * so the read-modify-write merge never hits its concurrent-commit
+    * conflict path (a SECOND writer outside the stream would —
+    * loudly, failing the batch and the query rather than losing
+    * rows). At 100 TB each commit costs O(touched files + batch), and
+    * retention (l03's expire) bounds the snapshot history the stream
+    * accumulates. MergeSpec gates batch-sequential semantics and the
+    * per-batch snapshot trail. */
+  def mergeStream(dir: String, keyCol: String, updates: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.GraftMerge.mergeInto(
+            batch.sparkSession, dir, batch, keyCol)
+        ()
+      }
 }

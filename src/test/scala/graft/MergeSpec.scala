@@ -94,6 +94,40 @@ class MergeSpec extends SparkSpec {
     assert(GraftVersions.current(dir) == 2)
   }
 
+  test("streaming upsert: each micro-batch is one snapshot, history time-travelable") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("mg_src5")
+    spark.sql("""CREATE TABLE psql.tpcds.mg5 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src5""".stripMargin)
+    val dir = s"$root/mg5.parquet"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mgs").toString
+    Seq((2, "B"), (3, "c")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$srcDir/batch1.parquet")
+    val stream = spark.readStream
+      .schema("k INT, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+    val q = graft.streaming.DocsStreaming.mergeStream(dir, "k", stream).start()
+    try {
+      q.processAllAvailable()
+      assert(kvRows("SELECT * FROM psql.tpcds.mg5") ==
+        Set((1, "a"), (2, "B"), (3, "c")))
+      // second micro-batch arrives; the stream merges it as ANOTHER commit
+      Seq((3, "C3"), (4, "d")).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$srcDir/batch2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(kvRows("SELECT * FROM psql.tpcds.mg5") ==
+      Set((1, "a"), (2, "B"), (3, "C3"), (4, "d")))
+    assert(GraftVersions.current(dir) == 3)
+    // the intermediate micro-batch boundary is a time-travelable snapshot
+    assert(kvRows("SELECT * FROM psql.tpcds.mg5 VERSION AS OF 2") ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+    assert(kvRows("SELECT * FROM psql.tpcds.mg5 VERSION AS OF 1") ==
+      Set((1, "a"), (2, "b")))
+  }
+
   test("expire never vacuums an in-flight commit's files") {
     val root = freshRoot()
     import spark.implicits._
