@@ -48,6 +48,12 @@ object GraftSession {
     .config("spark.sql.catalog.elastic", "graft.sources.GraftParquetCatalog")
     .config("spark.sql.catalog.elastic.tables", "events,documents,embeddings")
     .config("spark.sql.catalog.elastic.namespace", "default")
+    // wire-protocol surface (GraftSqlServer): static confs must ride
+    // the session build. Single-session shares this session's temp
+    // views/catalogs with Thrift clients; incremental collect streams
+    // result partitions to the wire instead of a full driver collect.
+    .config("spark.sql.hive.thriftServer.singleSession", "true")
+    .config("spark.sql.thriftServer.incrementalCollect", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session used by Verify/Bench/tests. */

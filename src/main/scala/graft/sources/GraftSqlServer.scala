@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Client/server statement protocol — the reference's network face.
+  *
+  * The reference is consumed over Trino's HTTP statement protocol:
+  * `POST /v1/statement`, then follow `nextUri` pages until the result
+  * is drained (reference data-loader/loader.py:25-62, README.md:92-98
+  * curl examples). This engine's equivalent wire surface is Spark's
+  * Thrift JDBC/ODBC server (HiveServer2 protocol) started IN the graft
+  * session: remote clients open sessions, submit SQL statements, and
+  * drain results in fetch-size pages over the socket — the same
+  * session/statement/incremental-fetch lifecycle, down to the
+  * cursor-paged result consumption loader.py's `nextUri` loop does.
+  * Single-session mode shares the graft session's state, so the
+  * federated catalogs (psql/mongodb/elastic), temp views, and
+  * registered Trino-compat functions are all visible to wire clients.
+  *
+  * This closes the "client/server statement protocol" gap note of
+  * rounds ≤ 10 as far as one machine can: the protocol, sessions,
+  * statements, pagination, and concurrent clients are real network
+  * round-trips through Hive JDBC (SqlServerSpec); only the multi-node
+  * half stays environment-bounded. Driver-memory posture matches
+  * PagedResultsSpec's `toLocalIterator` argument: incremental
+  * collection (`spark.sql.thriftServer.incrementalCollect`) streams
+  * partitions instead of materializing full results driver-side. */
+object GraftSqlServer {
+
+  @volatile private var started = false
+
+  /** Start the Thrift server on `port` inside `spark`'s context (idempotent
+    * per JVM). Returns the JDBC URL clients connect to. */
+  def start(spark: SparkSession, port: Int): String = synchronized {
+    if (!started) {
+      // singleSession + incrementalCollect are STATIC confs, set at
+      // session build (GraftSession.configure): wire clients share
+      // this session's temp views/catalogs, and result partitions
+      // stream to the wire instead of a full driver-side collect
+      System.setProperty("hive.server2.thrift.port", port.toString)
+      System.setProperty("hive.server2.thrift.bind.host", "localhost")
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+      started = true
+    }
+    s"jdbc:hive2://localhost:$port/default"
+  }
+}
