@@ -39,8 +39,17 @@ object GraftSqlServer {
       // stream to the wire instead of a full driver-side collect
       System.setProperty("hive.server2.thrift.port", port.toString)
       System.setProperty("hive.server2.thrift.bind.host", "localhost")
+      // startWithContext flips spark.sql.datetime.java8API.enabled ON
+      // for the whole (shared, single-session) session — which changes
+      // what java type Row.getTimestamp sees for every LATER caller in
+      // this JVM (java.time.Instant vs java.sql.Timestamp). Restore
+      // the caller's setting: the wire serialization handles both
+      // representations, the rest of the engine was built on one.
+      val java8Key = "spark.sql.datetime.java8API.enabled"
+      val prev = spark.conf.get(java8Key, "false")
       org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithContext(spark.sqlContext)
+      spark.conf.set(java8Key, prev)
       started = true
     }
     s"jdbc:hive2://localhost:$port/default"

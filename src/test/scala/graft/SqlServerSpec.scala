@@ -34,6 +34,12 @@ class SqlServerSpec extends SparkSpec {
       catch { case e: Throwable => last = e; Thread.sleep(500) }
     }
     if (conn == null) throw last
+    // each session OPEN flips spark.sql.datetime.java8API.enabled on
+    // the shared single-session state (HiveThriftServer2's session
+    // manager); restore it so later suites in this JVM keep seeing
+    // java.sql.Timestamp from Row.getTimestamp. The wire serialization
+    // itself handles both representations.
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
     conn
   }
 
