@@ -216,7 +216,7 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     val v = version.stripPrefix("v").toIntOption.getOrElse(
       throw new IllegalArgumentException(
         s"$catalogName.$table: VERSION AS OF expects a snapshot number, got '$version'"))
-    if (!GraftVersions.manifestFile(pathOf(table), v).exists())
+    if (!GraftVersions.isLive(pathOf(table), v))
       // the TABLE exists — name the missing/expired SNAPSHOT, don't
       // claim the table is gone
       throw new IllegalArgumentException(
@@ -465,17 +465,51 @@ private[graft] object GraftVersions {
     new java.io.File(new java.io.File(dir, "_manifests"), s"v$v.txt")
   private def currentFile(dir: String) = new java.io.File(dir, "_current")
 
-  def current(dir: String): Int =
-    if (currentFile(dir).exists())
-      new String(java.nio.file.Files.readAllBytes(currentFile(dir).toPath),
-        "UTF-8").trim.toInt
-    else 0
+  /** Read the `_current` pointer. The writer publishes it by atomic
+    * rename, so a reader never observes a torn/empty file from THIS
+    * implementation — but a short parse-retry guards against any
+    * non-atomic writer of an older layout (the r11 truncating-write
+    * race lost a concurrent append exactly here: a reader between
+    * truncate and write saw "" and died in toInt). */
+  def current(dir: String): Int = {
+    val f = currentFile(dir)
+    var attempt = 0
+    while (true) {
+      if (!f.exists()) return 0
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim
+        if (s.nonEmpty) return s.toInt
+      } catch { case _: java.nio.file.NoSuchFileException => return 0 }
+      attempt += 1
+      if (attempt > 500)
+        throw new IllegalStateException(s"$dir: _current stayed unreadable")
+      Thread.sleep(1)
+    }
+    0 // unreachable
+  }
+
+  /** Expired snapshots leave a TOMBSTONE manifest (`#expired` marker),
+    * never a deleted file: [[tryPublish]]'s atomic create-link
+    * test-and-set is only a total order on version numbers if a
+    * once-used number can never be won again — deleting an expired
+    * manifest would let a slow retrying writer "win" that dead version
+    * and publish a commit that silently never joins the chain (the
+    * exact lost-update MergeSpec's expire-race gate reproduces). */
+  private val expiredMarker = "#expired"
+
+  /** Snapshot `v` exists and is not expired. */
+  def isLive(dir: String, v: Int): Boolean = {
+    val f = manifestFile(dir, v)
+    f.exists() && !java.nio.file.Files.readAllLines(f.toPath).asScala
+      .headOption.contains(expiredMarker)
+  }
 
   def manifest(dir: String, v: Int): Seq[String] = {
     val f = manifestFile(dir, v)
     if (!f.exists()) Seq.empty
     else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath)
   }
 
@@ -493,12 +527,12 @@ private[graft] object GraftVersions {
   /** Newest RETAINED snapshot committed at or before `micros`. */
   def versionAt(dir: String, micros: Long): Option[Int] =
     commitInstants(dir)
-      .filter { case (v, t) => t <= micros && manifestFile(dir, v).exists() }
+      .filter { case (v, t) => t <= micros && isLive(dir, v) }
       .sortBy(_._1).lastOption.map(_._1)
 
   def earliestCommitMicros(dir: String): Option[Long] =
     commitInstants(dir)
-      .filter { case (v, _) => manifestFile(dir, v).exists() }
+      .filter { case (v, _) => isLive(dir, v) }
       .map(_._2).minOption
 
   /** Retention: drop every snapshot older than the newest `keepLast`,
@@ -506,27 +540,63 @@ private[graft] object GraftVersions {
     * the vacuum half of the lifecycle. Readers of expired snapshots
     * lose them by contract (that is what retention means); readers of
     * surviving snapshots are untouched because their manifests' files
-    * are exactly the ones kept. An IN-FLIGHT commit's files (version
-    * prefix beyond the current pointer — moved into `data/` before its
-    * manifest published) are excluded from the vacuum set, so expire
-    * racing a commit can never delete the uncommitted snapshot's data;
-    * files whose names don't parse a version prefix are conservatively
-    * kept. Returns (expired versions, deleted files). */
-  def expire(dir: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    * are exactly the ones kept.
+    *
+    * Concurrency-safe against the commit protocol, in three tiers:
+    * - files referenced by an EXPIRED manifest (and no kept one) are
+    *   deleted immediately — they were committed, their snapshots are
+    *   gone, nothing in flight can reference them (a retrying writer's
+    *   manifest is recomputed from the current predecessor);
+    * - an IN-FLIGHT commit's files (version prefix beyond the current
+    *   pointer — moved into `data/` before its manifest published) are
+    *   always kept;
+    * - ORPHANS — files referenced by NO manifest at all, with a prefix
+    *   at or below the pointer — are deleted only after
+    *   `orphanGraceMillis`: a writer that LOSES an optimistic race
+    *   briefly holds files prefixed `v<N>` with N ≤ `_current` (the
+    *   winner flipped the pointer; the loser has not yet re-prefixed
+    *   to its next attempt), and vacuuming them would delete the
+    *   retrying commit's data. After the grace window an orphan is
+    *   genuinely dead (a crashed writer or a surrendered merge stage)
+    *   and is collected. Files whose names don't parse a version
+    *   prefix are conservatively kept.
+    * Returns (expired versions, deleted files). */
+  def expire(dir: String, keepLast: Int,
+      orphanGraceMillis: Long = 10 * 60 * 1000L): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = current(dir)
     val cutoff = math.max(1, cur - keepLast + 1)
-    val expired = (1 until cutoff).filter(manifestFile(dir, _).exists())
+    val expired = (1 until cutoff).filter(isLive(dir, _))
     val keptFiles = (cutoff to cur)
       .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
-    expired.foreach(v => manifestFile(dir, v).delete())
+    // read BEFORE tombstoning the manifests: these names are provably
+    // committed-then-expired, so they skip the orphan grace window
+    val expiredFiles = expired
+      .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
+    // tombstone, never delete — see [[isLive]]: a deleted manifest
+    // would make its version number winnable again
+    expired.foreach { v =>
+      val tmp = new java.io.File(manifestFile(dir, v).getParentFile,
+        s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath, s"$expiredMarker\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, manifestFile(dir, v).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val vPrefix = "^v(\\d+)-.*".r
-    def inFlightOrUnparsed(name: String): Boolean = name match {
-      case vPrefix(v) => v.toInt > cur
-      case _ => true
+    val now = System.currentTimeMillis()
+    def vacuumable(f: java.io.File): Boolean = {
+      val name = f.getName
+      if (keptFiles.contains(name)) false
+      else if (expiredFiles.contains(name)) true
+      else name match {
+        case vPrefix(v) =>
+          v.toInt <= cur && now - f.lastModified() > orphanGraceMillis
+        case _ => false
+      }
     }
     val deleted = Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => !keptFiles.contains(f.getName) && !inFlightOrUnparsed(f.getName))
+      .filter(vacuumable)
       .map { f => val n = f.getName; f.delete(); n }
     (expired, deleted.toSeq)
   }
@@ -552,9 +622,17 @@ private[graft] object GraftVersions {
         s"v$v=${System.currentTimeMillis() * 1000L}\n".getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      if (v > current(dir))
-        java.nio.file.Files.write(currentFile(dir).toPath,
-          s"$v\n".getBytes("UTF-8"))
+      if (v > current(dir)) {
+        // atomic pointer flip: write-to-temp + rename, NEVER a
+        // truncating in-place write — a concurrent reader (commit's
+        // retry loop reads `current` outside this lock) must only ever
+        // see the old value or the new value, not an empty file
+        val tmp = new java.io.File(dir, s"_current.tmp-$v")
+        java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, currentFile(dir).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } finally { l.release(); ch.close() }
   }
 

@@ -55,19 +55,33 @@ class MergeSpec extends SparkSpec {
     spark.sql("""CREATE TABLE psql.tpcds.mg2 TBLPROPERTIES('versioned'='true')
                 |AS SELECT * FROM mg_src2""".stripMargin)
     val dir = s"$root/mg2.parquet"
-    val dfs = (0 until 4).map(i => Seq((100 + i, s"w$i")).toDF("k", "v"))
-    // 4 concurrent blind appends — every one must retry past the
-    // others and publish; the final snapshot must contain all rows
-    val threads = dfs.map { df =>
-      new Thread(() => GraftVersions.commit(dir, df, overwrite = false))
+    // 20 consecutive rounds of a 4-way blind-append race (the r11 flake
+    // fired roughly once per full suite run — a rerun-stability gate
+    // needs repetition, not one lucky interleaving). Worker exceptions
+    // are captured and FAIL the test: the r11 lost update died as a
+    // silent NumberFormatException inside a bare Thread.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reps = 20
+    (1 to reps).foreach { rep =>
+      val threads = (0 until 4).map { i =>
+        val df = Seq((1000 * rep + i, s"w$rep-$i")).toDF("k", "v")
+        new Thread(() =>
+          try GraftVersions.commit(dir, df, overwrite = false)
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"round $rep: a racing writer died: ${errs.peek()}")
+      assert(GraftVersions.current(dir) == 1 + 4 * rep,
+        s"round $rep: a commit was lost (current=${GraftVersions.current(dir)})")
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(GraftVersions.current(dir) == 5)
-    assert(kvRows("SELECT * FROM psql.tpcds.mg2") ==
-      Set((1, "a"), (100, "w0"), (101, "w1"), (102, "w2"), (103, "w3")))
-    // every intermediate snapshot is well-formed (no torn manifest):
-    // each version adds exactly one row over its predecessor
-    (1 to 5).foreach { v =>
+    val expected = Set(1 -> "a") ++
+      (1 to reps).flatMap(rep => (0 until 4).map(i => (1000 * rep + i) -> s"w$rep-$i"))
+    assert(kvRows("SELECT * FROM psql.tpcds.mg2") == expected)
+    // intermediate snapshots are well-formed (no torn manifest): each
+    // version adds exactly one row over its predecessor — spot-check
+    // the first race's versions and the last five
+    val last = 1 + 4 * reps
+    ((1 to 5) ++ (last - 4 to last)).foreach { v =>
       assert(spark.sql(
         s"SELECT COUNT(*) FROM psql.tpcds.mg2 VERSION AS OF $v").head.getLong(0) == v)
     }
@@ -143,5 +157,69 @@ class MergeSpec extends SparkSpec {
     val (_, deleted) = GraftVersions.expire(dir, keepLast = 1)
     assert(!deleted.contains(inFlight.getName) && inFlight.exists(),
       "vacuum deleted an uncommitted snapshot's data file")
+  }
+
+  test("expire spares a losing writer's pre-reprefix files (orphan grace window)") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("mg_src6")
+    spark.sql("""CREATE TABLE psql.tpcds.mg6 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src6""".stripMargin)
+    spark.sql("INSERT INTO psql.tpcds.mg6 VALUES (2, 'b')")
+    val dir = s"$root/mg6.parquet"
+    // a racing LOSER's staged file: version prefix AT the pointer
+    // (the winner of v2 already flipped `_current`), referenced by no
+    // manifest, not yet re-prefixed to the next attempt — must survive
+    // the vacuum (the r11 window: `prefix > cur` alone vacuums it)
+    val loser = new java.io.File(s"$dir/data/v2-9-cafef00d.parquet")
+    java.nio.file.Files.write(loser.toPath, Array[Byte](1, 2, 3))
+    val (_, del1) = GraftVersions.expire(dir, keepLast = 1)
+    assert(!del1.contains(loser.getName) && loser.exists(),
+      "vacuum deleted a retrying writer's staged file inside the grace window")
+    // once the grace window has passed, the same file is a dead orphan
+    // (crashed writer / surrendered merge stage) and IS collected
+    assert(loser.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    val (_, del2) = GraftVersions.expire(dir, keepLast = 1)
+    assert(del2.contains(loser.getName) && !loser.exists(),
+      "vacuum never collected a dead orphan after the grace window")
+  }
+
+  test("expire racing optimistic appends loses no committed rows") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("mg_src7")
+    spark.sql("""CREATE TABLE psql.tpcds.mg7 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src7""".stripMargin)
+    val dir = s"$root/mg7.parquet"
+    // an aggressive retention loop (keepLast=1, default orphan grace)
+    // runs continuously while racing writers commit — the exact
+    // interleaving the reprefix window exposes: a loser's files carry
+    // a prefix <= `_current` between the winner's flip and the retry
+    @volatile var stop = false
+    val expireErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val expirer = new Thread(() =>
+      try while (!stop) { GraftVersions.expire(dir, keepLast = 1); Thread.sleep(1) }
+      catch { case t: Throwable => expireErrs.add(t) })
+    expirer.start()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reps = 5
+    try {
+      (1 to reps).foreach { rep =>
+        val threads = (0 until 3).map { i =>
+          val df = Seq((100 * rep + i, s"e$rep-$i")).toDF("k", "v")
+          new Thread(() =>
+            try GraftVersions.commit(dir, df, overwrite = false)
+            catch { case t: Throwable => errs.add(t) })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+      }
+    } finally { stop = true; expirer.join() }
+    assert(errs.isEmpty, s"a racing writer died: ${errs.peek()}")
+    assert(expireErrs.isEmpty, s"the expirer died: ${expireErrs.peek()}")
+    assert(GraftVersions.current(dir) == 1 + 3 * reps)
+    val expected = Set(1 -> "a") ++
+      (1 to reps).flatMap(rep => (0 until 3).map(i => (100 * rep + i) -> s"e$rep-$i"))
+    assert(kvRows("SELECT * FROM psql.tpcds.mg7") == expected,
+      "expire vacuumed a concurrently committing writer's data")
   }
 }

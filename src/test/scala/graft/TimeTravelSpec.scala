@@ -80,7 +80,11 @@ class TimeTravelSpec extends SparkSpec {
     // manifest goes, but its files survive because v2 still lists them
     val (exp1, del1) = graft.sources.GraftVersions.expire(dir, 2)
     assert(exp1 == Seq(1) && del1.isEmpty, s"$exp1 / $del1")
-    assert(!new java.io.File(s"$dir/_manifests/v1.txt").exists())
+    // the expired manifest becomes a TOMBSTONE, not a deleted file —
+    // its version number must never be winnable by a later commit
+    assert(!graft.sources.GraftVersions.isLive(dir, 1))
+    assert(new java.io.File(s"$dir/_manifests/v1.txt").exists(),
+      "expired manifest was deleted — version number became reusable")
     assert(spark.sql("SELECT * FROM psql.tpcds.tt5 VERSION AS OF 2")
       .collect().map(_.getInt(0)).toSet == Set(1, 2))
     // keepLast=1 keeps only the overwrite snapshot: v1/v2 data files
