@@ -100,6 +100,59 @@ class SqlServerSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("the serving session streams results incrementally (static conf pinned)") {
+    url // force server start
+    // a static-conf regression here would silently re-materialize every
+    // wire result driver-side — the exact failure PagedResultsSpec's
+    // toLocalIterator argument exists to prevent. Pin BOTH halves of
+    // the posture: incremental collection and shared single-session.
+    assert(spark.conf.get("spark.sql.thriftServer.incrementalCollect") == "true",
+      "thrift server would collect() full results on the driver")
+    assert(spark.conf.get("spark.sql.hive.thriftServer.singleSession") == "true",
+      "wire clients would not see the graft session's catalogs/views")
+  }
+
+  test("a long-running statement can be cancelled and the session survives") {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      // a statement heavy enough to outlive the cancel round-trip:
+      // ~20B hash evaluations (minutes at local[32] if left alone)
+      val slow = "SELECT sum(xxhash64(concat(cast(id AS string), 'x'))) " +
+        "FROM range(20000000000)"
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val runner = new Thread(() =>
+        try { st.executeQuery(slow); () }
+        catch { case t: Throwable => failure.set(t) })
+      runner.start()
+      // wait for the statement's Spark job to actually start
+      val tracker = spark.sparkContext.statusTracker
+      var waited = 0
+      while (tracker.getActiveJobIds().isEmpty && waited < 30000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(tracker.getActiveJobIds().nonEmpty, "slow statement never started a job")
+      // JDBC cancel from another thread → HiveServer2 operation cancel
+      // → Spark job-group kill
+      st.cancel()
+      runner.join(60000)
+      assert(!runner.isAlive, "executeQuery did not return after cancel()")
+      assert(failure.get() != null, "cancelled statement reported success")
+      // no orphaned jobs: the job group was killed, not abandoned
+      waited = 0
+      while (tracker.getActiveJobIds().nonEmpty && waited < 30000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(tracker.getActiveJobIds().isEmpty,
+        s"orphaned jobs after cancel: ${tracker.getActiveJobIds().mkString(",")}")
+      // the SESSION survives the cancelled statement: a fresh statement
+      // on the same connection runs normally
+      val rs = conn.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM nation_srv")
+      assert(rs.next() && rs.getLong(1) == Tables.nation(spark, sf1).count())
+    } finally conn.close()
+  }
+
   test("concurrent wire clients do not interfere") {
     val results = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val threads = (0 until 3).map { i =>
