@@ -268,6 +268,52 @@ object Loader {
     }
   }
 
+  /** Schema evolution (l06) — `ALTER TABLE … ADD COLUMN` on a
+    * versioned table as a METADATA-ONLY commit: CTAS a 2-column table
+    * from `nation` (snapshot 1), ADD COLUMN tier (snapshot 2 — same
+    * manifest, zero data files written), INSERT rows that populate the
+    * new column (snapshot 3). The entry emits the post-evolution table
+    * (pre-evolution rows read the new column back as NULL straight
+    * from the parquet reader's missing-column fill) AND the
+    * pre-evolution snapshot re-read via `VERSION AS OF 1` — the oracle
+    * recomputes both halves from `nation`, so null-fill semantics and
+    * snapshot-schema stability are hash-gated. At 100 TB this is the
+    * difference between a new metadata column costing one manifest
+    * write and costing a full-corpus rewrite. TimeTravelSpec gates the
+    * schema-per-snapshot and no-new-files corners. */
+  val schemaEvolve: QueryEntry = QueryEntry(
+    "l06_schema_evolve",
+    """SELECT 3 AS version, n_nationkey AS k, n_name AS name,
+      |       CAST(NULL AS VARCHAR) AS tier
+      |FROM nation
+      |UNION ALL
+      |SELECT 3, n_nationkey + 100, n_name, 'gold'
+      |FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name, CAST(NULL AS VARCHAR) FROM nation
+      |ORDER BY version, k""".stripMargin
+  ) { (s, d) =>
+    withScratchRoot(s, "target/graftcat/ev_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_ev")
+      s.sql("""CREATE TABLE psql.tpcds.nations_ev
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT n_nationkey, n_name FROM nation_src""".stripMargin)
+      s.sql("ALTER TABLE psql.tpcds.nations_ev ADD COLUMN tier STRING")
+      s.sql("""INSERT INTO psql.tpcds.nations_ev
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, 'gold' AS tier
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      s.sql("""SELECT 3 AS version, n_nationkey AS k, n_name AS name, tier
+              |FROM psql.tpcds.nations_ev""".stripMargin)
+        .unionAll(s.sql(
+          """SELECT 1 AS version, n_nationkey AS k, n_name AS name,
+            |       CAST(NULL AS STRING) AS tier
+            |FROM psql.tpcds.nations_ev VERSION AS OF 1""".stripMargin))
+        .orderBy(col("version"), col("k"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
-    Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff)
+    Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
+      schemaEvolve)
 }

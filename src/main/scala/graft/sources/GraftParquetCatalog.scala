@@ -252,7 +252,11 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.${ident.namespace().mkString(".")}.$table@v$v", table, v)
   }
 
-  /** Read/write table over snapshot `v`'s manifest files. */
+  /** Read/write table over snapshot `v`'s manifest files. The schema
+    * is the one IN FORCE at `v` ([[GraftVersions.schemaAt]] — ADD
+    * COLUMN is a metadata-only commit, so snapshots before the
+    * evolution keep their original schema and snapshots after it
+    * null-fill the new column for pre-evolution files). */
   private def versionedTable(fullName: String, table: String, v: Int): Table = {
     val dir = pathOf(table)
     val files = GraftVersions.manifest(dir, v)
@@ -261,7 +265,7 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
       spark.asInstanceOf[ClassicSparkSession],
       CaseInsensitiveStringMap.empty(),
       files,
-      created.get(table).orElse(None),
+      GraftVersions.schemaAt(dir, v).orElse(created.get(table)),
       classOf[ParquetFileFormat])
     new GraftVersionedTable(pt, dir)
   }
@@ -297,8 +301,51 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     else new GraftCtasTable(fullName, pathOf(table), schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution on VERSIONED tables: `ALTER TABLE … ADD COLUMN`
+    * is a metadata-only snapshot commit — no data file is touched, the
+    * new snapshot's manifest is exactly the predecessor's, and the new
+    * (nullable, appended-at-end) column reads back NULL from every
+    * pre-evolution file. Snapshots before the evolution keep their
+    * original schema (TimeTravelSpec gates both directions). This is
+    * the first lifecycle verb a corpus refresh needs after MERGE: new
+    * metadata columns arrive without rewriting 100 TB. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val table = ident.name()
+    def missing() =
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ table)
+    if (!knownNamespace(ident.namespace()) || !serves(table)) missing()
+    if (!new java.io.File(pathOf(table)).exists()) missing()
+    if (!ctasMeta(table).exists(_._3))
+      throw new UnsupportedOperationException(
+        s"$catalogName.$table: ALTER TABLE is supported only for versioned " +
+          "tables (ADD COLUMN as a metadata-only snapshot commit)")
+    val dir = pathOf(table)
+    val cur = GraftVersions.current(dir)
+    val base: StructType = GraftVersions.schemaAt(dir, cur)
+      .orElse(created.get(table))
+      .getOrElse(spark.read.parquet(GraftVersions.manifest(dir, cur): _*).schema)
+    val evolved = changes.foldLeft(base) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"$catalogName.$table: only top-level ADD COLUMN is supported")
+        val name = add.fieldNames()(0)
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"$catalogName.$table: column $name already exists")
+        require(add.isNullable,
+          s"$catalogName.$table: added columns must be nullable — " +
+            "pre-evolution files null-fill them")
+        require(add.position() == null,
+          s"$catalogName.$table: FIRST/AFTER positions are not supported — " +
+            "new columns append at the end")
+        sch.add(name, add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"$catalogName.$table: unsupported ALTER TABLE change $other " +
+          "(only ADD COLUMN)")
+    }
+    GraftVersions.evolveSchema(dir, evolved)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val table = ident.name()
@@ -511,6 +558,61 @@ private[graft] object GraftVersions {
     else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath)
+  }
+
+  // --- schema evolution (metadata-only commits) --------------------------
+
+  private def schemasDir(dir: String) = new java.io.File(dir, "_schemas")
+  private val schemaName = "^v(\\d+)\\.json$".r
+
+  /** The schema in force AT snapshot `v`: the newest `_schemas/vK.json`
+    * with K ≤ v, or None when the table has never evolved (readers then
+    * fall back to the creation schema / parquet footer inference — so
+    * PRE-evolution snapshots keep reading back with their original
+    * schema, exactly as committed). */
+  def schemaAt(dir: String, v: Int): Option[StructType] = {
+    val candidates = Option(schemasDir(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        f.getName match {
+          case schemaName(k) if k.toInt <= v => Some(k.toInt -> f)
+          case _ => None
+        }
+      }
+    candidates.sortBy(_._1).lastOption.map { case (_, f) =>
+      DataType.fromJson(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+    }
+  }
+
+  /** Metadata-only commit: publish snapshot N+1 whose manifest is
+    * EXACTLY the predecessor's files, with `schema` recorded as the
+    * schema in force from N+1 onward (ADD COLUMN — old files read
+    * back with the missing column null-filled by the parquet reader).
+    * Optimistically retried like a blind append: the manifest is a
+    * pure function of the predecessor. The schema file is written
+    * only AFTER winning the manifest (version ownership is exclusive
+    * from that point), and before the pointer flip, so no reader of a
+    * published snapshot can miss it. Returns the committed version. */
+  def evolveSchema(dir: String, schema: StructType): Int = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val v = current(dir) + 1
+      val prev =
+        if (v == 1) Seq.empty
+        else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
+      if (tryPublish(dir, v, prev, s"$nonce-$attempts")) {
+        schemasDir(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(schemasDir(dir), s"v$v.json").toPath,
+          schema.json.getBytes("UTF-8"))
+        publishPointer(dir, v)
+        return v
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$dir: schema evolution lost $attempts optimistic races — giving up")
   }
 
   /** Commit-instant ledger (`_commits`: one `v<N>=<epochMicros>` line

@@ -141,4 +141,42 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("versioned") ||
       e.getMessage.contains("time travel"), e.getMessage)
   }
+
+  test("ADD COLUMN is metadata-only; each snapshot reads with its own schema") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src7")
+    spark.sql("""CREATE TABLE psql.tpcds.tt7 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src7""".stripMargin)
+    val dir = s"$root/tt7.parquet"
+    val dataDir = new java.io.File(s"$dir/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    spark.sql("ALTER TABLE psql.tpcds.tt7 ADD COLUMN note STRING")
+    // the evolution commit wrote NO data files and advanced the snapshot
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore,
+      "ALTER TABLE ADD COLUMN rewrote data files")
+    assert(graft.sources.GraftVersions.current(dir) == 2)
+    // post-evolution read: new column present, null-filled for old rows
+    val evolved = spark.sql("SELECT * FROM psql.tpcds.tt7").collect()
+    assert(spark.table("psql.tpcds.tt7").columns.toSeq == Seq("k", "v", "note"))
+    assert(evolved.forall(_.isNullAt(2)), "pre-evolution rows must null-fill")
+    // PRE-evolution snapshot reads back with its ORIGINAL schema
+    assert(spark.sql("SELECT * FROM psql.tpcds.tt7 VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    // inserts after the evolution carry the new column; old rows stay null
+    spark.sql("INSERT INTO psql.tpcds.tt7 VALUES (2, 'b', 'fresh')")
+    val rows = spark.sql("SELECT k, note FROM psql.tpcds.tt7").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSet
+    assert(rows == Set(1 -> None, 2 -> Some("fresh")))
+    // the evolution snapshot itself (v2) shows the new schema over the
+    // old files only
+    val v2 = spark.sql("SELECT * FROM psql.tpcds.tt7 VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("k", "v", "note") && v2.count() == 1)
+    // non-ADD changes and non-versioned tables fail loudly
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE psql.tpcds.tt7 DROP COLUMN note")
+    }
+    assert(e1.getMessage.contains("ADD COLUMN") || e1.getMessage.contains("unsupported"),
+      e1.getMessage)
+  }
 }
