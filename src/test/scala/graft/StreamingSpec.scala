@@ -360,4 +360,41 @@ class StreamingSpec extends SparkSpec {
     // sanity: watermark advanced enough to close hour 03 in batch 1
     assert(got.contains("2024-05-01 09:00:00.0"))
   }
+
+  test("CDF stream: per-snapshot added deltas equal the batch snapshot diff") {
+    import spark.implicits._
+    import graft.sources.{GraftMerge, GraftVersions}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // snapshot history through the same commit protocol the catalog
+    // uses: initial load, then an append — both BEFORE the stream starts
+    GraftVersions.commit(dir,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = false)
+    GraftVersions.commit(dir, Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    val acc = new scala.collection.concurrent.TrieMap[Int, Set[(Int, String)]]
+    val q = graft.streaming.DocsStreaming.cdfStream(spark, dir) { (v, df) =>
+      acc(v) = df.select(col("k"), col("v")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(acc.keySet == Set(1, 2), acc.toString)
+      // the stream keeps following the ledger: a commit made AFTER the
+      // stream started (an overwrite) arrives as its own micro-batch
+      GraftVersions.commit(dir, Seq((9, "z")).toDF("k", "v"), overwrite = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.keySet == Set(1, 2, 3), acc.toString)
+    // every streamed delta equals the batch snapshot diff's added half —
+    // the l05 equivalence that makes this a true incremental CDF
+    (2 to 3).foreach { v =>
+      val (added, _) = GraftMerge.snapshotDiff(spark, dir, v - 1, v)
+      val batchAdded = added.select(col("k"), col("v")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(acc(v) == batchAdded, s"v$v: streamed ${acc(v)} != batch $batchAdded")
+    }
+    // the first snapshot streams as the full initial load
+    assert(acc(1) == Set(1 -> "a", 2 -> "b"))
+  }
 }
