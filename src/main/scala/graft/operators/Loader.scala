@@ -313,7 +313,61 @@ object Loader {
     }
   }
 
+  /** Small-file compaction / OPTIMIZE (l07) — the physical-layout verb
+    * the streaming upsert sink makes necessary (one snapshot per
+    * micro-batch ⇒ one small file per micro-batch; at 100 TB an
+    * all-day ingest leaves a table scan-bound on file-open cost, not
+    * bytes): CTAS + two appends fragment the table into one file per
+    * commit, then [[graft.sources.GraftMerge.compact]] bin-packs every
+    * small file into one replacement and commits it as a new snapshot
+    * (kept-by-reference big files, conflict-detected at the atomic
+    * publish). The entry emits (phase, count, key-sum) for the
+    * PRE-compaction snapshot re-read via `VERSION AS OF` and the
+    * compacted current — the oracle computes ONE content from `nation`
+    * and asserts it twice, hash-gating compaction's logical
+    * invisibility. File-count physics (fragmented before, single file
+    * after, old snapshot still fragmented) are MergeSpec's gates. */
+  val compactFiles: QueryEntry = QueryEntry(
+    "l07_compact",
+    """WITH base AS (SELECT COUNT(*) AS n, SUM(n_nationkey) AS ks FROM nation),
+      |m0 AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 100) AS ks
+      |       FROM nation WHERE n_regionkey = 0),
+      |m1 AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 200) AS ks
+      |       FROM nation WHERE n_regionkey = 1),
+      |t AS (SELECT base.n + m0.n + m1.n AS n, base.ks + m0.ks + m1.ks AS ks
+      |      FROM base, m0, m1)
+      |SELECT 'after' AS phase, n AS n_rows, CAST(ks AS BIGINT) AS key_sum FROM t
+      |UNION ALL
+      |SELECT 'before', n, CAST(ks AS BIGINT) FROM t
+      |ORDER BY phase""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/cp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_cp")
+      s.sql("""CREATE TABLE psql.tpcds.nations_cp
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT * FROM nation_src""".stripMargin)
+      s.sql("""INSERT INTO psql.tpcds.nations_cp
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      s.sql("""INSERT INTO psql.tpcds.nations_cp
+              |SELECT n_nationkey + 200 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 1""".stripMargin)
+      val dir = s"$root/nations_cp.parquet"
+      graft.sources.GraftMerge.compact(s, dir, smallBytes = 1L << 30)
+      s.sql("""SELECT 'before' AS phase, COUNT(*) AS n_rows,
+              |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+              |FROM psql.tpcds.nations_cp VERSION AS OF 3""".stripMargin)
+        .unionAll(s.sql(
+          """SELECT 'after' AS phase, COUNT(*) AS n_rows,
+            |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+            |FROM psql.tpcds.nations_cp""".stripMargin))
+        .orderBy(col("phase"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
-      schemaEvolve)
+      schemaEvolve, compactFiles)
 }

@@ -61,6 +61,33 @@ object GraftMerge {
   private def pathName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
 
+  /** Small-file compaction (OPTIMIZE): rewrite the current snapshot's
+    * files smaller than `smallBytes` into `targetFiles` bin-packed
+    * replacements and commit the result as a new snapshot whose
+    * manifest keeps every already-big file BY REFERENCE — logically a
+    * no-op (row set unchanged; the oracle for l07 is the pre-compaction
+    * content), physically the answer to the small-file problem the
+    * streaming upsert sink creates (one snapshot per micro-batch ⇒ one
+    * small file per micro-batch; a 100 TB table ingesting all day ends
+    * up scan-bound on file OPEN cost, not bytes). Cost is O(small
+    * files), never O(table); concurrent commits are detected at the
+    * atomic publish by [[GraftVersions.mergeCommit]] (compaction is
+    * read-modify-write: its kept set was derived from the base
+    * snapshot). Old snapshots still reference the original small files
+    * and stay readable until retention expires them. Returns (base
+    * snapshot, files kept, files compacted). */
+  def compact(spark: SparkSession, dir: String, smallBytes: Long,
+      targetFiles: Int = 1): (Int, Int, Int) = {
+    val base = GraftVersions.current(dir)
+    require(base >= 1, s"$dir: compaction needs at least one committed snapshot")
+    val files = GraftVersions.manifest(dir, base)
+    val (small, big) = files.partition(f => new java.io.File(f).length() < smallBytes)
+    if (small.size <= 1) return (base, files.size, 0) // nothing to gain
+    val packed = spark.read.parquet(small: _*).repartition(targetFiles)
+    GraftVersions.mergeCommit(dir, base, big.map(pathName), packed)
+    (base, big.size, small.size)
+  }
+
   /** Change data feed between two snapshots, FROM THE MANIFESTS alone:
     * added rows live in files v2's manifest has and v1's lacks,
     * removed rows in the reverse set — so the diff costs O(changed

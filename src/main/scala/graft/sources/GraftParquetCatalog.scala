@@ -302,13 +302,17 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** Schema evolution on VERSIONED tables: `ALTER TABLE … ADD COLUMN`
-    * is a metadata-only snapshot commit — no data file is touched, the
-    * new snapshot's manifest is exactly the predecessor's, and the new
-    * (nullable, appended-at-end) column reads back NULL from every
-    * pre-evolution file. Snapshots before the evolution keep their
-    * original schema (TimeTravelSpec gates both directions). This is
-    * the first lifecycle verb a corpus refresh needs after MERGE: new
-    * metadata columns arrive without rewriting 100 TB. */
+    * and `DROP COLUMN` are metadata-only snapshot commits — no data
+    * file is touched, the new snapshot's manifest is exactly the
+    * predecessor's. An added (nullable, appended-at-end) column reads
+    * back NULL from every pre-evolution file; a dropped column's
+    * physical data is simply pruned by the reader (and stays readable
+    * through pre-drop snapshots). Snapshots before an evolution keep
+    * their own schema (TimeTravelSpec gates both directions), and a
+    * dropped name can never be re-added — parquet resolves by name,
+    * so resurrection would read pre-drop values instead of nulls.
+    * This is the first lifecycle verb a corpus refresh needs after
+    * MERGE: metadata columns come and go without rewriting 100 TB. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val table = ident.name()
     def missing() =
@@ -325,6 +329,9 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
     val base: StructType = GraftVersions.schemaAt(dir, cur)
       .orElse(created.get(table))
       .getOrElse(spark.read.parquet(GraftVersions.manifest(dir, cur): _*).schema)
+    // durable pre-history base: backs the ADD-after-DROP resurrection
+    // guard and makes pre-evolution snapshot schemas explicit
+    GraftVersions.recordBaseSchema(dir, base)
     val evolved = changes.foldLeft(base) {
       case (sch, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -332,6 +339,12 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
         val name = add.fieldNames()(0)
         require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"$catalogName.$table: column $name already exists")
+        // parquet resolves by NAME (no field ids): a re-added dropped
+        // name would resurrect old physical values from pre-drop files
+        // instead of reading null
+        require(!GraftVersions.everNamed(dir, base).contains(name.toLowerCase),
+          s"$catalogName.$table: column $name was previously dropped — " +
+            "re-adding it would resurrect pre-drop values (pick a new name)")
         require(add.isNullable,
           s"$catalogName.$table: added columns must be nullable — " +
             "pre-evolution files null-fill them")
@@ -339,9 +352,20 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
           s"$catalogName.$table: FIRST/AFTER positions are not supported — " +
             "new columns append at the end")
         sch.add(name, add.dataType(), nullable = true)
+      case (sch, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"$catalogName.$table: only top-level DROP COLUMN is supported")
+        val name = del.fieldNames()(0)
+        val remaining = sch.fields.filterNot(_.name.equalsIgnoreCase(name))
+        if (remaining.length == sch.fields.length && !del.ifExists())
+          throw new IllegalArgumentException(
+            s"$catalogName.$table: no such column $name")
+        require(remaining.nonEmpty,
+          s"$catalogName.$table: cannot drop the last column")
+        StructType(remaining)
       case (_, other) => throw new UnsupportedOperationException(
         s"$catalogName.$table: unsupported ALTER TABLE change $other " +
-          "(only ADD COLUMN)")
+          "(only ADD COLUMN / DROP COLUMN)")
     }
     GraftVersions.evolveSchema(dir, evolved)
     loadTable(ident)
@@ -571,18 +595,44 @@ private[graft] object GraftVersions {
     * PRE-evolution snapshots keep reading back with their original
     * schema, exactly as committed). */
   def schemaAt(dir: String, v: Int): Option[StructType] = {
-    val candidates = Option(schemasDir(dir).listFiles()).getOrElse(Array.empty)
+    val candidates = schemaRecords(dir).filter(_._1 <= v)
+    candidates.sortBy(_._1).lastOption.map(r => readSchema(r._2))
+  }
+
+  private def readSchema(f: java.io.File): StructType =
+    DataType.fromJson(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+
+  private def schemaRecords(dir: String): Seq[(Int, java.io.File)] =
+    Option(schemasDir(dir).listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         f.getName match {
-          case schemaName(k) if k.toInt <= v => Some(k.toInt -> f)
+          case schemaName(k) => Some(k.toInt -> f)
           case _ => None
         }
-      }
-    candidates.sortBy(_._1).lastOption.map { case (_, f) =>
-      DataType.fromJson(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+      }.toSeq
+
+  /** Every column name that has EVER appeared in this table's schema
+    * history (records + the supplied pre-history base). The ADD COLUMN
+    * resurrection guard: parquet resolves columns by NAME (no field
+    * ids), so re-adding a previously-dropped name would read the OLD
+    * physical values back out of pre-drop files instead of nulls. */
+  def everNamed(dir: String, base: StructType): Set[String] =
+    (schemaRecords(dir).flatMap(r => readSchema(r._2).fieldNames) ++
+      base.fieldNames).map(_.toLowerCase).toSet
+
+  /** Record `base` as the schema for every snapshot up to now (written
+    * as record v0, which [[schemaAt]] resolves for all pre-evolution
+    * versions — observably identical to the footer-inference fallback,
+    * but durable for the [[everNamed]] history). Called once, before a
+    * table's first evolution. */
+  def recordBaseSchema(dir: String, base: StructType): Unit =
+    if (schemaRecords(dir).isEmpty) {
+      schemasDir(dir).mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(schemasDir(dir), "v0.json").toPath,
+        base.json.getBytes("UTF-8"))
     }
-  }
 
   /** Metadata-only commit: publish snapshot N+1 whose manifest is
     * EXACTLY the predecessor's files, with `schema` recorded as the

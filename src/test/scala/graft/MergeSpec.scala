@@ -184,6 +184,36 @@ class MergeSpec extends SparkSpec {
       "vacuum never collected a dead orphan after the grace window")
   }
 
+  test("compaction bin-packs small files with zero logical change; old snapshots keep the fragmented layout") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("mg_src8")
+    spark.sql("""CREATE TABLE psql.tpcds.mg8 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src8""".stripMargin)
+    (2 to 4).foreach(i => spark.sql(s"INSERT INTO psql.tpcds.mg8 VALUES ($i, 'x$i')"))
+    val dir = s"$root/mg8.parquet"
+    val fragmented = GraftVersions.manifest(dir, 4)
+    assert(fragmented.size >= 4, s"expected >=4 files, got ${fragmented.size}")
+    val before = kvRows("SELECT * FROM psql.tpcds.mg8")
+    // threshold respected: nothing qualifies as small → structural no-op
+    val (_, _, packed0) = GraftMerge.compact(spark, dir, smallBytes = 1L)
+    assert(packed0 == 0 && GraftVersions.current(dir) == 4)
+    // real compaction: everything is small → one replacement file
+    val (base, kept, packed) = GraftMerge.compact(spark, dir, smallBytes = 1L << 30)
+    assert(base == 4 && kept == 0 && packed == fragmented.size)
+    assert(GraftVersions.current(dir) == 5)
+    assert(GraftVersions.manifest(dir, 5).size == 1,
+      s"compacted manifest: ${GraftVersions.manifest(dir, 5)}")
+    // zero logical change, and the PRE-compaction snapshot still reads
+    // the original fragmented files
+    assert(kvRows("SELECT * FROM psql.tpcds.mg8") == before)
+    assert(kvRows("SELECT * FROM psql.tpcds.mg8 VERSION AS OF 4") == before)
+    assert(GraftVersions.manifest(dir, 4) == fragmented)
+    // idempotent: a second pass finds a single file and does nothing
+    val (_, _, packed2) = GraftMerge.compact(spark, dir, smallBytes = 1L << 30)
+    assert(packed2 == 0 && GraftVersions.current(dir) == 5)
+  }
+
   test("expire racing optimistic appends loses no committed rows") {
     val root = freshRoot()
     import spark.implicits._

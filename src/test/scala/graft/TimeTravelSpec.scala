@@ -172,11 +172,54 @@ class TimeTravelSpec extends SparkSpec {
     // old files only
     val v2 = spark.sql("SELECT * FROM psql.tpcds.tt7 VERSION AS OF 2")
     assert(v2.columns.toSeq == Seq("k", "v", "note") && v2.count() == 1)
-    // non-ADD changes and non-versioned tables fail loudly
+    // unsupported changes fail loudly
     val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE psql.tpcds.tt7 DROP COLUMN note")
+      spark.sql("ALTER TABLE psql.tpcds.tt7 ALTER COLUMN note TYPE INT")
     }
-    assert(e1.getMessage.contains("ADD COLUMN") || e1.getMessage.contains("unsupported"),
+    assert(e1.getMessage.contains("unsupported") || e1.getMessage.contains("ALTER"),
       e1.getMessage)
+  }
+
+  test("DROP COLUMN is metadata-only; dropped names cannot be resurrected") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("tt_src8")
+    spark.sql("""CREATE TABLE psql.tpcds.tt8 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src8""".stripMargin)
+    val dir = s"$root/tt8.parquet"
+    spark.sql("ALTER TABLE psql.tpcds.tt8 ADD COLUMN note STRING")
+    spark.sql("INSERT INTO psql.tpcds.tt8 VALUES (2, 'b', 'fresh')")
+    val dataDir = new java.io.File(s"$dir/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    spark.sql("ALTER TABLE psql.tpcds.tt8 DROP COLUMN v")
+    // metadata-only: no file touched, snapshot advanced
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore,
+      "DROP COLUMN rewrote data files")
+    assert(graft.sources.GraftVersions.current(dir) == 4)
+    // current read prunes the dropped column's physical data
+    assert(spark.table("psql.tpcds.tt8").columns.toSeq == Seq("k", "note"))
+    val rows = spark.sql("SELECT k, note FROM psql.tpcds.tt8").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSet
+    assert(rows == Set(1 -> None, 2 -> Some("fresh")))
+    // the PRE-drop snapshot still reads the column and its values
+    val v3 = spark.sql("SELECT k, v FROM psql.tpcds.tt8 VERSION AS OF 3")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(v3 == Set(1 -> "a", 2 -> "b"))
+    // resurrection guard: parquet resolves by name, so re-adding v
+    // would read the OLD values back out of pre-drop files
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE psql.tpcds.tt8 ADD COLUMN v STRING")
+    }
+    assert(e.getMessage.contains("previously dropped"), e.getMessage)
+    // a genuinely new name is fine after the drop
+    spark.sql("ALTER TABLE psql.tpcds.tt8 ADD COLUMN v2 STRING")
+    assert(spark.table("psql.tpcds.tt8").columns.toSeq == Seq("k", "note", "v2"))
+    // dropping everything is refused
+    spark.sql("ALTER TABLE psql.tpcds.tt8 DROP COLUMN v2")
+    spark.sql("ALTER TABLE psql.tpcds.tt8 DROP COLUMN note")
+    val eLast = intercept[Exception] {
+      spark.sql("ALTER TABLE psql.tpcds.tt8 DROP COLUMN k")
+    }
+    assert(eLast.getMessage.contains("last column"), eLast.getMessage)
   }
 }
