@@ -30,8 +30,31 @@ object GraftMerge {
   /** Upsert `source` into the versioned table at `dir` on equality of
     * `keyCol`. WHEN MATCHED → replace the whole row with the source
     * row; WHEN NOT MATCHED → insert. Returns (base snapshot, number of
-    * files reused by reference, number of files rewritten). */
+    * files reused by reference, number of files rewritten).
+    *
+    * `maxRetries` > 0 turns a detected concurrent commit into an
+    * optimistic REBASE: the merge re-reads the NEW current snapshot,
+    * recomputes its touched-file set and rewrite against it, and
+    * republishes — so the concurrent writer's rows are incorporated,
+    * never dropped (each attempt is a fresh read-modify-write; the
+    * conflict detection at the atomic publish stays the correctness
+    * backstop). 0 (the default) preserves fail-loudly semantics for
+    * callers that orchestrate their own retry. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, maxRetries: Int = 0): (Int, Int, Int) = {
+    var attempt = 0
+    var last: java.util.ConcurrentModificationException = null
+    while (attempt <= maxRetries) {
+      try return mergeOnce(spark, dir, source, keyCol)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def mergeOnce(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): (Int, Int, Int) = {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: MERGE needs at least one committed snapshot")

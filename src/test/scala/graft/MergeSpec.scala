@@ -184,6 +184,35 @@ class MergeSpec extends SparkSpec {
       "vacuum never collected a dead orphan after the grace window")
   }
 
+  test("merge with retries rebases over concurrent appends; final state is interleaving-independent") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("mg_src9")
+    spark.sql("""CREATE TABLE psql.tpcds.mg9 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src9""".stripMargin)
+    val dir = s"$root/mg9.parquet"
+    // a concurrent appender races the merge; whichever interleaving
+    // happens, the FINAL state is the same: appends touch keys 100+,
+    // the merge updates key 1 and inserts key 50 — the rebase loop
+    // must absorb any conflict instead of failing or dropping rows
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() =>
+      try (0 until 3).foreach { i =>
+        GraftVersions.commit(dir,
+          Seq((100 + i, s"app$i")).toDF("k", "v"), overwrite = false)
+      } catch { case t: Throwable => errs.add(t) })
+    appender.start()
+    val src = Seq((1, "A"), (50, "new")).toDF("k", "v")
+    val (_, _, _) = GraftMerge.mergeInto(spark, dir, src, "k", maxRetries = 10)
+    appender.join()
+    assert(errs.isEmpty, s"appender died: ${errs.peek()}")
+    // 1 CTAS + 3 appends + exactly 1 merge commit
+    assert(GraftVersions.current(dir) == 5)
+    assert(kvRows("SELECT * FROM psql.tpcds.mg9") ==
+      Set(1 -> "A", 2 -> "b", 50 -> "new",
+        100 -> "app0", 101 -> "app1", 102 -> "app2"))
+  }
+
   test("compaction bin-packs small files with zero logical change; old snapshots keep the fragmented layout") {
     val root = freshRoot()
     import spark.implicits._
