@@ -367,7 +367,87 @@ object Loader {
     }
   }
 
+  /** Copy-on-write DELETE (l08) — the takedown verb (GDPR removal,
+    * contamination purge) that must not cost a table rewrite: CTAS a
+    * versioned table from `nation` as 4 key-partitioned files, then
+    * `deleteFrom(n_regionkey = 2)` — ONE semi-join-shaped pass finds
+    * the files containing matching rows (driver sees file NAMES only),
+    * only those are rewritten without the matching rows, untouched
+    * files carry by manifest reference, and the PRE-delete snapshot
+    * stays readable until retention vacuums it (logical delete at
+    * commit, physical at expire — the two-phase shape compliance
+    * expects). The entry emits post-delete state plus the pre-delete
+    * snapshot via `VERSION AS OF 1`, both recomputed exactly by the
+    * oracle. MergeSpec gates file-level accounting and the no-match
+    * no-op. */
+  val deleteWhere: QueryEntry = QueryEntry(
+    "l08_delete_where",
+    """SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_regionkey <> 2
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/del_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_del")
+      s.sql("""CREATE TABLE psql.tpcds.nations_del
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
+              |FROM nation_src""".stripMargin)
+      graft.sources.GraftMerge.deleteFrom(
+        s, s"$root/nations_del.parquet", col("n_regionkey") === 2)
+      s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+              |FROM psql.tpcds.nations_del""".stripMargin)
+        .unionAll(s.sql(
+          """SELECT 1 AS version, n_nationkey, n_name, n_regionkey
+            |FROM psql.tpcds.nations_del VERSION AS OF 1""".stripMargin))
+        .orderBy(col("version"), col("n_nationkey"))
+    }
+  }
+
+  /** RESTORE / rollback (l09) — undo a bad commit without rewriting a
+    * byte: CTAS from `nation` (v1), a "bad" INSERT OVERWRITE to a
+    * slice (v2), then `rollback(1)` publishes v3 whose manifest is
+    * exactly v1's — history moves only FORWARD (v2 stays readable
+    * until retention), data files are reused by reference, so undoing
+    * a bad write on a 100 TB table costs one manifest. The entry reads
+    * all three snapshots; the oracle recomputes v1 ≡ v3 ≠ v2 from
+    * `nation`. TimeTravelSpec gates the schema-restore corner (a
+    * rollback past an ADD COLUMN restores the old schema too). */
+  val restoreSnapshot: QueryEntry = QueryEntry(
+    "l09_restore",
+    """WITH base AS (SELECT COUNT(*) AS n, SUM(n_nationkey) AS ks FROM nation),
+      |m AS (SELECT COUNT(*) AS n, SUM(n_nationkey + 100) AS ks
+      |      FROM nation WHERE n_regionkey = 0)
+      |SELECT 1 AS version, base.n AS n_rows, CAST(base.ks AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT 2, m.n, CAST(m.ks AS BIGINT) FROM m
+      |UNION ALL
+      |SELECT 3, base.n, CAST(base.ks AS BIGINT) FROM base
+      |ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_rb")
+      s.sql("""CREATE TABLE psql.tpcds.nations_rb
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT * FROM nation_src""".stripMargin)
+      s.sql("""INSERT OVERWRITE psql.tpcds.nations_rb
+              |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+              |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      graft.sources.GraftVersions.rollback(s"$root/nations_rb.parquet", 1)
+      (1 to 3).map(v => s.sql(
+          s"""SELECT $v AS version, COUNT(*) AS n_rows,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM psql.tpcds.nations_rb VERSION AS OF $v""".stripMargin))
+        .reduce(_.unionAll(_)).orderBy(col("version"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
-      schemaEvolve, compactFiles)
+      schemaEvolve, compactFiles, deleteWhere, restoreSnapshot)
 }

@@ -84,6 +84,52 @@ object GraftMerge {
   private def pathName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
 
+  /** Copy-on-write DELETE (`DELETE FROM t WHERE p`) — the takedown
+    * verb a training-data lakehouse cannot ship without (a GDPR or
+    * contamination removal must not cost a 100 TB rewrite): ONE pass
+    * finds the files that contain at least one matching row (the
+    * driver receives file NAMES only — O(touched files), never
+    * O(rows)), only those files are rewritten without their matching
+    * rows, and every untouched file carries into the new snapshot by
+    * manifest reference. Pre-delete snapshots stay readable until
+    * retention expires them — deletion is logical at commit time and
+    * physical at vacuum time, the two-phase shape compliance processes
+    * expect. Concurrent commits are detected at the atomic publish
+    * (read-modify-write, like MERGE); `maxRetries` > 0 rebases the
+    * delete onto the new snapshot and reapplies the predicate.
+    * Returns (base snapshot, files reused, files rewritten). */
+  def deleteFrom(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 0)
+      : (Int, Int, Int) = {
+    var attempt = 0
+    var last: java.util.ConcurrentModificationException = null
+    while (attempt <= maxRetries) {
+      try return deleteOnce(spark, dir, predicate)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def deleteOnce(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): (Int, Int, Int) = {
+    val base = GraftVersions.current(dir)
+    require(base >= 1, s"$dir: DELETE needs at least one committed snapshot")
+    val files = GraftVersions.manifest(dir, base)
+    val touchedNames = spark.read.parquet(files: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("__path")).distinct()
+      .collect().map(r => pathName(r.getString(0))).toSet
+    val (touched, untouched) =
+      files.partition(f => touchedNames.contains(pathName(f)))
+    if (touched.isEmpty) return (base, files.size, 0) // nothing matched
+    val survivors = spark.read.parquet(touched: _*).filter(!predicate)
+    GraftVersions.mergeCommit(dir, base, untouched.map(pathName), survivors)
+    (base, untouched.size, touched.size)
+  }
+
   /** Small-file compaction (OPTIMIZE): rewrite the current snapshot's
     * files smaller than `smallBytes` into `targetFiles` bin-packed
     * replacements and commit the result as a new snapshot whose

@@ -665,6 +665,42 @@ private[graft] object GraftVersions {
       s"$dir: schema evolution lost $attempts optimistic races — giving up")
   }
 
+  /** RESTORE (rollback): publish a NEW snapshot whose manifest — and
+    * schema, if the table ever evolved — is exactly snapshot `v`'s.
+    * History moves only forward (the bad commits stay in the ledger
+    * and readable until retention), data files are reused by
+    * reference, so undoing a bad write on a 100 TB table costs one
+    * manifest. Optimistically retried like a blind append (the
+    * restored state is version-pinned, not read-modify-write).
+    * Returns the new current version. */
+  def rollback(dir: String, v: Int): Int = {
+    require(isLive(dir, v),
+      s"$dir: cannot restore snapshot $v — it does not exist or was expired")
+    val names = manifest(dir, v).map(p => new java.io.File(p).getName)
+    val restoredSchema = schemaAt(dir, v)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val nv = current(dir) + 1
+      if (tryPublish(dir, nv, names, s"$nonce-$attempts")) {
+        // a table with schema history restores v's schema too —
+        // without this, rolling back past an ADD COLUMN would keep
+        // serving the post-evolution schema for pre-evolution data
+        restoredSchema.foreach { sch =>
+          schemasDir(dir).mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(schemasDir(dir), s"v$nv.json").toPath,
+            sch.json.getBytes("UTF-8"))
+        }
+        publishPointer(dir, nv)
+        return nv
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$dir: restore lost $attempts optimistic races — giving up")
+  }
+
   /** Commit-instant ledger (`_commits`: one `v<N>=<epochMicros>` line
     * per commit, append-only) backing `TIMESTAMP AS OF`. */
   private def commitsFile(dir: String) = new java.io.File(dir, "_commits")

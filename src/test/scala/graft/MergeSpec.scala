@@ -184,6 +184,42 @@ class MergeSpec extends SparkSpec {
       "vacuum never collected a dead orphan after the grace window")
   }
 
+  test("copy-on-write delete rewrites only touched files; pre-delete snapshot intact") {
+    val root = freshRoot()
+    import spark.implicits._
+    // 4 single-key files → exact touched-file accounting
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_srcA")
+    spark.sql("""CREATE TABLE psql.tpcds.mgA TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcA""".stripMargin)
+    val dir = s"$root/mgA.parquet"
+    val before = GraftVersions.manifest(dir, 1).map(p => new java.io.File(p).getName)
+    // no-match predicate: structural no-op, no commit
+    val (_, _, rw0) = GraftMerge.deleteFrom(spark, dir, col("k") === 99)
+    assert(rw0 == 0 && GraftVersions.current(dir) == 1)
+    // delete keys 2 and 4 → only the files holding them are rewritten
+    // (hash-partitioning may co-locate keys, so assert the partition,
+    // not an exact count), the rest carried by reference
+    val (base, reused, rewritten) =
+      GraftMerge.deleteFrom(spark, dir, col("k") === 2 || col("k") === 4)
+    assert(base == 1 && reused + rewritten == before.size &&
+      rewritten >= 1 && reused >= 1,
+      s"reused=$reused rewritten=$rewritten of ${before.size}")
+    assert(GraftVersions.current(dir) == 2)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgA") == Set(1 -> "a", 3 -> "c"))
+    // logical-then-physical: the pre-delete snapshot still reads the rows
+    assert(kvRows("SELECT * FROM psql.tpcds.mgA VERSION AS OF 1") ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // untouched files carried into v2 BY NAME
+    val after = GraftVersions.manifest(dir, 2).map(p => new java.io.File(p).getName)
+    assert(before.toSet.intersect(after.toSet).size == reused)
+    // partial-file delete: survivors of the touched file are rewritten
+    spark.sql("INSERT INTO psql.tpcds.mgA VALUES (5, 'e'), (6, 'f')")
+    GraftMerge.deleteFrom(spark, dir, col("k") === 5)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgA") ==
+      Set(1 -> "a", 3 -> "c", 6 -> "f"))
+  }
+
   test("merge with retries rebases over concurrent appends; final state is interleaving-independent") {
     val root = freshRoot()
     import spark.implicits._

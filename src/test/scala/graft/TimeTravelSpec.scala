@@ -222,4 +222,42 @@ class TimeTravelSpec extends SparkSpec {
     }
     assert(eLast.getMessage.contains("last column"), eLast.getMessage)
   }
+
+  test("restore publishes an old snapshot forward; schema rolls back with it") {
+    val root = freshRoot()
+    import spark.implicits._
+    import graft.sources.GraftVersions
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("tt_src9")
+    spark.sql("""CREATE TABLE psql.tpcds.tt9 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM tt_src9""".stripMargin)
+    val dir = s"$root/tt9.parquet"
+    spark.sql("INSERT OVERWRITE psql.tpcds.tt9 VALUES (9, 'bad')")
+    val dataDir = new java.io.File(s"$dir/data")
+    val filesBefore = dataDir.listFiles().map(_.getName).toSet
+    // restore v1: a NEW commit, zero data files written, content == v1
+    assert(GraftVersions.rollback(dir, 1) == 3)
+    assert(dataDir.listFiles().map(_.getName).toSet == filesBefore,
+      "restore wrote data files")
+    def kv(q: String) = spark.sql(q).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(kv("SELECT k, v FROM psql.tpcds.tt9") == Set(1 -> "a", 2 -> "b"))
+    // history moved FORWARD: the bad commit is still time-travelable
+    assert(kv("SELECT k, v FROM psql.tpcds.tt9 VERSION AS OF 2") == Set(9 -> "bad"))
+    // restoring an expired snapshot fails loudly
+    GraftVersions.expire(dir, keepLast = 1)
+    val e = intercept[Exception] { GraftVersions.rollback(dir, 2) }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("restore"),
+      e.getMessage)
+    // schema rolls back too: evolve, then restore the pre-evolution state
+    spark.sql("ALTER TABLE psql.tpcds.tt9 ADD COLUMN note STRING")   // v4
+    spark.sql("INSERT INTO psql.tpcds.tt9 VALUES (5, 'e', 'n5')")    // v5
+    assert(spark.table("psql.tpcds.tt9").columns.toSeq == Seq("k", "v", "note"))
+    GraftVersions.rollback(dir, 3)                                   // v6 ≡ v3
+    assert(spark.table("psql.tpcds.tt9").columns.toSeq == Seq("k", "v"),
+      "restore past an ADD COLUMN kept the evolved schema")
+    assert(kv("SELECT k, v FROM psql.tpcds.tt9") == Set(1 -> "a", 2 -> "b"))
+    // and the evolved snapshot still reads with ITS schema
+    assert(spark.sql("SELECT * FROM psql.tpcds.tt9 VERSION AS OF 5")
+      .columns.toSeq == Seq("k", "v", "note"))
+  }
 }
