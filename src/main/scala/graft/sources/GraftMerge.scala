@@ -125,7 +125,12 @@ object GraftMerge {
     val (touched, untouched) =
       files.partition(f => touchedNames.contains(pathName(f)))
     if (touched.isEmpty) return (base, files.size, 0) // nothing matched
-    val survivors = spark.read.parquet(touched: _*).filter(!predicate)
+    // SQL DELETE semantics: remove rows where the predicate is TRUE,
+    // KEEP rows where it is false OR NULL — a bare `!predicate` filter
+    // would silently drop null-predicate rows from rewritten files
+    // (three-valued logic: NOT NULL is NULL, and filters keep only TRUE)
+    val survivors = spark.read.parquet(touched: _*)
+      .filter(!coalesce(predicate, lit(false)))
     GraftVersions.mergeCommit(dir, base, untouched.map(pathName), survivors)
     (base, untouched.size, touched.size)
   }

@@ -218,6 +218,15 @@ class MergeSpec extends SparkSpec {
     GraftMerge.deleteFrom(spark, dir, col("k") === 5)
     assert(kvRows("SELECT * FROM psql.tpcds.mgA") ==
       Set(1 -> "a", 3 -> "c", 6 -> "f"))
+    // SQL DELETE null semantics: rows where the predicate is NULL are
+    // KEPT, not silently dropped from rewritten files (a bare
+    // `!predicate` filter loses them under three-valued logic)
+    spark.sql("INSERT INTO psql.tpcds.mgA VALUES (7, NULL), (8, 'x')")
+    GraftMerge.deleteFrom(spark, dir, col("v") === "x")
+    val withNull = spark.sql("SELECT k, v FROM psql.tpcds.mgA").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSet
+    assert(withNull == Set(1 -> Some("a"), 3 -> Some("c"), 6 -> Some("f"),
+      7 -> None), s"null-predicate row lost or kept wrong: $withNull")
   }
 
   test("merge with retries rebases over concurrent appends; final state is interleaving-independent") {
