@@ -288,6 +288,38 @@ class MergeSpec extends SparkSpec {
     assert(packed2 == 0 && GraftVersions.current(dir) == 5)
   }
 
+  test("a published manifest without a pointer flip (crashed writer) is completed by the next commit") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("mg_srcB")
+    spark.sql("""CREATE TABLE psql.tpcds.mgB TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcB""".stripMargin)
+    val dir = s"$root/mgB.parquet"
+    // simulate a writer that won manifest v2 (file moved in, manifest
+    // published) but died before flipping the pointer
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/out"
+    Seq((2, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/data/v2-0-deadcafe.parquet").toPath)
+    val prev = GraftVersions.manifest(dir, 1).map(p => new java.io.File(p).getName)
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/_manifests/v2.txt").toPath,
+      (prev :+ "v2-0-deadcafe.parquet").mkString("", "\n", "\n").getBytes("UTF-8"))
+    // pointer never flipped: readers still see v1
+    assert(GraftVersions.current(dir) == 1)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgB") == Set(1 -> "a"))
+    // the NEXT commit finds manifest v2 taken, builds v3 on it, and
+    // thereby completes the crashed writer's commit (its manifest is
+    // the durable commit point — Iceberg semantics)
+    GraftVersions.commit(dir, Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    assert(GraftVersions.current(dir) == 3)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgB") ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c"),
+      "the crashed writer's published manifest was not completed")
+  }
+
   test("expire racing optimistic appends loses no committed rows") {
     val root = freshRoot()
     import spark.implicits._
