@@ -396,8 +396,9 @@ object Loader {
               |TBLPROPERTIES('versioned'='true')
               |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
               |FROM nation_src""".stripMargin)
-      graft.sources.GraftMerge.deleteFrom(
-        s, s"$root/nations_del.parquet", col("n_regionkey") === 2)
+      // NATIVE SQL: the DSv2 SupportsDelete seam pushes the condition
+      // as source filters into GraftMerge.deleteFrom's copy-on-write
+      s.sql("DELETE FROM psql.tpcds.nations_del WHERE n_regionkey = 2")
       s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
               |FROM psql.tpcds.nations_del""".stripMargin)
         .unionAll(s.sql(
@@ -447,7 +448,49 @@ object Loader {
     }
   }
 
+  /** Copy-on-write UPDATE (l10) — the fourth DML verb, closing the
+    * INSERT / MERGE / DELETE / UPDATE set: CTAS a versioned table from
+    * `nation` as 4 key-partitioned files, then `updateWhere(
+    * n_regionkey = 1, n_name → n_name || '_u')` — one name-only
+    * metadata pass finds the files holding a matching row, only those
+    * rewrite (matching rows transformed in place, non-matching rows in
+    * the same files pass through unchanged), untouched files carry by
+    * manifest reference, pre-update snapshot readable. The entry emits
+    * post-update state plus the pre-update snapshot, both recomputed
+    * exactly by the oracle. MergeSpec gates file accounting and the
+    * null-predicate row-preserved corner. */
+  val updateWhereEntry: QueryEntry = QueryEntry(
+    "l10_update_where",
+    """SELECT 2 AS version, n_nationkey,
+      |       CASE WHEN n_regionkey = 1 THEN n_name || '_u' ELSE n_name END AS n_name,
+      |       n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val root = "target/graftcat/up_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_up")
+      s.sql("""CREATE TABLE psql.tpcds.nations_up
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
+              |FROM nation_src""".stripMargin)
+      graft.sources.GraftMerge.updateWhere(
+        s, s"$root/nations_up.parquet", col("n_regionkey") === 1,
+        Seq("n_name" -> concat(col("n_name"), lit("_u"))))
+      s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+              |FROM psql.tpcds.nations_up""".stripMargin)
+        .unionAll(s.sql(
+          """SELECT 1 AS version, n_nationkey, n_name, n_regionkey
+            |FROM psql.tpcds.nations_up VERSION AS OF 1""".stripMargin))
+        .orderBy(col("version"), col("n_nationkey"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
-      schemaEvolve, compactFiles, deleteWhere, restoreSnapshot)
+      schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
+      updateWhereEntry)
 }

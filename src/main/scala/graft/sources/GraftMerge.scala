@@ -135,6 +135,64 @@ object GraftMerge {
     (base, untouched.size, touched.size)
   }
 
+  /** Copy-on-write UPDATE (`UPDATE t SET c = expr WHERE p`) — the last
+    * of the four DML verbs (INSERT via the write path, MERGE, DELETE,
+    * UPDATE), same cost shape as [[deleteFrom]]: one name-only
+    * metadata pass finds the files holding a matching row, only those
+    * rewrite (matching rows get each assignment applied, the rest pass
+    * through unchanged), untouched files carry by reference, and a
+    * NULL predicate leaves the row unchanged (SQL UPDATE semantics).
+    * `assignments` maps column name → new-value expression (may read
+    * the row's own columns). Returns (base, reused, rewritten). */
+  def updateWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      maxRetries: Int = 0): (Int, Int, Int) = {
+    var attempt = 0
+    var last: java.util.ConcurrentModificationException = null
+    while (attempt <= maxRetries) {
+      try return updateOnce(spark, dir, predicate, assignments)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def updateOnce(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): (Int, Int, Int) = {
+    val base = GraftVersions.current(dir)
+    require(base >= 1, s"$dir: UPDATE needs at least one committed snapshot")
+    val files = GraftVersions.manifest(dir, base)
+    val schema = spark.read.parquet(files: _*).schema
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$dir: UPDATE assigns to unknown column $c")
+    }
+    val touchedNames = spark.read.parquet(files: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("__path")).distinct()
+      .collect().map(r => pathName(r.getString(0))).toSet
+    val (touched, untouched) =
+      files.partition(f => touchedNames.contains(pathName(f)))
+    if (touched.isEmpty) return (base, files.size, 0) // nothing matched
+    val hit = coalesce(predicate, lit(false))
+    val assigned = assignments.toMap
+    // every column in declared order: assigned ones switch on the
+    // predicate, the rest pass through — row shape is preserved
+    val rewritten = spark.read.parquet(touched: _*).select(
+      schema.fieldNames.toIndexedSeq.map { c =>
+        assigned.get(c) match {
+          case Some(expr) => when(hit, expr).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    GraftVersions.mergeCommit(dir, base, untouched.map(pathName), rewritten)
+    (base, untouched.size, touched.size)
+  }
+
   /** Small-file compaction (OPTIMIZE): rewrite the current snapshot's
     * files smaller than `smallBytes` into `targetFiles` bin-packed
     * replacements and commit the result as a new snapshot whose

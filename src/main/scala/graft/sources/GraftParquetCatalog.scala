@@ -970,9 +970,19 @@ private class GraftVersionedWriteBuilder(path: String)
 
 /** A versioned table after creation: scans delegate to the wrapped
   * [[ParquetTable]] over ONE snapshot's manifest files; writes commit
-  * a new snapshot through [[GraftVersions]]. */
+  * a new snapshot through [[GraftVersions]].
+  *
+  * Implements the DSv2 [[SupportsDelete]] seam, so `DELETE FROM t
+  * WHERE p` is a NATIVE SQL statement: Spark pushes the condition as
+  * source filters, each is rebuilt into a Column, and the delete runs
+  * through [[GraftMerge.deleteFrom]]'s copy-on-write path (touched
+  * files only, pre-delete snapshot preserved). A condition that does
+  * not translate to source filters is rejected by `canDeleteWhere` —
+  * Spark then fails the statement loudly instead of deleting the
+  * wrong rows. */
 private class GraftVersionedTable(parquet: ParquetTable, path: String)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = parquet.name
   override def schema(): StructType = parquet.schema
   override def partitioning(): Array[Transform] = Array.empty
@@ -983,4 +993,52 @@ private class GraftVersionedTable(parquet: ParquetTable, path: String)
     parquet.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftVersionedWriteBuilder(path)
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    filters.forall(f => GraftVersionedTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    // conjunction of the pushed filters; no filters = delete all rows
+    val cond = filters
+      .map(f => GraftVersionedTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$name: DELETE condition not translatable: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftMerge.deleteFrom(SparkSession.active, path, cond)
+  }
+}
+
+private object GraftVersionedTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** Rebuild a pushed source [[Filter]] as a [[Column]] predicate —
+    * the exact semantics Spark assigned the filter, so the
+    * copy-on-write delete removes precisely the rows SQL matched. */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }

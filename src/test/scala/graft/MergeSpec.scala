@@ -229,6 +229,76 @@ class MergeSpec extends SparkSpec {
       7 -> None), s"null-predicate row lost or kept wrong: $withNull")
   }
 
+  test("SQL DELETE FROM routes through the copy-on-write path; untranslatable conditions fail loudly") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .createOrReplaceTempView("mg_srcC")
+    spark.sql("""CREATE TABLE psql.tpcds.mgC TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcC""".stripMargin)
+    val dir = s"$root/mgC.parquet"
+    // native SQL statement → SupportsDelete → GraftMerge.deleteFrom
+    spark.sql("DELETE FROM psql.tpcds.mgC WHERE k = 2 OR v = 'c'")
+    assert(GraftVersions.current(dir) == 2)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgC") == Set(1 -> "a"))
+    // the pre-delete snapshot is intact (copy-on-write, not in-place)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgC VERSION AS OF 1") ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    // a condition that does not translate to source filters must fail
+    // loudly, never delete the wrong rows
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM psql.tpcds.mgC WHERE k % 2 = 0")
+    }
+    assert(e.getMessage != null)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgC") == Set(1 -> "a"))
+    // unconditional SQL DELETE empties the table as a new snapshot
+    spark.sql("INSERT INTO psql.tpcds.mgC VALUES (9, 'z')")
+    spark.sql("DELETE FROM psql.tpcds.mgC")
+    assert(spark.sql("SELECT COUNT(*) FROM psql.tpcds.mgC").head.getLong(0) == 0)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgC VERSION AS OF 3") ==
+      Set(1 -> "a", 9 -> "z"))
+  }
+
+  test("copy-on-write update transforms matching rows in touched files only") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_srcD")
+    spark.sql("""CREATE TABLE psql.tpcds.mgD TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcD""".stripMargin)
+    val dir = s"$root/mgD.parquet"
+    val before = GraftVersions.manifest(dir, 1).map(p => new java.io.File(p).getName)
+    val (base, reused, rewritten) = GraftMerge.updateWhere(
+      spark, dir, col("k") === 2,
+      Seq("v" -> org.apache.spark.sql.functions.concat(col("v"),
+        org.apache.spark.sql.functions.lit("!"))))
+    assert(base == 1 && reused + rewritten == before.size && rewritten >= 1)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgD") ==
+      Set(1 -> "a", 2 -> "b!", 3 -> "c", 4 -> "d"))
+    assert(kvRows("SELECT * FROM psql.tpcds.mgD VERSION AS OF 1") ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // untouched files carried BY NAME; no-match update is a no-op
+    val after = GraftVersions.manifest(dir, 2).map(p => new java.io.File(p).getName)
+    assert(before.toSet.intersect(after.toSet).size == reused)
+    val (_, _, rw0) = GraftMerge.updateWhere(spark, dir, col("k") === 99,
+      Seq("v" -> org.apache.spark.sql.functions.lit("never")))
+    assert(rw0 == 0 && GraftVersions.current(dir) == 2)
+    // NULL-predicate rows pass through unchanged (SQL UPDATE semantics)
+    spark.sql("INSERT INTO psql.tpcds.mgD VALUES (7, NULL)")
+    GraftMerge.updateWhere(spark, dir, col("v") === "a",
+      Seq("v" -> org.apache.spark.sql.functions.lit("A")))
+    val withNull = spark.sql("SELECT k, v FROM psql.tpcds.mgD").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSet
+    assert(withNull == Set(1 -> Some("A"), 2 -> Some("b!"), 3 -> Some("c"),
+      4 -> Some("d"), 7 -> None), withNull.toString)
+    // unknown assignment column fails loudly
+    val e = intercept[Exception] {
+      GraftMerge.updateWhere(spark, dir, col("k") === 1,
+        Seq("nope" -> org.apache.spark.sql.functions.lit("x")))
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+  }
+
   test("merge with retries rebases over concurrent appends; final state is interleaving-independent") {
     val root = freshRoot()
     import spark.implicits._
