@@ -72,9 +72,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a reader holding any manifest is isolated from every later commit.
   * `SELECT … VERSION AS OF n` resolves through Spark's own DSv2
   * time-travel seam ([[TableCatalog.loadTable(Identifier,String)]]) to
-  * a [[ParquetTable]] over exactly that manifest's files. Single
-  * writer per table (the s11 contract); TimeTravelSpec gates snapshot
-  * immutability under later overwrites.
+  * a [[ParquetTable]] over exactly that manifest's files. Writers are
+  * MULTI-writer safe via [[GraftVersions]]' optimistic commit protocol
+  * (atomic manifest publish, monotonic pointer, tombstoned expiry);
+  * the full verb set is CTAS / INSERT / INSERT OVERWRITE / MERGE /
+  * native SQL DELETE / UPDATE / ADD+DROP COLUMN / COMPACT / EXPIRE /
+  * RESTORE, plus batch + streaming CDF. TimeTravelSpec and MergeSpec
+  * gate snapshot immutability, concurrency, and evolution corners.
   */
 class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
