@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-executor scheduler check — the closest one machine gets to the
+  * reference's 1-vs-5-worker runs (reference: `results/q00N/workers-
+  * {1,5}` record identical results at both cluster sizes).
+  *
+  * `local[N]` runs every task in the driver JVM; `local-cluster
+  * [2,4,2048]` is Spark's REAL standalone scheduler with two SEPARATE
+  * executor JVM processes: tasks serialize over the wire, shuffle
+  * blocks move through netty between processes, and the DAG scheduler
+  * does genuine multi-executor placement. Running a representative
+  * query slice on both and requiring bit-identical results proves the
+  * §5.2 worker-count-invariance property across PROCESS topology — not
+  * just across shuffle partitioning (DeterminismSpec's axis): closures
+  * and custom Catalyst expressions must actually serialize, codegen
+  * must compile in executor JVMs, and exchanges must round-trip the
+  * network stack.
+  *
+  * The slice spans the engine's shapes: scans+agg, broadcast and
+  * shuffled joins, TopN, windows, set ops, exact + MinHash dedup,
+  * brute-force ANN, sequence packing, and a versioned-catalog
+  * commit+time-travel lifecycle (executors write the snapshot files).
+  * JDBC-backed entries are excluded — embedded Derby is single-JVM by
+  * nature (separate executor processes cannot share its file lock),
+  * which is a property of the stand-in store, not of the engine.
+  *
+  * Run: `ClusterCheck <sfDir>` — exits nonzero on any divergence.
+  * LocalClusterSpec forks this as its own JVM (the suite's shared
+  * SparkContext cannot coexist with a second master in-process). */
+object ClusterCheck {
+
+  val checkQueries: Seq[String] = Seq(
+    "q02_scan_group_agg", "q03_join_agg_topn", "q04_left_join_case_agg",
+    "q05_except_chain_count", "q15_shuffled_join_agg", "q17_window_topk",
+    "q23_tpch_q1", "d01_dedup_exact", "d03_minhash_lsh",
+    "s01_ann_bruteforce", "p03_pack_sequences", "l02_time_travel")
+
+  private def canonical(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toIndexedSeq
+
+  private def runAll(master: String, sfDir: String,
+      extra: Map[String, String]): Map[String, Seq[String]] = {
+    val localDir = new java.io.File("/dev/shm/graft-spark")
+    localDir.mkdirs()
+    var b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-cluster-check")
+      .config("spark.local.dir", localDir.getAbsolutePath)
+      .config("spark.sql.shuffle.partitions", "8")
+    extra.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = GraftSession.configure(b).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.TrinoFunctions.register(spark)
+    functions.VectorFunctions.register(spark)
+    try checkQueries.map { n =>
+      n -> canonical(SparkEntry.queries(n)(spark, sfDir))
+    }.toMap
+    finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // pass 1: single-process reference
+    val single = runAll("local[8]", sfDir, Map.empty)
+    // pass 2: real standalone scheduler, two executor JVM processes —
+    // the executor processes need the application classes on THEIR
+    // classpath (nothing ships a jar in this mode)
+    val cluster = runAll("local-cluster[2,4,2048]", sfDir, Map(
+      "spark.executor.memory" -> "1536m",
+      "spark.executor.extraClassPath" -> System.getProperty("java.class.path")))
+    val diverged = checkQueries.filter(n => single(n) != cluster(n))
+    val rowCounts = checkQueries.map(n => s"$n=${single(n).size}").mkString(",")
+    if (diverged.isEmpty) {
+      println(s"""{"metric":"cluster_check","status":"ok","queries":${checkQueries.size},"rows":"$rowCounts"}""")
+    } else {
+      diverged.foreach { n =>
+        System.err.println(s"[cluster-check] $n diverged: " +
+          s"single=${single(n).take(3)}... cluster=${cluster(n).take(3)}...")
+      }
+      println(s"""{"metric":"cluster_check","status":"diverged","failed":"${diverged.mkString(",")}"}""")
+      sys.exit(1)
+    }
+  }
+}
