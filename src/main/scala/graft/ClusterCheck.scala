@@ -35,7 +35,12 @@ object ClusterCheck {
     "q02_scan_group_agg", "q03_join_agg_topn", "q04_left_join_case_agg",
     "q05_except_chain_count", "q15_shuffled_join_agg", "q17_window_topk",
     "q23_tpch_q1", "d01_dedup_exact", "d03_minhash_lsh",
-    "s01_ann_bruteforce", "p03_pack_sequences", "l02_time_travel")
+    "s01_ann_bruteforce", "p03_pack_sequences", "l02_time_travel",
+    // the two riskiest paths under a process topology: a CUSTOM
+    // physical operator (GroupedTopKExec) serialized to executor JVMs,
+    // and a stored-index probe whose dynamic partition pruning must
+    // fire across processes (executors also WRITE the index partitions)
+    "q25_grouped_topk_custom", "s11_ann_persisted")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
