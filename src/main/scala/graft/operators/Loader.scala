@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * [[TrinoFunctions]]. */
 object Loader {
 
+  /** Scratch root for the l-entries' versioned tables: tmpfs, same
+    * posture as the session's shuffle dir (GraftSession.local) — this
+    * VM's block device shows sporadic multi-second sync stalls that
+    * landed in l-family timings when the scratch lived under target/
+    * (the r12 l03 in-suite elevation); a real deployment would put
+    * table storage on object store / NVMe, not the OS disk. The
+    * lifecycle under test (manifests, pointers, commits, vacuum) is
+    * filesystem-agnostic. */
+  private val scratchBase = "/dev/shm/graftcat"
+
   /** Bucket histogram over orders keys — proves bucketing is complete
     * and deterministic (property-tested in TrinoFunctionsSpec). Fully
     * oracled since r11: the DuckDB mirror computes seed-0 XXH64 of each
@@ -67,7 +77,7 @@ object Loader {
       |SELECT 3, m.n, CAST(m.ks AS BIGINT) FROM m
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
-    withScratchRoot(s, "target/graftcat/tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
+    withScratchRoot(s, scratchBase + "/tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_tt")
       s.sql("""CREATE TABLE psql.tpcds.nations_tt
@@ -137,7 +147,7 @@ object Loader {
       |SELECT 3, m.n, CAST(m.ks AS BIGINT) FROM m
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/exp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/exp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_exp")
@@ -184,7 +194,7 @@ object Loader {
       |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY version, n_nationkey""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/mg_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/mg_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_mg")
@@ -241,7 +251,7 @@ object Loader {
       |FROM base, m
       |ORDER BY from_v, change""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/cdf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/cdf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_cdf")
@@ -293,7 +303,7 @@ object Loader {
       |SELECT 1, n_nationkey, n_name, CAST(NULL AS VARCHAR) FROM nation
       |ORDER BY version, k""".stripMargin
   ) { (s, d) =>
-    withScratchRoot(s, "target/graftcat/ev_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
+    withScratchRoot(s, scratchBase + "/ev_" + d.replaceAll("[^a-zA-Z0-9]", "_")) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_ev")
       s.sql("""CREATE TABLE psql.tpcds.nations_ev
@@ -341,7 +351,7 @@ object Loader {
       |SELECT 'before', n, CAST(ks AS BIGINT) FROM t
       |ORDER BY phase""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/cp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/cp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_cp")
@@ -388,7 +398,7 @@ object Loader {
       |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY version, n_nationkey""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/del_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/del_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_del")
@@ -429,7 +439,7 @@ object Loader {
       |SELECT 3, base.n, CAST(base.ks AS BIGINT) FROM base
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_rb")
@@ -469,7 +479,7 @@ object Loader {
       |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY version, n_nationkey""".stripMargin
   ) { (s, d) =>
-    val root = "target/graftcat/up_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = scratchBase + "/up_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     withScratchRoot(s, root) {
       Tables.nation(s, d).createOrReplaceTempView("nation_src")
       s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_up")
