@@ -62,7 +62,7 @@ object GraftMerge {
     val srcKeys = source.select(col(keyCol)).distinct()
     // one pass: which files contain at least one matched key? Driver
     // receives file names only — O(touched files), never O(rows).
-    val touchedNames = spark.read.parquet(files: _*)
+    val touchedNames = readSnapshot(spark, dir, base, files)
       .select(col(keyCol), col("_metadata.file_path").as("__path"))
       .join(srcKeys, Seq(keyCol), "left_semi")
       .select(col("__path")).distinct()
@@ -73,7 +73,7 @@ object GraftMerge {
     // (replacements for matched keys + inserts for new keys)
     val survivors =
       if (touched.isEmpty) source
-      else spark.read.parquet(touched: _*)
+      else readSnapshot(spark, dir, base, touched)
         .join(srcKeys, Seq(keyCol), "left_anti")
         .unionByName(source)
     GraftVersions.mergeCommit(dir, base,
@@ -83,6 +83,23 @@ object GraftMerge {
 
   private def pathName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  /** Read snapshot files with the snapshot's AUTHORITATIVE schema
+    * ([[GraftVersions.schemaAt]]): after an ADD COLUMN the table's
+    * files are schema-heterogeneous, and a bare footer-inferred read
+    * picks an arbitrary file's schema — a rewrite through a
+    * pre-evolution file's schema silently drops the evolved column's
+    * committed values from post-evolution rows (ADVICE r12; compaction
+    * is near-guaranteed to hit it, since it packs every small file
+    * together). A never-evolved table has no schema record and its
+    * files are homogeneous, so plain inference stays correct. The
+    * `_metadata` column remains available under an explicit schema. */
+  private def readSnapshot(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String]): DataFrame =
+    GraftVersions.schemaAt(dir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
 
   /** Copy-on-write DELETE (`DELETE FROM t WHERE p`) — the takedown
     * verb a training-data lakehouse cannot ship without (a GDPR or
@@ -118,7 +135,7 @@ object GraftMerge {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: DELETE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
-    val touchedNames = spark.read.parquet(files: _*)
+    val touchedNames = readSnapshot(spark, dir, base, files)
       .filter(predicate)
       .select(col("_metadata.file_path").as("__path")).distinct()
       .collect().map(r => pathName(r.getString(0))).toSet
@@ -129,7 +146,7 @@ object GraftMerge {
     // KEEP rows where it is false OR NULL — a bare `!predicate` filter
     // would silently drop null-predicate rows from rewritten files
     // (three-valued logic: NOT NULL is NULL, and filters keep only TRUE)
-    val survivors = spark.read.parquet(touched: _*)
+    val survivors = readSnapshot(spark, dir, base, touched)
       .filter(!coalesce(predicate, lit(false)))
     GraftVersions.mergeCommit(dir, base, untouched.map(pathName), survivors)
     (base, untouched.size, touched.size)
@@ -166,12 +183,22 @@ object GraftMerge {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: UPDATE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
-    val schema = spark.read.parquet(files: _*).schema
-    assignments.foreach { case (c, _) =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"$dir: UPDATE assigns to unknown column $c")
-    }
-    val touchedNames = spark.read.parquet(files: _*)
+    val schema = GraftVersions.schemaAt(dir, base)
+      .getOrElse(spark.read.parquet(files: _*).schema)
+    // resolve each assignment key to the EXACT schema field name:
+    // validation is case-insensitive (SQL identifier semantics), so the
+    // applying map must be too — a caller's "V" against schema column
+    // "v" must update, not silently pass validation and change nothing
+    val assigned: Map[String, org.apache.spark.sql.Column] =
+      assignments.map { case (c, e) =>
+        val field = schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$dir: UPDATE assigns to unknown column $c"))
+        field -> e
+      }.toMap
+    require(assigned.size == assignments.size,
+      s"$dir: UPDATE assigns the same column more than once")
+    val touchedNames = readSnapshot(spark, dir, base, files)
       .filter(predicate)
       .select(col("_metadata.file_path").as("__path")).distinct()
       .collect().map(r => pathName(r.getString(0))).toSet
@@ -179,10 +206,9 @@ object GraftMerge {
       files.partition(f => touchedNames.contains(pathName(f)))
     if (touched.isEmpty) return (base, files.size, 0) // nothing matched
     val hit = coalesce(predicate, lit(false))
-    val assigned = assignments.toMap
     // every column in declared order: assigned ones switch on the
     // predicate, the rest pass through — row shape is preserved
-    val rewritten = spark.read.parquet(touched: _*).select(
+    val rewritten = readSnapshot(spark, dir, base, touched).select(
       schema.fieldNames.toIndexedSeq.map { c =>
         assigned.get(c) match {
           case Some(expr) => when(hit, expr).otherwise(col(c)).as(c)
@@ -215,7 +241,7 @@ object GraftMerge {
     val files = GraftVersions.manifest(dir, base)
     val (small, big) = files.partition(f => new java.io.File(f).length() < smallBytes)
     if (small.size <= 1) return (base, files.size, 0) // nothing to gain
-    val packed = spark.read.parquet(small: _*).repartition(targetFiles)
+    val packed = readSnapshot(spark, dir, base, small).repartition(targetFiles)
     GraftVersions.mergeCommit(dir, base, big.map(pathName), packed)
     (base, big.size, small.size)
   }

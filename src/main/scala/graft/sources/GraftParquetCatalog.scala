@@ -570,14 +570,20 @@ private[graft] object GraftVersions {
     * once-used number can never be won again — deleting an expired
     * manifest would let a slow retrying writer "win" that dead version
     * and publish a commit that silently never joins the chain (the
-    * exact lost-update MergeSpec's expire-race gate reproduces). */
+    * exact lost-update MergeSpec's expire-race gate reproduces).
+    *
+    * A tombstone PRESERVES the expired manifest's state as comment
+    * lines — `#expired <epochMillis>` header, one `#f <name>` line per
+    * data file, any `#schema` header carried through — so physical file
+    * deletion can be deferred past the orphan grace window (see
+    * [[expire]]) while [[manifest]] still reads the version as empty. */
   private val expiredMarker = "#expired"
 
   /** Snapshot `v` exists and is not expired. */
   def isLive(dir: String, v: Int): Boolean = {
     val f = manifestFile(dir, v)
     f.exists() && !java.nio.file.Files.readAllLines(f.toPath).asScala
-      .headOption.contains(expiredMarker)
+      .headOption.exists(_.startsWith(expiredMarker))
   }
 
   def manifest(dir: String, v: Int): Seq[String] = {
@@ -593,14 +599,59 @@ private[graft] object GraftVersions {
   private def schemasDir(dir: String) = new java.io.File(dir, "_schemas")
   private val schemaName = "^v(\\d+)\\.json$".r
 
-  /** The schema in force AT snapshot `v`: the newest `_schemas/vK.json`
-    * with K ≤ v, or None when the table has never evolved (readers then
+  /** The schema in force AT snapshot `v`: the newest schema record with
+    * K ≤ v, or None when the table has never evolved (readers then
     * fall back to the creation schema / parquet footer inference — so
     * PRE-evolution snapshots keep reading back with their original
-    * schema, exactly as committed). */
+    * schema, exactly as committed). Records are resolved from
+    * `_schemas/vK.json` first, then from `#schema` manifest headers —
+    * the headers are published ATOMICALLY with the manifest, covering
+    * the window where a schema commit has won its manifest but a
+    * concurrent committer flips the shared pointer past it before the
+    * json record lands. The `schemaRecords.isEmpty` fast path is sound
+    * because [[recordBaseSchema]] always precedes a table's first
+    * evolution: an evolved table has `_schemas/v0.json` before any
+    * manifest can carry a header. */
   def schemaAt(dir: String, v: Int): Option[StructType] = {
-    val candidates = schemaRecords(dir).filter(_._1 <= v)
-    candidates.sortBy(_._1).lastOption.map(r => readSchema(r._2))
+    val json = schemaRecords(dir)
+    if (json.isEmpty) return None // never evolved — no manifest scan needed
+    val jsonKs = json.map(_._1).toSet
+    val all: Seq[(Int, () => StructType)] =
+      json.map { case (k, f) => (k, () => readSchema(f)) } ++
+        manifestSchemaHeaders(dir).collect {
+          case (k, s) if !jsonKs.contains(k) => (k, () => s)
+        }
+    all.filter(_._1 <= v).sortBy(_._1).lastOption.map(_._2())
+  }
+
+  private val manifestTxt = "^v(\\d+)\\.txt$".r
+
+  /** Schemas embedded as `#schema <json>` manifest header lines —
+    * written by [[evolveSchema]]/[[rollback]] inside the atomic manifest
+    * publish itself, so no commit ordering can separate a published
+    * snapshot from its schema. Only leading comment lines are scanned. */
+  private def manifestSchemaHeaders(dir: String): Seq[(Int, StructType)] =
+    Option(new java.io.File(dir, "_manifests").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .flatMap { f =>
+        f.getName match {
+          case manifestTxt(k) => schemaHeaderOf(f).map(k.toInt -> _)
+          case _ => None
+        }
+      }
+
+  private def schemaHeaderOf(f: java.io.File): Option[StructType] = {
+    val in = new java.io.BufferedReader(new java.io.FileReader(f))
+    try {
+      var line = in.readLine()
+      while (line != null && line.startsWith("#") && !line.startsWith("#f ")) {
+        if (line.startsWith("#schema "))
+          return Some(DataType.fromJson(line.stripPrefix("#schema "))
+            .asInstanceOf[StructType])
+        line = in.readLine()
+      }
+      None
+    } finally in.close()
   }
 
   private def readSchema(f: java.io.File): StructType =
@@ -643,10 +694,15 @@ private[graft] object GraftVersions {
     * schema in force from N+1 onward (ADD COLUMN — old files read
     * back with the missing column null-filled by the parquet reader).
     * Optimistically retried like a blind append: the manifest is a
-    * pure function of the predecessor. The schema file is written
-    * only AFTER winning the manifest (version ownership is exclusive
-    * from that point), and before the pointer flip, so no reader of a
-    * published snapshot can miss it. Returns the committed version. */
+    * pure function of the predecessor. The schema rides INSIDE the
+    * manifest as a `#schema` header line, atomic with the publish —
+    * writing it as a separate file after winning left a window where a
+    * concurrent committer published v+1 and flipped the shared pointer
+    * first, and readers of that published snapshot resolved a stale
+    * schema (ADVICE r12). The `_schemas/vN.json` record is still
+    * written (it is the durable store that survives tombstoning);
+    * [[schemaAt]] falls back to the header when the json is not yet
+    * visible. Returns the committed version. */
   def evolveSchema(dir: String, schema: StructType): Int = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
@@ -656,7 +712,8 @@ private[graft] object GraftVersions {
       val prev =
         if (v == 1) Seq.empty
         else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
-      if (tryPublish(dir, v, prev, s"$nonce-$attempts")) {
+      if (tryPublish(dir, v, s"#schema ${schema.json}" +: prev,
+          s"$nonce-$attempts")) {
         schemasDir(dir).mkdirs()
         java.nio.file.Files.write(
           new java.io.File(schemasDir(dir), s"v$v.json").toPath,
@@ -687,10 +744,26 @@ private[graft] object GraftVersions {
     while (attempts < 100) {
       attempts += 1
       val nv = current(dir) + 1
-      if (tryPublish(dir, nv, names, s"$nonce-$attempts")) {
+      val header = restoredSchema.map(s => s"#schema ${s.json}").toSeq
+      if (tryPublish(dir, nv, header ++ names, s"$nonce-$attempts")) {
+        // a concurrent expire may have tombstoned v between our isLive
+        // check and this publish; its files stay protected for the
+        // orphan grace window (expire defers physical deletion), so
+        // this re-verification only fails when the restore stalled past
+        // the grace — and it fails BEFORE the pointer flip, so no
+        // reader ever sees a current snapshot with missing files (the
+        // won manifest stays a dead, skipped version number).
+        val missing =
+          names.filterNot(n => new java.io.File(dataDir(dir), n).exists())
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"$dir: RESTORE of snapshot $v lost a race with expire — " +
+              s"data files ${missing.mkString(", ")} were vacuumed; " +
+              "the pointer was not flipped")
         // a table with schema history restores v's schema too —
         // without this, rolling back past an ADD COLUMN would keep
         // serving the post-evolution schema for pre-evolution data
+        // (the durable json record; the atomic copy rode the manifest)
         restoredSchema.foreach { sch =>
           schemasDir(dir).mkdirs()
           java.nio.file.Files.write(
@@ -736,9 +809,15 @@ private[graft] object GraftVersions {
     *
     * Concurrency-safe against the commit protocol, in three tiers:
     * - files referenced by an EXPIRED manifest (and no kept one) are
-    *   deleted immediately — they were committed, their snapshots are
-    *   gone, nothing in flight can reference them (a retrying writer's
-    *   manifest is recomputed from the current predecessor);
+    *   deleted only once their tombstone is older than
+    *   `orphanGraceMillis` — expiry is TWO-PHASE: tombstoning is the
+    *   logical half, physical deletion happens on a later expire call.
+    *   Immediate deletion raced [[rollback]] (ADVICE r12): a restore
+    *   that passed its isLive check just before the expire publishes a
+    *   NEW manifest referencing exactly these files, and deleting them
+    *   would leave the restored current snapshot unreadable. Within the
+    *   grace window the restore has long since flipped the pointer
+    *   (making the files kept) or failed its own re-verification.
     * - an IN-FLIGHT commit's files (version prefix beyond the current
     *   pointer — moved into `data/` before its manifest published) are
     *   always kept;
@@ -761,26 +840,45 @@ private[graft] object GraftVersions {
     val expired = (1 until cutoff).filter(isLive(dir, _))
     val keptFiles = (cutoff to cur)
       .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
-    // read BEFORE tombstoning the manifests: these names are provably
-    // committed-then-expired, so they skip the orphan grace window
-    val expiredFiles = expired
-      .flatMap(v => manifest(dir, v)).map(p => new java.io.File(p).getName).toSet
+    val now = System.currentTimeMillis()
     // tombstone, never delete — see [[isLive]]: a deleted manifest
-    // would make its version number winnable again
+    // would make its version number winnable again. The tombstone
+    // preserves the expiry instant, the file list, and any #schema
+    // header (self-healing the json record first if a crashed schema
+    // commit never wrote it), so deferred deletion stays possible.
     expired.foreach { v =>
-      val tmp = new java.io.File(manifestFile(dir, v).getParentFile,
+      val mf = manifestFile(dir, v)
+      val prevLines = java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
+      val schemaHdr = prevLines.filter(_.startsWith("#schema "))
+      if (schemaHdr.nonEmpty &&
+          !new java.io.File(schemasDir(dir), s"v$v.json").exists()) {
+        schemasDir(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(schemasDir(dir), s"v$v.json").toPath,
+          schemaHdr.head.stripPrefix("#schema ").getBytes("UTF-8"))
+      }
+      val names = manifest(dir, v).map(p => new java.io.File(p).getName)
+      val content = (s"$expiredMarker $now" +: names.map("#f " + _))
+        .mkString("", "\n", "\n")
+      val tmp = new java.io.File(mf.getParentFile,
         s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp.toPath, s"$expiredMarker\n".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, manifestFile(dir, v).toPath,
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, mf.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // partition every tombstone's preserved file list by tombstone age:
+    // fresh (within grace) → protected from ALL tiers; stale → deletable
+    val toms = tombstoneRecords(dir)
+    val protectedNames =
+      toms.filter(t => now - t._1 < orphanGraceMillis).flatMap(_._2).toSet
+    val staleNames =
+      toms.filter(t => now - t._1 >= orphanGraceMillis).flatMap(_._2).toSet
     val vPrefix = "^v(\\d+)-.*".r
-    val now = System.currentTimeMillis()
     def vacuumable(f: java.io.File): Boolean = {
       val name = f.getName
-      if (keptFiles.contains(name)) false
-      else if (expiredFiles.contains(name)) true
+      if (keptFiles.contains(name) || protectedNames.contains(name)) false
+      else if (staleNames.contains(name)) true
       else name match {
         case vPrefix(v) =>
           v.toInt <= cur && now - f.lastModified() > orphanGraceMillis
@@ -792,6 +890,25 @@ private[graft] object GraftVersions {
       .map { f => val n = f.getName; f.delete(); n }
     (expired, deleted.toSeq)
   }
+
+  /** (expiredAtMillis, preserved file names) for every tombstoned
+    * manifest. Legacy tombstones (bare `#expired`, no instant, no file
+    * list) parse as expired-at-epoch with no names — their files fall
+    * through to the orphan tier. */
+  private def tombstoneRecords(dir: String): Seq[(Long, Seq[String])] =
+    Option(new java.io.File(dir, "_manifests").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => manifestTxt.findFirstIn(f.getName).isDefined)
+      .flatMap { f =>
+        val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+        lines.headOption.filter(_.startsWith(expiredMarker)).map { h =>
+          val ts = h.stripPrefix(expiredMarker).trim match {
+            case "" => 0L
+            case s => s.toLong
+          }
+          (ts, lines.filter(_.startsWith("#f ")).map(_.stripPrefix("#f ")))
+        }
+      }
 
   /** One lock object per JVM: `FileChannel.lock` throws
     * OverlappingFileLockException for same-JVM contention, so

@@ -27,10 +27,19 @@ class LocalClusterSpec extends AnyFunSuite {
     pb.environment().put("SPARK_DRIVER_MEM", "6g")
     pb.redirectErrorStream(true)
     val p = pb.start()
-    // drain as produced (a full pipe would deadlock the child)
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES),
-      "cluster check timed out")
+    // drain on a separate thread (a full pipe would deadlock the child;
+    // draining inline would block until child EXIT, making the waitFor
+    // timeout below dead code — a hung child must fail, not hang us)
+    val buf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => p.getInputStream.transferTo(buf))
+    drainer.setDaemon(true)
+    drainer.start()
+    val finished = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) p.destroyForcibly()
+    drainer.join(30 * 1000L)
+    val out = new String(buf.toByteArray, "UTF-8")
+    assert(finished, s"cluster check timed out:\n" +
+      out.linesIterator.toSeq.takeRight(25).mkString("\n"))
     val tail = out.linesIterator.toSeq.takeRight(25).mkString("\n")
     assert(p.exitValue() == 0, s"cluster check failed:\n$tail")
     assert(out.contains("\"status\":\"ok\""), tail)

@@ -428,4 +428,75 @@ class MergeSpec extends SparkSpec {
     assert(kvRows("SELECT * FROM psql.tpcds.mg7") == expected,
       "expire vacuumed a concurrently committing writer's data")
   }
+
+  test("rewrites after ADD COLUMN read with the snapshot schema (no silent column loss)") {
+    val root = freshRoot()
+    import spark.implicits._
+    // v1: 2-column files; v2: ADD COLUMN; v3: rows populating it — the
+    // table's files are now schema-HETEROGENEOUS. A footer-inferred
+    // read picks an arbitrary file's schema; if a pre-evolution file
+    // wins, compaction/delete/update rewrites silently drop the new
+    // column's committed values (ADVICE r12). Many small v1 files make
+    // the bad pick near-certain without the fix.
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_src8")
+    spark.sql("""CREATE TABLE psql.tpcds.mg8 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src8""".stripMargin)
+    spark.sql("ALTER TABLE psql.tpcds.mg8 ADD COLUMN note STRING")
+    spark.sql("INSERT INTO psql.tpcds.mg8 VALUES (5, 'e', 'keep-me')")
+    val dir = s"$root/mg8.parquet"
+    def rows() = spark.sql("SELECT k, v, note FROM psql.tpcds.mg8").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val full = Set((1, "a", null), (2, "b", null), (3, "c", null),
+      (4, "d", null), (5, "e", "keep-me"))
+    assert(rows() == full)
+    // compaction packs ALL files (pre- and post-evolution) together —
+    // the committed 'keep-me' must survive the rewrite
+    GraftMerge.compact(spark, dir, smallBytes = 1L << 30)
+    assert(rows() == full, "compaction dropped an evolved column's values")
+    // copy-on-write delete/update across the heterogeneous snapshot
+    GraftMerge.deleteFrom(spark, dir, col("k") === 2)
+    assert(rows() == full - ((2, "b", null)),
+      "delete rewrite dropped an evolved column's values")
+    GraftMerge.updateWhere(spark, dir, col("k") === 5,
+      Seq("v" -> lit("E")))
+    assert(rows() == full - ((2, "b", null)) - ((5, "e", "keep-me")) +
+      ((5, "E", "keep-me")),
+      "update rewrite dropped an evolved column's values")
+    // merge across the heterogeneous snapshot
+    val src = Seq((1, "A", "m1")).toDF("k", "v", "note")
+    GraftMerge.mergeInto(spark, dir, src, "k")
+    assert(rows().contains((5, "E", "keep-me")),
+      "merge rewrite dropped an evolved column's values")
+    assert(rows().contains((1, "A", "m1")))
+  }
+
+  test("UPDATE assignment column names resolve case-insensitively") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("mg_src9")
+    spark.sql("""CREATE TABLE psql.tpcds.mg9 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src9""".stripMargin)
+    val dir = s"$root/mg9.parquet"
+    // "V" vs schema column "v": validation passed case-insensitively
+    // but the apply map was case-sensitive — the UPDATE committed a new
+    // snapshot with no rows changed (ADVICE r12). Must actually update.
+    val (_, _, rewritten) = GraftMerge.updateWhere(spark, dir,
+      col("k") === 2, Seq("V" -> lit("B!")))
+    assert(rewritten >= 1)
+    assert(kvRows("SELECT * FROM psql.tpcds.mg9") == Set((1, "a"), (2, "B!")),
+      "differently-cased assignment key was silently ignored")
+    // a genuinely unknown column still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftMerge.updateWhere(spark, dir, col("k") === 1,
+        Seq("nope" -> lit("x")))
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // duplicate assignments (any casing) fail loudly instead of
+    // last-writer-wins via silent Map dedup
+    intercept[IllegalArgumentException] {
+      GraftMerge.updateWhere(spark, dir, col("k") === 1,
+        Seq("v" -> lit("x"), "V" -> lit("y")))
+    }
+  }
 }

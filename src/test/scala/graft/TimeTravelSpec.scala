@@ -87,10 +87,21 @@ class TimeTravelSpec extends SparkSpec {
       "expired manifest was deleted — version number became reusable")
     assert(spark.sql("SELECT * FROM psql.tpcds.tt5 VERSION AS OF 2")
       .collect().map(_.getInt(0)).toSet == Set(1, 2))
-    // keepLast=1 keeps only the overwrite snapshot: v1/v2 data files
-    // are now unreferenced and vacuumed
+    // keepLast=1 keeps only the overwrite snapshot. Physical deletion
+    // is TWO-PHASE: this call tombstones v2 but DEFERS deleting the
+    // now-unreferenced v1/v2 files for the orphan grace window — an
+    // immediate delete raced rollback (a restore that passed its
+    // isLive check just before this expire references exactly these
+    // files; ADVICE r12)
     val (exp2, del2) = graft.sources.GraftVersions.expire(dir, 1)
-    assert(exp2 == Seq(2) && del2.nonEmpty, s"$exp2 / $del2")
+    assert(exp2 == Seq(2) && del2.isEmpty, s"$exp2 / $del2")
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .exists(_.getName.startsWith("v1-")),
+      "expire deleted tombstoned files inside the grace window")
+    // … and a later expire past the grace window vacuums them
+    val (_, del3) = graft.sources.GraftVersions.expire(dir, 1,
+      orphanGraceMillis = 0L)
+    assert(del3.nonEmpty, "stale tombstoned files were never vacuumed")
     val remaining = new java.io.File(s"$dir/data").listFiles().map(_.getName)
     assert(remaining.forall(_.startsWith("v3-")), remaining.mkString(","))
     assert(spark.sql("SELECT * FROM psql.tpcds.tt5")
