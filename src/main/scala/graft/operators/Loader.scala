@@ -202,7 +202,7 @@ object Loader {
               |TBLPROPERTIES('versioned'='true')
               |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
               |FROM nation_src""".stripMargin)
-      val src = Tables.nation(s, d)
+      Tables.nation(s, d)
         .filter(col("n_regionkey") === 1)
         .select(col("n_nationkey"),
           concat(col("n_name"), lit("_u")).as("n_name"), col("n_regionkey"))
@@ -210,8 +210,14 @@ object Loader {
           .filter(col("n_regionkey") === 2)
           .select((col("n_nationkey") + 200).as("n_nationkey"),
             col("n_name"), col("n_regionkey")))
-      graft.sources.GraftMerge.mergeInto(
-        s, s"$root/nations_mg.parquet", src, "n_nationkey")
+        .createOrReplaceTempView("nations_mg_src")
+      // NATIVE SQL: the statement a wire client issues — routed by the
+      // injected GraftDmlStatements rule into GraftMerge.mergeInto's
+      // copy-on-write path (touched files only, conflict-detected)
+      s.sql("""MERGE INTO psql.tpcds.nations_mg t USING nations_mg_src s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
               |FROM psql.tpcds.nations_mg""".stripMargin)
         .unionAll(s.sql(
@@ -487,9 +493,11 @@ object Loader {
               |TBLPROPERTIES('versioned'='true')
               |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
               |FROM nation_src""".stripMargin)
-      graft.sources.GraftMerge.updateWhere(
-        s, s"$root/nations_up.parquet", col("n_regionkey") === 1,
-        Seq("n_name" -> concat(col("n_name"), lit("_u"))))
+      // NATIVE SQL: routed by GraftDmlStatements into updateWhere's
+      // copy-on-write path (only files holding matching rows rewrite)
+      s.sql("""UPDATE psql.tpcds.nations_up
+              |SET n_name = n_name || '_u'
+              |WHERE n_regionkey = 1""".stripMargin)
       s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
               |FROM psql.tpcds.nations_up""".stripMargin)
         .unionAll(s.sql(

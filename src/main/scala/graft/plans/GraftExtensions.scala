@@ -123,6 +123,10 @@ object RewriteExceptAsAggregate extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => RewriteExceptAsAggregate)
+    // post-hoc: UPDATE/MERGE INTO arrive fully resolved, then route into
+    // GraftMerge's copy-on-write paths before Spark rejects them as
+    // unsupported for tables without SupportsRowLevelOperations
+    e.injectPostHocResolutionRule(_ => GraftDmlStatements)
     e.injectOptimizerRule(_ => PushPartialDistinctBelowJoin)
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     e.injectPlannerStrategy(_ => PartialDistinctStrategy)

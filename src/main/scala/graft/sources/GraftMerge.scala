@@ -233,9 +233,25 @@ object GraftMerge {
     * read-modify-write: its kept set was derived from the base
     * snapshot). Old snapshots still reference the original small files
     * and stay readable until retention expires them. Returns (base
-    * snapshot, files kept, files compacted). */
+    * snapshot, files kept, files compacted). `maxRetries` > 0 rebases
+    * onto the new current snapshot on a detected conflict, like the
+    * other read-modify-write verbs. */
   def compact(spark: SparkSession, dir: String, smallBytes: Long,
-      targetFiles: Int = 1): (Int, Int, Int) = {
+      targetFiles: Int = 1, maxRetries: Int = 0): (Int, Int, Int) = {
+    var attempt = 0
+    var last: java.util.ConcurrentModificationException = null
+    while (attempt <= maxRetries) {
+      try return compactOnce(spark, dir, smallBytes, targetFiles)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def compactOnce(spark: SparkSession, dir: String, smallBytes: Long,
+      targetFiles: Int): (Int, Int, Int) = {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: compaction needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)

@@ -1101,7 +1101,7 @@ private class GraftVersionedWriteBuilder(path: String)
   * not translate to source filters is rejected by `canDeleteWhere` —
   * Spark then fails the statement loudly instead of deleting the
   * wrong rows. */
-private class GraftVersionedTable(parquet: ParquetTable, path: String)
+private[graft] class GraftVersionedTable(parquet: ParquetTable, val path: String)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = parquet.name
@@ -1132,7 +1132,7 @@ private class GraftVersionedTable(parquet: ParquetTable, path: String)
   }
 }
 
-private object GraftVersionedTable {
+private[graft] object GraftVersionedTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._

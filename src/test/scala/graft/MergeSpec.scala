@@ -429,6 +429,131 @@ class MergeSpec extends SparkSpec {
       "expire vacuumed a concurrently committing writer's data")
   }
 
+  test("native SQL UPDATE statement routes through the copy-on-write update") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_srcU")
+    spark.sql("""CREATE TABLE psql.tpcds.mgU TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcU""".stripMargin)
+    val dir = s"$root/mgU.parquet"
+    val before = GraftVersions.manifest(dir, 1).map(p => new java.io.File(p).getName)
+    // the actual SQL text a wire client would issue
+    spark.sql("UPDATE psql.tpcds.mgU SET v = v || '!' WHERE k = 2")
+    assert(kvRows("SELECT * FROM psql.tpcds.mgU") ==
+      Set((1, "a"), (2, "b!"), (3, "c"), (4, "d")))
+    assert(kvRows("SELECT * FROM psql.tpcds.mgU VERSION AS OF 1") ==
+      Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // copy-on-write cost shape survives the statement routing: only the
+    // file holding k=2 was rewritten, the others carried by reference
+    val after = GraftVersions.manifest(dir, 2).map(p => new java.io.File(p).getName)
+    assert(before.toSet.intersect(after.toSet).size == before.size - 1,
+      s"expected 1 rewritten file, before=$before after=$after")
+    // unconditioned UPDATE touches every file holding rows
+    spark.sql("UPDATE psql.tpcds.mgU SET v = upper(v)")
+    assert(kvRows("SELECT * FROM psql.tpcds.mgU") ==
+      Set((1, "A"), (2, "B!"), (3, "C"), (4, "D")))
+    // untranslatable shapes fail LOUDLY, never misapply: subquery condition
+    val e = intercept[Exception] {
+      spark.sql("UPDATE psql.tpcds.mgU SET v = 'x' " +
+        "WHERE k IN (SELECT k FROM mg_srcU)")
+    }
+    assert(e.getMessage.contains("subquer"), e.getMessage)
+  }
+
+  test("native SQL MERGE INTO statement routes through the copy-on-write upsert") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_srcM")
+    spark.sql("""CREATE TABLE psql.tpcds.mgM TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcM""".stripMargin)
+    Seq((2, "B2"), (9, "NEW")).toDF("k", "v").createOrReplaceTempView("mg_updM")
+    val dir = s"$root/mgM.parquet"
+    val before = GraftVersions.manifest(dir, 1).map(p => new java.io.File(p).getName)
+    spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgM") ==
+      Set((1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "NEW")))
+    assert(kvRows("SELECT * FROM psql.tpcds.mgM VERSION AS OF 1") ==
+      Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // file accounting: only the k=2 file rewritten; 3 reused by reference
+    val after = GraftVersions.manifest(dir, 2).map(p => new java.io.File(p).getName)
+    assert(before.toSet.intersect(after.toSet).size == before.size - 1,
+      s"expected 1 rewritten file, before=$before after=$after")
+    // explicit identical assignments are accepted like SET * / INSERT *
+    spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(kvRows("SELECT * FROM psql.tpcds.mgM") ==
+      Set((1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "NEW")))
+    // out-of-subset shapes fail LOUDLY at analysis, never misapply
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN DELETE
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("WHEN MATCHED"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM s
+                  |ON t.k = s.k AND t.k > 0
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e3.getMessage.contains("equality"), e3.getMessage)
+  }
+
+  test("mixed-verb races (merge + delete + compact) converge interleaving-independently") {
+    val root = freshRoot()
+    import spark.implicits._
+    // the three read-modify-write verbs share one rebase loop — an
+    // interleaving bug there corrupts silently. Each round races a
+    // MERGE (inserts key 1000+r, updates key 1), a DELETE (previous
+    // round's inserted key), and a logically-no-op COMPACT; the verbs
+    // touch DISJOINT keys within a round, so the final state is a pure
+    // function of the round count, independent of interleaving.
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .repartition(4, col("k")).createOrReplaceTempView("mg_srcX")
+    spark.sql("""CREATE TABLE psql.tpcds.mgX TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcX""".stripMargin)
+    val dir = s"$root/mgX.parquet"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val rounds = 10
+    (1 to rounds).foreach { r =>
+      val mergeSrc = Seq((1, s"m$r"), (1000 + r, s"new$r")).toDF("k", "v")
+      val threads = Seq(
+        new Thread(() =>
+          try GraftMerge.mergeInto(spark, dir, mergeSrc, "k", maxRetries = 50)
+          catch { case t: Throwable => errs.add(t) }),
+        new Thread(() =>
+          try GraftMerge.deleteFrom(spark, dir, col("k") === (1000 + r - 1),
+            maxRetries = 50)
+          catch { case t: Throwable => errs.add(t) }),
+        new Thread(() =>
+          try GraftMerge.compact(spark, dir, smallBytes = 1L << 30,
+            maxRetries = 50)
+          catch { case t: Throwable => errs.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"round $r: a verb died: ${errs.peek()}")
+    }
+    assert(kvRows("SELECT * FROM psql.tpcds.mgX") ==
+      Set((1, s"m$rounds"), (2, "b"), (3, "c"), (4, "d"),
+        (1000 + rounds, s"new$rounds")),
+      "mixed-verb interleaving corrupted the table")
+  }
+
   test("rewrites after ADD COLUMN read with the snapshot schema (no silent column loss)") {
     val root = freshRoot()
     import spark.implicits._
