@@ -386,6 +386,81 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** ONE embedded-Derby database per JVM holding one `NATION_<dirkey>`
+    * table per sf dir, seeded once with that dir's `nation` rows — the
+    * relational-store half of the q79 heterogeneous federation (25
+    * rows: a dimension seed over JDBC batch insert, not a data path;
+    * at 100 TB the relational side IS a live store and this seed step
+    * does not exist). A single database (single catalog URL) matters:
+    * Spark's CatalogManager caches the catalog instance on first use,
+    * so a per-dir URL would silently keep serving the FIRST dir's data
+    * to every later scale factor in the same session. */
+  private lazy val derbyFedUrl: String = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-fed")
+    s"jdbc:derby:$dbDir/db;create=true"
+  }
+
+  private val derbyNationTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def derbyNationTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    derbyNationTables.computeIfAbsent(d, _ => {
+      val table = "NATION_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
+      val conn = java.sql.DriverManager.getConnection(derbyFedUrl)
+      try {
+        val st = conn.createStatement()
+        st.execute(s"CREATE TABLE $table (n_nationkey INT, " +
+          "n_name VARCHAR(64), n_regionkey INT)")
+        val ps = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+        Tables.nation(s, d).collect().foreach { r =>
+          ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2)); ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      table
+    })
+
+  /** Heterogeneous single-statement federation (q79) — the reference's
+    * q003 cross-STORE-TYPE shape (results/q003/workers-1/
+    * explain.txt:49-67 joins `mongodb.tpcds.catalog_sales` against
+    * `psql.tpcds.customer_address`, the filter pushed into the scan):
+    * ONE SQL statement spans a REAL JDBC catalog (embedded Derby
+    * through Spark's stock JDBCTableCatalog — the PostgreSQL-connector
+    * stand-in this sandbox allows) and a parquet DSv2 catalog. The
+    * dim-side predicate is pushed INTO the JDBC source and the 25-row
+    * dim broadcasts against the parquet fact scan (plan-asserted in
+    * PlanAuditSpec) — the exact shape the reference's dynamic-filtered
+    * federation realizes. Oracle: same join over the parquet tables. */
+  lazy val heterogeneousFederation: QueryEntry = QueryEntry(
+    "q79_heterogeneous_federation",
+    """SELECT n_name, COUNT(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      |FROM customer, nation
+      |WHERE c_nationkey = n_nationkey AND n_regionkey = 1
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val table = derbyNationTable(s, d)
+    s.conf.set("spark.sql.catalog.derby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.derby.url", derbyFedUrl)
+    s.conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+    // Derby folds unquoted DDL identifiers to uppercase → explicit
+    // lowercase aliases keep the output schema oracle-identical.
+    // BROADCAST(dim): a JDBC relation reports no size statistics
+    // (defaultSizeInBytes = "assume huge"), so without the hint Spark
+    // broadcasts the PARQUET side instead — fine at sf0.001, a
+    // fact-table broadcast at 100 TB. The dim is 25 rows at any scale.
+    s.sql(
+      s"""SELECT /*+ BROADCAST(dim) */ n_name AS n_name, COUNT(*) AS n,
+         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+         |FROM psql.tpcds.customer, derby.APP.$table dim
+         |WHERE c_nationkey = n_nationkey AND n_regionkey = 1
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   /** CUBE grouping sets (completes the rollup/cube/grouping-sets
     * family, SURVEY.md §2.4 noted-absent). */
   val cubeAgg: QueryEntry = QueryEntry(
@@ -1112,7 +1187,7 @@ object Relational {
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
-    saltedSkewJoin, queryProfile)
+    saltedSkewJoin, queryProfile, heterogeneousFederation)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -65,6 +65,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "q64_tpch_q15" -> (Dim, "best-revenue scalar + supplier dim"),
     "q66_tpch_q21" -> (Dim, "supplier(one nation) + nation(filtered) dims"),
     "q67_tpch_q22" -> (Fixed, "scalar avg-balance threshold, 1 row"),
+    "q79_heterogeneous_federation" -> (Fixed, "Derby nation dim over JDBC: 25 rows at every SF (TPC-H nation is constant); the hint exists because a JDBC relation reports no size stats, so the planner would otherwise broadcast the parquet FACT side"),
     // --- text / pipeline: profiles, vocabularies, stat cells ---
     "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
     "t05_tfidf_topterms" -> (Fixed, "scalar doc-count relation, 1 row"),

@@ -59,6 +59,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q79: heterogeneous federation pushes the dim filter into the JDBC scan and broadcasts it") {
+    val whole = finalPlan(
+      SparkEntry.queries("q79_heterogeneous_federation")(spark, sf1))
+    // AQE prints Final + Initial — audit the FINAL plan only
+    val plan = whole.split("== Initial Plan ==").head
+    // exactly one JDBC scan (the Derby dim), its predicate evaluated in
+    // the SOURCE — the reference's q003 pushed-filter federation shape
+    assert("Scan JDBC".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("PushedFilters: [N_REGIONKEY IS NOT NULL, N_REGIONKEY = 1"),
+      plan)
+    // the 25-row relational dim broadcasts against the parquet fact —
+    // BuildRight: the JDBC side is the build side, the fact streams
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BuildRight"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the parquet side stays a pruned catalog scan (only join/agg cols)
+    assert(plan.contains("ReadSchema: struct<c_nationkey:int,c_acctbal:double>"),
+      plan)
+  }
+
   test("q15: fact-fact join does not broadcast the fact side blindly") {
     val plan = finalPlan(SparkEntry.queries("q15_shuffled_join_agg")(spark, sf2))
     // either shuffled join, or AQE decided a small side fits broadcast —
