@@ -477,12 +477,25 @@ object Relational {
 
   /** Approximate distinct counting (HLL++) next to the exact count —
     * the sketch the reference leaves unexercised (SURVEY.md §2.4).
-    * Sketch estimates are engine-specific → rows-only check. */
-  val approxDistinct: QueryEntry = QueryEntry.noOracle("q21_approx_distinct") { (s, d) =>
+    * Sketch BYTES are engine-specific, but the estimate's ERROR BOUND
+    * is not: the entry emits each group's exact count plus a boolean
+    * gating the HLL++ estimate (default rsd 0.05) within 3×rsd of it —
+    * rows DuckDB reproduces exactly, so the estimator's numeric
+    * contract is hash-gated (an estimate drifting past ±15% flips the
+    * boolean and fails the oracle compare). */
+  val approxDistinct: QueryEntry = QueryEntry(
+    "q21_approx_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       true AS approx_within_eps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(3 * 0.05)).as("approx_within_eps"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -832,20 +845,52 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
-  /** HLL sketch columns: build, merge, estimate (the sketch lifecycle a
-    * large pipeline persists between runs). Sketch bytes are
-    * engine-specific → rows-only. */
-  val hllSketch: QueryEntry = QueryEntry.noOracle("q36_hll_sketch") { (s, d) =>
+  /** q36's raw sketch lifecycle (HllSpec reads this form): per-flag
+    * datasketches HLL sketches with their estimates, exact counts, the
+    * MERGED union's total estimate, and the exact global total. */
+  def hllSketchRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val perFlag = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
         countDistinct(col("l_partkey")).as("exact"))
     val merged = perFlag.agg(
       expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"))
+    val exactTotal = Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("exact_total"))
     perFlag
       .select(col("l_returnflag"),
         expr("hll_sketch_estimate(sk)").as("est"), col("exact"))
       .crossJoin(broadcast(merged))
+      .crossJoin(broadcast(exactTotal))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** 5× the datasketches HLL relative standard error at the default
+    * lgConfigK = 12 (RSE = 1.04/√2¹² ≈ 1.63%) — fires on a broken
+    * lifecycle, not estimator luck (same gate HllSpec uses). */
+  val hllMaxRelErr: Double = 5 * 1.04 / math.sqrt(1 << 12)
+
+  /** HLL sketch columns: build, merge, estimate (the sketch lifecycle a
+    * large pipeline persists between runs). Sketch BYTES are
+    * engine-specific, but the estimator's numeric contract is not: the
+    * entry emits each group's exact distinct count plus booleans gating
+    * the per-group estimate AND the merged-union total estimate within
+    * 5×RSE of the exact values — rows DuckDB reproduces exactly, so
+    * build + merge + estimate are all hash-gated (a register lost in
+    * the union or an estimate past the bound flips a boolean). */
+  val hllSketch: QueryEntry = QueryEntry(
+    "q36_hll_sketch",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       true AS est_within_eps, true AS union_within_eps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    hllSketchRaw(s, d).select(
+      col("l_returnflag"), col("exact").as("exact_parts"),
+      (abs(col("est") - col("exact")) <=
+        col("exact") * lit(hllMaxRelErr)).as("est_within_eps"),
+      (abs(col("est_total") - col("exact_total")) <=
+        col("exact_total") * lit(hllMaxRelErr)).as("union_within_eps"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -52,7 +52,7 @@ class BroadcastAuditSpec extends SparkSpec {
     // --- relational / TPC-H: reference-prescribed REPLICATED dims ---
     "q03_join_agg_topn" -> (Dim, "customer + nation dims (reference q003 shape)"),
     "q30_tpch_q3" -> (Dim, "customer dim"),
-    "q36_hll_sketch" -> (Fixed, "merged HLL sketch relation: single-row aggregate"),
+    "q36_hll_sketch" -> (Fixed, "merged HLL sketch relation + exact-total scalar: single-row aggregates"),
     "q49_tpch_q7" -> (Dim, "supplier + nation×2 dims"),
     "q50_tpch_q14" -> (Dim, "part dim"),
     "q51_tpch_q19" -> (Dim, "part dim"),

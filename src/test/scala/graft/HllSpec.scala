@@ -36,7 +36,9 @@ class HllSpec extends SparkSpec {
   }
 
   test("estimates are within theoretical relative error of exact counts") {
-    val rows = SparkEntry.queries("q36_hll_sketch")(spark, sf2).collect()
+    // the raw lifecycle relation (the oracled q36 entry gates the same
+    // bounds as booleans; this reads the underlying estimates)
+    val rows = operators.Relational.hllSketchRaw(spark, sf2).collect()
     assert(rows.length == 3)
     for (r <- rows) {
       val est = r.getLong(1).toDouble
@@ -46,10 +48,12 @@ class HllSpec extends SparkSpec {
         s"flag ${r.getString(0)}: est $est vs exact $exact, relErr $rel > $maxRelErr")
     }
     // the merged total must also track the exact global distinct count
-    val exactTotal = Tables.lineitem(spark, sf2)
-      .agg(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    val exactTotal = rows.head.getLong(4).toDouble
     val estTotal = rows.head.getLong(3).toDouble
     assert(math.abs(estTotal - exactTotal) / exactTotal <= maxRelErr,
       s"union estimate $estTotal vs exact total $exactTotal")
+    // and the oracled entry's booleans are all true at this scale too
+    val gated = SparkEntry.queries("q36_hll_sketch")(spark, sf2).collect()
+    assert(gated.forall(g => g.getBoolean(2) && g.getBoolean(3)))
   }
 }
