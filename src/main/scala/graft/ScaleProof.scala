@@ -70,7 +70,7 @@ object ScaleProof {
         s"base corpus $c max $mx >= copy stride $idOffset — raise idOffset")
     }
 
-  private def scaleDocs(docs: DataFrame, copies: Int): DataFrame = {
+  private[graft] def scaleDocs(docs: DataFrame, copies: Int): DataFrame = {
     assertIdsBelowOffset(docs, Seq("doc_id"))
     docs
       .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))

@@ -60,13 +60,29 @@ object GraftMerge {
     require(base >= 1, s"$dir: MERGE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
     val srcKeys = source.select(col(keyCol)).distinct()
-    // one pass: which files contain at least one matched key? Driver
-    // receives file names only — O(touched files), never O(rows).
-    val touchedNames = readSnapshot(spark, dir, base, files)
-      .select(col(keyCol), col("_metadata.file_path").as("__path"))
-      .join(srcKeys, Seq(keyCol), "left_semi")
-      .select(col("__path")).distinct()
-      .collect().map(r => pathName(r.getString(0))).toSet
+    // manifest-level skip first: files outside [min, max] of the source
+    // keys cannot contain a match — for a key-clustered table the
+    // candidate set is O(touched), decided without opening a footer
+    val keyBounds: Map[String, (Long, Long)] =
+      source.schema(keyCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType =>
+          val r = srcKeys.agg(min(col(keyCol)), max(col(keyCol))).head()
+          if (r.isNullAt(0)) Map.empty
+          else Map(keyCol -> (asLong(r.get(0)), asLong(r.get(1))))
+        case _ => Map.empty
+      }
+    val candidates = pruneByStats(dir, base, files, keyBounds)
+    // one pass over the candidates: which files contain at least one
+    // matched key? Driver receives file names only — O(touched files),
+    // never O(rows).
+    val touchedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else readSnapshot(spark, dir, base, candidates)
+        .select(col(keyCol), col("_metadata.file_path").as("__path"))
+        .join(srcKeys, Seq(keyCol), "left_semi")
+        .select(col("__path")).distinct()
+        .collect().map(r => pathName(r.getString(0))).toSet
     val (touched, untouched) =
       files.partition(f => touchedNames.contains(pathName(f)))
     // rewrite = touched files minus matched rows, plus ALL source rows
@@ -83,6 +99,46 @@ object GraftMerge {
 
   private def pathName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  private def asLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+  }
+
+  /** Sound per-column interval constraints implied by a predicate's
+    * CONJUNCTS, for manifest-level data skipping: any conjunct this
+    * walk does not recognize simply contributes no constraint (a row
+    * matching `A AND B` matches A, so a file whose stats preclude A
+    * provably holds no matching row — ignoring B stays sound; an OR at
+    * the top yields no constraints and every file stays a candidate).
+    * Range bounds are kept LOOSE (`>` treated as `>=`) — no ±1
+    * overflow edge, still sound. Only integral-literal comparisons on
+    * plain columns are recognized, matching the stats the commit path
+    * collects. */
+  private[graft] def predicateBounds(pred: org.apache.spark.sql.Column)
+      : Map[String, (Long, Long)] =
+    org.apache.spark.sql.GraftBridge.conjunctBounds(pred)
+
+  /** Manifest-level data skipping: the files of snapshot `base` that
+    * COULD hold a row inside `bounds`, decided from the per-file stats
+    * the commit embedded in the manifest — no footer is opened. A file
+    * lacking stats for a bounded column stays a candidate (sound), so
+    * pre-stats tables degrade to the full discovery scan, never to a
+    * wrong answer. At 100 TB this is the difference between a takedown
+    * DELETE costing one manifest read + touched files and costing an
+    * O(table) metadata sweep — provided the predicate correlates with
+    * the table's clustering (p21's z-order argument). */
+  private def pruneByStats(dir: String, base: Int, files: Seq[String],
+      bounds: Map[String, (Long, Long)]): Seq[String] = {
+    if (bounds.isEmpty) return files
+    val stats = GraftVersions.manifestStats(dir, base)
+    files.filter { f =>
+      val s = stats.getOrElse(pathName(f), Map.empty[String, (Long, Long)])
+      bounds.forall { case (c, (lo, hi)) =>
+        s.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      }
+    }
+  }
 
   /** Read snapshot files with the snapshot's AUTHORITATIVE schema
     * ([[GraftVersions.schemaAt]]): after an ADD COLUMN the table's
@@ -135,10 +191,15 @@ object GraftMerge {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: DELETE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
-    val touchedNames = readSnapshot(spark, dir, base, files)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("__path")).distinct()
-      .collect().map(r => pathName(r.getString(0))).toSet
+    // manifest-level skip, then the exact per-row discovery scan over
+    // the surviving candidates only
+    val candidates = pruneByStats(dir, base, files, predicateBounds(predicate))
+    val touchedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else readSnapshot(spark, dir, base, candidates)
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("__path")).distinct()
+        .collect().map(r => pathName(r.getString(0))).toSet
     val (touched, untouched) =
       files.partition(f => touchedNames.contains(pathName(f)))
     if (touched.isEmpty) return (base, files.size, 0) // nothing matched
@@ -183,8 +244,11 @@ object GraftMerge {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: UPDATE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
+    // no schema record ⇒ never evolved ⇒ files are schema-homogeneous:
+    // ONE footer gives the schema (an all-files read here was an
+    // O(table) metadata pass on a 3200-file table)
     val schema = GraftVersions.schemaAt(dir, base)
-      .getOrElse(spark.read.parquet(files: _*).schema)
+      .getOrElse(spark.read.parquet(files.head).schema)
     // resolve each assignment key to the EXACT schema field name:
     // validation is case-insensitive (SQL identifier semantics), so the
     // applying map must be too — a caller's "V" against schema column
@@ -198,10 +262,13 @@ object GraftMerge {
       }.toMap
     require(assigned.size == assignments.size,
       s"$dir: UPDATE assigns the same column more than once")
-    val touchedNames = readSnapshot(spark, dir, base, files)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("__path")).distinct()
-      .collect().map(r => pathName(r.getString(0))).toSet
+    val candidates = pruneByStats(dir, base, files, predicateBounds(predicate))
+    val touchedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else readSnapshot(spark, dir, base, candidates)
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("__path")).distinct()
+        .collect().map(r => pathName(r.getString(0))).toSet
     val (touched, untouched) =
       files.partition(f => touchedNames.contains(pathName(f)))
     if (touched.isEmpty) return (base, files.size, 0) // nothing matched

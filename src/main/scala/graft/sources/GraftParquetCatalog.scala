@@ -586,12 +586,88 @@ private[graft] object GraftVersions {
       .headOption.exists(_.startsWith(expiredMarker))
   }
 
-  def manifest(dir: String, v: Int): Seq[String] = {
+  /** A manifest line is `<fileName>` optionally followed by
+    * tab-separated `col=lo..hi` per-file column stats (see
+    * [[statsSuffixes]]); the name is everything before the first tab. */
+  private def lineName(l: String): String = l.takeWhile(_ != '\t')
+
+  /** Raw (non-comment) manifest lines, stats included — the form
+    * commits carry forward so kept-by-reference files KEEP their
+    * skipping stats across snapshots. */
+  def manifestLines(dir: String, v: Int): Seq[String] = {
     val f = manifestFile(dir, v)
     if (!f.exists()) Seq.empty
     else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(rel => new java.io.File(dataDir(dir), rel).getAbsolutePath)
+  }
+
+  def manifest(dir: String, v: Int): Seq[String] =
+    manifestLines(dir, v)
+      .map(l => new java.io.File(dataDir(dir), lineName(l)).getAbsolutePath)
+
+  /** Per-file column stats embedded in snapshot `v`'s manifest:
+    * fileName → column → (lo, hi). Files committed before stats
+    * existed (or all-null columns) simply have no entry — readers must
+    * treat missing stats as "could match anything". */
+  def manifestStats(dir: String, v: Int)
+      : Map[String, Map[String, (Long, Long)]] =
+    manifestLines(dir, v).map { l =>
+      val parts = l.split('\t')
+      val stats = parts.drop(1).flatMap { f =>
+        f.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) =>
+              try Some(c -> (lo.toLong, hi.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap
+      parts.head -> stats
+    }.toMap
+
+  /** Manifest-level data skipping, collected at COMMIT time: one pass
+    * over the newly staged files computes min/max for every integral
+    * top-level column, embedded per file in the manifest line. The
+    * copy-on-write verbs then prune their touched-file discovery from
+    * the manifest ALONE — at 100 TB that is O(candidate files) instead
+    * of O(table) footer opens (the Iceberg manifest-stats design; see
+    * GraftMerge.pruneByStats). Costs one read pass over the NEW data
+    * per commit (a file-writer-side collector would get it free — the
+    * read-back keeps this implementation seam-free), never a pass over
+    * the table. Returns one stats suffix per staged name ("" when the
+    * schema has no integral columns). */
+  private def statsSuffixes(data: DataFrame, dir: String,
+      names: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val cols = data.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+      .map(_.name)
+      .filter(n => !n.contains("\t") && !n.contains("=") && !n.contains(".."))
+    if (cols.isEmpty || names.isEmpty) return names.map(_ => "")
+    val paths = names.map(n => new java.io.File(dataDir(dir), n).getAbsolutePath)
+    val aggs = cols.toSeq.flatMap(c =>
+      Seq(fmin(col(c)).as(s"__lo_$c"), fmax(col(c)).as(s"__hi_$c")))
+    val rows = data.sparkSession.read.parquet(paths: _*)
+      .groupBy(col("_metadata.file_path").as("__p"))
+      .agg(aggs.head, aggs.drop(1): _*)
+      .collect()
+    def asLong(v: Any): Long = v match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+    }
+    val byName = rows.map { r =>
+      val p = r.getString(0)
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      val fields = cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+        else Some(s"$c=${asLong(r.get(1 + 2 * i))}..${asLong(r.get(2 + 2 * i))}")
+      }
+      name -> (if (fields.isEmpty) "" else fields.mkString("\t", "\t", ""))
+    }.toMap
+    names.map(byName.getOrElse(_, "")) // an empty staged file has no row
   }
 
   // --- schema evolution (metadata-only commits) --------------------------
@@ -709,9 +785,7 @@ private[graft] object GraftVersions {
     while (attempts < 100) {
       attempts += 1
       val v = current(dir) + 1
-      val prev =
-        if (v == 1) Seq.empty
-        else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
+      val prev = if (v == 1) Seq.empty else manifestLines(dir, v - 1)
       if (tryPublish(dir, v, s"#schema ${schema.json}" +: prev,
           s"$nonce-$attempts")) {
         schemasDir(dir).mkdirs()
@@ -737,7 +811,8 @@ private[graft] object GraftVersions {
   def rollback(dir: String, v: Int): Int = {
     require(isLive(dir, v),
       s"$dir: cannot restore snapshot $v — it does not exist or was expired")
-    val names = manifest(dir, v).map(p => new java.io.File(p).getName)
+    val lines = manifestLines(dir, v) // raw: restored files keep stats
+    val names = lines.map(lineName)
     val restoredSchema = schemaAt(dir, v)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
@@ -745,7 +820,7 @@ private[graft] object GraftVersions {
       attempts += 1
       val nv = current(dir) + 1
       val header = restoredSchema.map(s => s"#schema ${s.json}").toSeq
-      if (tryPublish(dir, nv, header ++ names, s"$nonce-$attempts")) {
+      if (tryPublish(dir, nv, header ++ lines, s"$nonce-$attempts")) {
         // a concurrent expire may have tombstoned v between our isLive
         // check and this publish; its files stay protected for the
         // orphan grace window (expire defers physical deletion), so
@@ -1007,13 +1082,17 @@ private[graft] object GraftVersions {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var v = current(dir) + 1
     var moved = stageFiles(dir, data, v, nonce)
+    val suffixes = statsSuffixes(data, dir, moved)
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
+      // carry the predecessor's RAW lines: kept-by-reference files keep
+      // their data-skipping stats across snapshots
       val prev =
         if (overwrite || v == 1) Seq.empty
-        else manifest(dir, v - 1).map(p => new java.io.File(p).getName)
-      if (tryPublish(dir, v, prev ++ moved, nonce)) {
+        else manifestLines(dir, v - 1)
+      val newLines = moved.zip(suffixes).map { case (n, s) => n + s }
+      if (tryPublish(dir, v, prev ++ newLines, nonce)) {
         publishPointer(dir, v)
         return
       }
@@ -1037,7 +1116,13 @@ private[graft] object GraftVersions {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val v = expectedBase + 1
     val moved = stageFiles(dir, data, v, nonce)
-    if (!tryPublish(dir, v, keepNames ++ moved, nonce)) {
+    val newLines = moved.zip(statsSuffixes(data, dir, moved))
+      .map { case (n, s) => n + s }
+    // kept files carry their base-manifest lines verbatim (stats intact)
+    val keepSet = keepNames.toSet
+    val keepLines = manifestLines(dir, expectedBase)
+      .filter(l => keepSet.contains(lineName(l)))
+    if (!tryPublish(dir, v, keepLines ++ newLines, nonce)) {
       // lost the race: surrender our staged files (they are orphans —
       // no manifest references them; a later expire may vacuum them
       // once their version prefix falls at or below the pointer)

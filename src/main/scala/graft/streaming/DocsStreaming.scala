@@ -80,7 +80,9 @@ object DocsStreaming {
       // one manifest per micro-batch: the snapshot is the unit of change
       .option("maxFilesPerTrigger", "1")
       .text(s"$dir/_manifests/v*.txt")
-      .select(col("value").as("file"),
+      // a manifest line is the file name, optionally followed by
+      // tab-separated data-skipping stats — keep the name only
+      .select(split(col("value"), "\t").getItem(0).as("file"),
         regexp_extract(input_file_name(), "v(\\d+)\\.txt$", 1)
           .cast("int").as("version"))
       // keep only files ADDED by this snapshot (its own version prefix);

@@ -515,6 +515,50 @@ class MergeSpec extends SparkSpec {
     assert(e3.getMessage.contains("equality"), e3.getMessage)
   }
 
+  test("manifest stats skip untouched files in the discovery pass (sound bounds)") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    // bounds extraction: conjuncts recognized, OR degrades to no bounds
+    assert(GraftMerge.predicateBounds(col("k") === 5) == Map("k" -> (5L, 5L)))
+    assert(GraftMerge.predicateBounds(col("k") >= 3 && col("k") < 9) ==
+      Map("k" -> (3L, 9L)))
+    assert(GraftMerge.predicateBounds(
+      col("k").isin(4, 7, 2) && col("v") === "x") == Map("k" -> (2L, 7L)))
+    assert(GraftMerge.predicateBounds(col("k") === 5 || col("k") === 9).isEmpty)
+    // an unrecognized conjunct contributes nothing but keeps the rest
+    assert(GraftMerge.predicateBounds(col("k") > 3 && col("v").contains("a")) ==
+      Map("k" -> (3L, Long.MaxValue)))
+
+    val root = freshRoot()
+    import spark.implicits._
+    // range-clustered table: file i holds keys [10i, 10i+10)
+    (0 until 40).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("mg_srcS")
+    spark.sql("""CREATE TABLE psql.tpcds.mgS TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcS""".stripMargin)
+    val dir = s"$root/mgS.parquet"
+    // the manifest carries per-file k bounds
+    val stats = GraftVersions.manifestStats(dir, 1)
+    assert(stats.size == 4 && stats.values.forall(_.contains("k")),
+      stats.toString)
+    // a predicate inside one file's range rewrites exactly that file —
+    // and the result is exact (pruning is a skip, not a filter change)
+    val (_, reused, rewritten) =
+      GraftMerge.deleteFrom(spark, dir, col("k") >= 12 && col("k") <= 14)
+    assert(rewritten == 1 && reused == 3, s"reused=$reused rewritten=$rewritten")
+    assert(kvRows("SELECT * FROM psql.tpcds.mgS").map(_._1) ==
+      (0 until 40).toSet -- Set(12, 13, 14))
+    // merge: source keys 35..39 + 100 (insert) bound the candidate set
+    val src = Seq((35, "U"), (100, "N")).toDF("k", "v")
+    val (_, reusedM, rewrittenM) = GraftMerge.mergeInto(spark, dir, src, "k")
+    assert(rewrittenM == 1, s"rewrittenM=$rewrittenM")
+    assert(kvRows("SELECT * FROM psql.tpcds.mgS").contains(35 -> "U"))
+    assert(kvRows("SELECT * FROM psql.tpcds.mgS").contains(100 -> "N"))
+    // null-predicate rows and no-bound predicates still work (fallback)
+    GraftMerge.updateWhere(spark, dir, col("v") === flit("v0"),
+      Seq("v" -> flit("z0")))
+    assert(kvRows("SELECT * FROM psql.tpcds.mgS").contains(0 -> "z0"))
+  }
+
   test("mixed-verb races (merge + delete + compact) converge interleaving-independently") {
     val root = freshRoot()
     import spark.implicits._

@@ -59,8 +59,10 @@ class TimeTravelSpec extends SparkSpec {
     val after2 = dataDir.listFiles().map(_.getName).toSet
     assert(after1.subsetOf(after2), "append deleted or renamed v1 files")
     // v2's manifest references v1's physical files — no copy, no rewrite
+    // (names only: lines carry tab-separated data-skipping stats)
     val m2 = scala.io.Source.fromFile(
-      s"$root/tt3.parquet/_manifests/v2.txt", "UTF-8").getLines().toSet
+      s"$root/tt3.parquet/_manifests/v2.txt", "UTF-8").getLines()
+      .map(_.split('\t').head).toSet
     assert(after1.subsetOf(m2), s"v2 manifest $m2 does not reuse v1 files $after1")
     spark.sql("INSERT OVERWRITE psql.tpcds.tt3 VALUES (3, 'c')")
     val after3 = dataDir.listFiles().map(_.getName).toSet
