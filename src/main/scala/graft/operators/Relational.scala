@@ -443,10 +443,13 @@ object Relational {
   ) { (s, d) =>
     s.conf.set("spark.sql.graft.root", d)
     val table = derbyNationTable(s, d)
-    s.conf.set("spark.sql.catalog.derby",
+    // dedicated catalog name: CatalogManager caches instances by name,
+    // and the q004-shape JdbcSourceSpec registers its OWN `derby`
+    // catalog — sharing the name would pin whichever URL loaded first
+    s.conf.set("spark.sql.catalog.derbyfed",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
-    s.conf.set("spark.sql.catalog.derby.url", derbyFedUrl)
-    s.conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+    s.conf.set("spark.sql.catalog.derbyfed.url", derbyFedUrl)
+    s.conf.set("spark.sql.catalog.derbyfed.pushDownAggregate", "true")
     // Derby folds unquoted DDL identifiers to uppercase → explicit
     // lowercase aliases keep the output schema oracle-identical.
     // BROADCAST(dim): a JDBC relation reports no size statistics
@@ -456,7 +459,7 @@ object Relational {
     s.sql(
       s"""SELECT /*+ BROADCAST(dim) */ n_name AS n_name, COUNT(*) AS n,
          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
-         |FROM psql.tpcds.customer, derby.APP.$table dim
+         |FROM psql.tpcds.customer, derbyfed.APP.$table dim
          |WHERE c_nationkey = n_nationkey AND n_regionkey = 1
          |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
@@ -1256,20 +1259,40 @@ object Relational {
       .limit(1000)
   }
 
-  /** Approximate percentiles (t-digest-style sketch) next to their
-    * exact values — sketch estimates are engine-specific → rows-only.
-    * Scalar columns only: array-typed results are not hashable by the
-    * verify pipeline's column-sorted compare. */
-  lazy val approxPercentiles: QueryEntry =
-    QueryEntry.noOracle("q46_approx_percentiles") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"),
-          expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"),
-          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
-          expr("percentile(l_quantity, 0.9)").as("exact_p90"))
-        .orderBy(col("l_returnflag"))
-    }
+  /** Approximate percentiles (GK summary sketch) — summary BYTES and
+    * estimates are engine-specific, but the sketch's RANK-ERROR
+    * guarantee is not: `approx_percentile(x, p, 1000)` returns an
+    * exact quantile at some p' with |p' − p| ≤ 0.001, so each entry
+    * gates its estimate inside the exact quantile envelope at p ± 5×
+    * that bound (the QualityGatesSpec construction) and emits the
+    * booleans — rows DuckDB reproduces exactly, hash-gating the sketch
+    * numerically (raw estimates stay spec-gated in QualityGatesSpec;
+    * the exact interpolated percentile VALUES are deliberately not
+    * emitted — both engines interpolate with a non-binary-exact p, an
+    * ulp-level hash hazard the boolean construction avoids). */
+  lazy val approxPercentiles: QueryEntry = QueryEntry(
+    "q46_approx_percentiles",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       true AS p50_within_eps, true AS p90_within_eps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val eps = 0.005
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("a90"),
+        expr(s"percentile(l_quantity, ${0.5 - eps})").as("lo50"),
+        expr(s"percentile(l_quantity, ${0.5 + eps})").as("hi50"),
+        expr(s"percentile(l_quantity, ${0.9 - eps})").as("lo90"),
+        expr(s"percentile(l_quantity, ${0.9 + eps})").as("hi90"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("p50_within_eps"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+          .as("p90_within_eps"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** TPC-H Q4 shape: EXISTS-correlated count by priority. */
   lazy val tpchQ4: QueryEntry = QueryEntry(

@@ -627,47 +627,67 @@ private[graft] object GraftVersions {
       parts.head -> stats
     }.toMap
 
-  /** Manifest-level data skipping, collected at COMMIT time: one pass
-    * over the newly staged files computes min/max for every integral
-    * top-level column, embedded per file in the manifest line. The
-    * copy-on-write verbs then prune their touched-file discovery from
-    * the manifest ALONE — at 100 TB that is O(candidate files) instead
-    * of O(table) footer opens (the Iceberg manifest-stats design; see
-    * GraftMerge.pruneByStats). Costs one read pass over the NEW data
-    * per commit (a file-writer-side collector would get it free — the
-    * read-back keeps this implementation seam-free), never a pass over
-    * the table. Returns one stats suffix per staged name ("" when the
-    * schema has no integral columns). */
+  /** Manifest-level data skipping, collected at COMMIT time: per-file
+    * min/max for every unannotated INT32/INT64 top-level column,
+    * folded from the row-group statistics the parquet writer ALREADY
+    * put in each staged file's footer — a driver-side metadata read of
+    * the new files only (no Spark job, no data pass), embedded per
+    * file in the manifest line. The copy-on-write verbs then prune
+    * their touched-file discovery from the manifest ALONE — at 100 TB
+    * that is O(candidate files) instead of O(table) footer opens (the
+    * Iceberg manifest-stats design; see GraftMerge.pruneByStats).
+    * Annotated INT64 (timestamps) is excluded: its logical/physical
+    * value mapping is representation-dependent, and a wrong bound
+    * prunes wrongly — untracked columns merely fall back to the
+    * discovery scan. A column any row group lacks statistics for is
+    * dropped for that file (sound: no bound, always a candidate). */
   private def statsSuffixes(data: DataFrame, dir: String,
-      names: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
-    val cols = data.schema.fields
-      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
-      .map(_.name)
-      .filter(n => !n.contains("\t") && !n.contains("=") && !n.contains(".."))
-    if (cols.isEmpty || names.isEmpty) return names.map(_ => "")
-    val paths = names.map(n => new java.io.File(dataDir(dir), n).getAbsolutePath)
-    val aggs = cols.toSeq.flatMap(c =>
-      Seq(fmin(col(c)).as(s"__lo_$c"), fmax(col(c)).as(s"__hi_$c")))
-    val rows = data.sparkSession.read.parquet(paths: _*)
-      .groupBy(col("_metadata.file_path").as("__p"))
-      .agg(aggs.head, aggs.drop(1): _*)
-      .collect()
-    def asLong(v: Any): Long = v match {
-      case i: java.lang.Integer => i.toLong
-      case l: java.lang.Long => l
+      names: Seq[String]): Seq[String] =
+    names.map { n =>
+      val fields = footerStats(new java.io.File(dataDir(dir), n))
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
+      if (fields.isEmpty) "" else fields.mkString("\t", "\t", "")
     }
-    val byName = rows.map { r =>
-      val p = r.getString(0)
-      val name = p.substring(p.lastIndexOf('/') + 1)
-      val fields = cols.zipWithIndex.flatMap { case (c, i) =>
-        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-        else Some(s"$c=${asLong(r.get(1 + 2 * i))}..${asLong(r.get(2 + 2 * i))}")
+
+  private def footerStats(f: java.io.File): Seq[(String, (Long, Long))] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      val dropped = scala.collection.mutable.Set[String]()
+      for (block <- reader.getFooter.getBlocks.asScala;
+           c <- block.getColumns.asScala) {
+        val pt = c.getPrimitiveType
+        val name = c.getPath.toDotString
+        val tracked = !name.contains(".") && !name.contains("\t") &&
+          !name.contains("=") &&
+          (pt.getPrimitiveTypeName == INT32 || pt.getPrimitiveTypeName == INT64) &&
+          pt.getLogicalTypeAnnotation == null
+        if (tracked) {
+          val st = c.getStatistics
+          if (st == null || st.isEmpty) dropped += name
+          else if (st.hasNonNullValue) {
+            val lo: Long = st.genericGetMin match {
+              case i: java.lang.Integer => i.toLong
+              case l: java.lang.Long => l.longValue
+            }
+            val hi: Long = st.genericGetMax match {
+              case i: java.lang.Integer => i.toLong
+              case l: java.lang.Long => l.longValue
+            }
+            acc.get(name) match {
+              case Some((alo, ahi)) =>
+                acc(name) = (math.min(alo, lo), math.max(ahi, hi))
+              case None => acc(name) = (lo, hi)
+            }
+          } // all-null row group: contributes no values, widens nothing
+        }
       }
-      name -> (if (fields.isEmpty) "" else fields.mkString("\t", "\t", ""))
-    }.toMap
-    names.map(byName.getOrElse(_, "")) // an empty staged file has no row
+      (acc -- dropped).toSeq
+    } finally reader.close()
   }
 
   // --- schema evolution (metadata-only commits) --------------------------
