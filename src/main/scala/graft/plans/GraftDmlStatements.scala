@@ -89,14 +89,24 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
       reject("WHEN NOT MATCHED BY SOURCE branches are not supported")
     val targetSet = AttributeSet(targetOut)
     val sourceSet = source.outputSet
-    val key = cond match {
-      case EqualTo(l: AttributeReference, r: AttributeReference)
+    // type coercion wraps a narrower side in Cast (e.g. t.k = CAST(s.k
+    // AS BIGINT)) — the join GraftMerge performs applies the same
+    // widening, so seeing through casts preserves semantics
+    @tailrec def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    val key = (stripCast(cond) match {
+      case EqualTo(l, r) => Some((stripCast(l), stripCast(r)))
+      case _ => None
+    }) match {
+      case Some((l: AttributeReference, r: AttributeReference))
           if targetSet.contains(l) && sourceSet.contains(r) => l
-      case EqualTo(l: AttributeReference, r: AttributeReference)
+      case Some((l: AttributeReference, r: AttributeReference))
           if targetSet.contains(r) && sourceSet.contains(l) => r
-      case other => reject(
+      case _ => reject(
         s"the ON condition must be one target-key = source-key equality, " +
-          s"got: ${other.sql}")
+          s"got: ${cond.sql}")
     }
     val updateAssigns = matched match {
       case Seq(UpdateAction(None, assigns, _)) => assigns

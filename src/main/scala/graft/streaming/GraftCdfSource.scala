@@ -53,7 +53,8 @@ import graft.sources.GraftVersions
   * trailing `_cdf_version INT`. */
 class GraftCdfProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftCdfSource.fullSchema(options.get("path"))
+    GraftCdfSource.fullSchema(options.get("path"),
+      Option(options.get("includeRemoved")).exists(_.toBoolean))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftCdfTable(schema, properties.get("path"))
@@ -62,10 +63,13 @@ class GraftCdfProvider extends TableProvider {
 
 private[graft] object GraftCdfSource {
   val versionCol = "_cdf_version"
+  val changeCol = "_change_type"
 
   /** Snapshot data schema (authoritative record if the table evolved,
-    * else one data-file footer) + the trailing version column. */
-  def fullSchema(dir: String): StructType = {
+    * else one data-file footer) + the trailing version column — plus a
+    * `_change_type` column (`insert`/`delete`) when the removed-rows
+    * channel is on. */
+  def fullSchema(dir: String, includeRemoved: Boolean): StructType = {
     require(dir != null, "graft-cdf requires .option(\"path\", <tableDir>)")
     val cur = GraftVersions.current(dir)
     require(cur >= 1, s"graft-cdf: $dir has no committed snapshot")
@@ -75,7 +79,11 @@ private[graft] object GraftCdfSource {
       org.apache.spark.sql.SparkSession.active.read.parquet(files.head).schema
     }
     data.fields.foreach(f => checkSupported(f.dataType, f.name))
-    StructType(data.fields :+ StructField(versionCol, IntegerType, nullable = false))
+    val meta = StructField(versionCol, IntegerType, nullable = false) +:
+      (if (includeRemoved)
+        Seq(StructField(changeCol, StringType, nullable = false))
+      else Seq.empty)
+    StructType(data.fields ++ meta)
   }
 
   private def checkSupported(dt: DataType, name: String): Unit = dt match {
@@ -93,6 +101,26 @@ private[graft] object GraftCdfSource {
     GraftVersions.manifest(dir, v).filter { p =>
       p.substring(p.lastIndexOf('/') + 1).startsWith(s"v$v-")
     }
+
+  /** Files REMOVED by version `v`: the predecessor manifest's files the
+    * new manifest no longer lists. File granularity, like the batch
+    * snapshot diff: a copy-on-write rewrite reports its surviving rows
+    * as removed-then-re-added (exactly what the files say). Removed
+    * files stay readable on disk until retention expires them — a
+    * consumer more than one retention window behind has lost its delta
+    * feed by contract. */
+  def removedFiles(dir: String, v: Int): Seq[String] = {
+    // a TOMBSTONED (expired) version reads as an empty manifest —
+    // retention is not a data change, so it must not read as a
+    // whole-table delete (its adds are equally gone; the documented
+    // fell-behind-retention contract)
+    if (!GraftVersions.isLive(dir, v)) return Seq.empty
+    val now = GraftVersions.manifest(dir, v)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    GraftVersions.manifest(dir, v - 1).filterNot { p =>
+      now.contains(p.substring(p.lastIndexOf('/') + 1))
+    }
+  }
 }
 
 private class GraftCdfTable(tschema: StructType, path: String)
@@ -108,7 +136,8 @@ private class GraftCdfTable(tschema: StructType, path: String)
           : MicroBatchStream =
         new GraftCdfStream(path, tschema,
           Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-          Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+          Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+          Option(options.get("includeRemoved")).exists(_.toBoolean))
     }
 }
 
@@ -116,11 +145,12 @@ private case class GraftCdfOffset(version: Int) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-private case class GraftCdfPartition(version: Int, file: String)
-  extends InputPartition
+private case class GraftCdfPartition(version: Int, file: String,
+    change: String) extends InputPartition
 
 private class GraftCdfStream(dir: String, schema: StructType,
-    maxVersionsPerTrigger: Option[Int], startingVersion: Int)
+    maxVersionsPerTrigger: Option[Int], startingVersion: Int,
+    includeRemoved: Boolean)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = GraftCdfOffset(startingVersion)
@@ -154,13 +184,18 @@ private class GraftCdfStream(dir: String, schema: StructType,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[GraftCdfOffset].version
     val e = end.asInstanceOf[GraftCdfOffset].version
-    ((s + 1) to e).flatMap(v =>
-      GraftCdfSource.addedFiles(dir, v).map(f => GraftCdfPartition(v, f)))
-      .toArray
+    ((s + 1) to e).flatMap { v =>
+      GraftCdfSource.addedFiles(dir, v)
+        .map(f => GraftCdfPartition(v, f, "insert")) ++
+        (if (includeRemoved)
+          GraftCdfSource.removedFiles(dir, v)
+            .map(f => GraftCdfPartition(v, f, "delete"))
+        else Seq.empty)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdfReaderFactory(schema)
+    new GraftCdfReaderFactory(schema, includeRemoved)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -170,13 +205,14 @@ private class GraftCdfStream(dir: String, schema: StructType,
   * SparkSession exists on an executor): columns resolve BY NAME against
   * the stream schema, so pre-evolution files read evolved columns back
   * as null — the same semantics the batch reader has. */
-private class GraftCdfReaderFactory(schema: StructType)
-  extends PartitionReaderFactory {
+private class GraftCdfReaderFactory(schema: StructType,
+    includeRemoved: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfPartition]
-    val dataFields = schema.fields.dropRight(1) // trailing _cdf_version
+    val metaCols = if (includeRemoved) 2 else 1 // _cdf_version[, _change_type]
+    val dataFields = schema.fields.dropRight(metaCols)
     new PartitionReader[InternalRow] {
       private val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
@@ -187,13 +223,15 @@ private class GraftCdfReaderFactory(schema: StructType)
       override def next(): Boolean = { cur = reader.read(); cur != null }
 
       override def get(): InternalRow = {
-        val values = new Array[Any](dataFields.length + 1)
+        val values = new Array[Any](dataFields.length + metaCols)
         var i = 0
         while (i < dataFields.length) {
           values(i) = convert(cur, dataFields(i).name, dataFields(i).dataType)
           i += 1
         }
         values(dataFields.length) = p.version
+        if (includeRemoved)
+          values(dataFields.length + 1) = UTF8String.fromString(p.change)
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
 

@@ -172,4 +172,44 @@ class SqlServerSpec extends SparkSpec {
       assert(results.get(i) == direct, s"client $i diverged")
     }
   }
+
+  test("all four DML verbs run as wire statements against a versioned table") {
+    // the reference's ONLY interface is SQL text over the wire
+    // (loader.py:25-39) — so INSERT/MERGE/UPDATE/DELETE must all work
+    // as statements a remote client issues, end to end: Thrift socket →
+    // parser → GraftDmlStatements routing → copy-on-write commit
+    val scratch = java.nio.file.Files.createTempDirectory("graft_wire_dml")
+    spark.conf.set("spark.sql.graft.root", scratch.toString)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      st.execute("DROP TABLE IF EXISTS psql.tpcds.wire_dml")
+      st.execute("CREATE TABLE psql.tpcds.wire_dml " +
+        "TBLPROPERTIES('versioned'='true') AS " +
+        "SELECT id AS k, CONCAT('v', CAST(id AS STRING)) AS v FROM RANGE(4)")
+      st.execute("INSERT INTO psql.tpcds.wire_dml VALUES (9, 'ins')")
+      st.execute("UPDATE psql.tpcds.wire_dml SET v = v || '!' WHERE k = 1")
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW wire_src AS " +
+        "SELECT 2 AS k, 'merged' AS v UNION ALL SELECT 100, 'new'")
+      st.execute("""MERGE INTO psql.tpcds.wire_dml t USING wire_src s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      st.execute("DELETE FROM psql.tpcds.wire_dml WHERE k = 3")
+      val rs = st.executeQuery(
+        "SELECT k, v FROM psql.tpcds.wire_dml ORDER BY k")
+      val rows = scala.collection.mutable.ListBuffer[(Long, String)]()
+      while (rs.next()) rows += ((rs.getLong(1), rs.getString(2)))
+      assert(rows.toList == List(0L -> "v0", 1L -> "v1!", 2L -> "merged",
+        9L -> "ins", 100L -> "new"), rows.toString)
+      // the pre-DML snapshots remain time-travelable over the wire
+      val rs1 = st.executeQuery(
+        "SELECT COUNT(*) FROM psql.tpcds.wire_dml VERSION AS OF 1")
+      rs1.next()
+      assert(rs1.getLong(1) == 4)
+    } finally {
+      conn.close()
+      spark.conf.unset("spark.sql.graft.root")
+    }
+  }
 }

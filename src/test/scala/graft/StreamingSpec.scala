@@ -461,6 +461,57 @@ class StreamingSpec extends SparkSpec {
     assert(lateAcc.values.flatten.toSet == Set(5, 6), lateAcc.toString)
   }
 
+  test("DSv2 CDF source removed-rows channel equals the batch snapshot diff") {
+    import spark.implicits._
+    import graft.sources.{GraftMerge, GraftVersions}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf4").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // v1: 4 single-key files; v2: COW delete of k=2 (one file removed,
+    // one rewritten survivor file added); v3: full overwrite
+    GraftVersions.commit(dir,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+        .repartition(4, col("k")), overwrite = false)
+    GraftMerge.deleteFrom(spark, dir, col("k") === 2 || col("k") === 4)
+    GraftVersions.commit(dir, Seq((9, "z")).toDF("k", "v"), overwrite = true)
+    val acc = new scala.collection.concurrent.TrieMap[(Int, String), Set[(Int, String)]]
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir).option("includeRemoved", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("k"), col("v"), col("_cdf_version"), col("_change_type"))
+          .collect()
+          .groupBy(r => (r.getInt(2), r.getString(3)))
+          .foreach { case (key, rows) =>
+            acc(key) = acc.getOrElse(key, Set.empty) ++
+              rows.map(r => (r.getInt(0), r.getString(1))).toSet
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // every (version, channel) cell equals the batch snapshot diff —
+    // file-granularity semantics: the delete's rewritten survivors
+    // appear as removed (old file) AND inserted (new file)
+    (2 to 3).foreach { v =>
+      val (added, removed) = GraftMerge.snapshotDiff(spark, dir, v - 1, v)
+      def kv(df: org.apache.spark.sql.DataFrame) = df.select(col("k"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(acc.getOrElse((v, "insert"), Set.empty) == kv(added),
+        s"v$v insert channel diverged from batch diff")
+      assert(acc.getOrElse((v, "delete"), Set.empty) == kv(removed),
+        s"v$v delete channel diverged from batch diff")
+    }
+    // sanity on the shape itself: v2 removed the two touched files'
+    // rows and re-inserted any survivors (single-key files → none);
+    // v3 (overwrite) removed the whole v2 content
+    def cell(v: Int, ch: String) = acc.getOrElse((v, ch), Set.empty)
+    assert(cell(2, "delete").map(_._1) == Set(2, 4) ++
+      cell(2, "insert").map(_._1), acc.toString)
+    assert(cell(3, "delete").map(_._1) == Set(1, 3), acc.toString)
+    assert(cell(3, "insert") == Set(9 -> "z"))
+  }
+
   test("DSv2 CDF source reads array columns and evolved-schema nulls") {
     import spark.implicits._
     import graft.sources.GraftVersions
