@@ -82,6 +82,13 @@ object LakehouseScale {
       // only, at both scales, or the measurement degrades to O(table)
       "compact" -> (() =>
         GraftMerge.compact(spark, dir, smallBytes = 16 * 1024L): Unit),
+      // the honest degradation case: a predicate on an UNTRACKED,
+      // unclustered column (lang) extracts no manifest bounds, so the
+      // discovery pass scans every file — matches zero rows, isolating
+      // the pure discovery cost the layout argument (p21) exists to
+      // avoid. Expect growth here; that is the measurement's point.
+      "delete-uncorr" -> (() =>
+        GraftMerge.deleteFrom(spark, dir, col("lang") === "zz"): Unit),
       "expire" -> (() =>
         GraftVersions.expire(dir, keepLast = 2, orphanGraceMillis = 0L): Unit))
 
@@ -101,7 +108,8 @@ object LakehouseScale {
     val t1 = run(1, 32, s"$root/x1")
     val tN = run(copies, 32 * copies, s"$root/x$copies")
     println(f"${"verb"}%-10s ${"1x(32f)"}%9s ${copies + "x(" + 32 * copies + "f)"}%12s  ratio")
-    Seq("merge", "delete", "update", "compact", "expire").foreach { v =>
+    Seq("merge", "delete", "update", "compact", "delete-uncorr",
+        "expire").foreach { v =>
       println(f"$v%-10s ${t1(v)}%9.2f ${tN(v)}%12.2f  ${tN(v) / t1(v)}%5.1f")
     }
     rmTree(new java.io.File(root))

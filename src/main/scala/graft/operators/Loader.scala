@@ -507,8 +507,50 @@ object Loader {
     }
   }
 
+  /** One embedded-Derby database per JVM for the l11 export target —
+    * its own catalog name (CatalogManager caches instances by name;
+    * see q79's derbyfed note). */
+  private lazy val derbyExpUrl: String = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-exp")
+    s"jdbc:derby:$dbDir/db;create=true"
+  }
+
+  /** Export INTO the relational store (l11) — the reference loader's
+    * defining motion is moving tables into stores (loader.py:163-167
+    * CTAS into PG/Mongo, :202-248 bucket export to ES; l01 covers the
+    * ES half): `CREATE TABLE <jdbc-catalog>.<t> AS SELECT …` through
+    * Spark's stock JDBCTableCatalog creates the remote table and
+    * writes the rows over JDBC in one statement. The entry then reads
+    * the exported table BACK over JDBC and joins it against a parquet
+    * catalog — the round trip proves the write landed typed and
+    * complete (a silently-lossy export would break the oracle hash).
+    * At 100 TB this is the dimension/aggregate publish path (results
+    * pushed to an operational store), not a fact-table motion — the
+    * fact export is l01's partitioned bucket shape. */
+  val jdbcExport: QueryEntry = QueryEntry(
+    "l11_jdbc_export",
+    """SELECT r_name, COUNT(*) AS n_nations
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |WHERE r_regionkey <= 3
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    s.conf.set("spark.sql.catalog.derbyexp",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.derbyexp.url", derbyExpUrl)
+    Tables.region(s, d).createOrReplaceTempView("region_exp_src")
+    s.sql("DROP TABLE IF EXISTS derbyexp.APP.region_export")
+    s.sql("""CREATE TABLE derbyexp.APP.region_export AS
+            |SELECT r_regionkey, r_name FROM region_exp_src
+            |WHERE r_regionkey <= 3""".stripMargin)
+    s.sql("""SELECT r_name AS r_name, COUNT(*) AS n_nations
+            |FROM derbyexp.APP.region_export
+            |JOIN psql.tpcds.nation ON n_regionkey = r_regionkey
+            |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
       schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
-      updateWhereEntry)
+      updateWhereEntry, jdbcExport)
 }
