@@ -82,13 +82,16 @@ object LakehouseScale {
       // only, at both scales, or the measurement degrades to O(table)
       "compact" -> (() =>
         GraftMerge.compact(spark, dir, smallBytes = 16 * 1024L): Unit),
-      // the honest degradation case: a predicate on an UNTRACKED,
-      // unclustered column (lang) extracts no manifest bounds, so the
-      // discovery pass scans every file — matches zero rows, isolating
-      // the pure discovery cost the layout argument (p21) exists to
-      // avoid. Expect growth here; that is the measurement's point.
+      // the honest degradation case: an UNANALYZABLE predicate (a
+      // function call — no conjunct bounds extractable) forces the
+      // discovery pass to scan every file — matches zero rows,
+      // isolating the pure discovery cost the layout argument (p21)
+      // and the stats channels exist to avoid. Expect growth here;
+      // that is the measurement's point. (A plain `lang = 'zz'` no
+      // longer degrades: string stats prune impossible values from
+      // the manifest alone.)
       "delete-uncorr" -> (() =>
-        GraftMerge.deleteFrom(spark, dir, col("lang") === "zz"): Unit),
+        GraftMerge.deleteFrom(spark, dir, length(col("lang")) === -1): Unit),
       "expire" -> (() =>
         GraftVersions.expire(dir, keepLast = 2, orphanGraceMillis = 0L): Unit))
 

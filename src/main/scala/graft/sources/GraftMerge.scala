@@ -72,7 +72,7 @@ object GraftMerge {
           else Map(keyCol -> (asLong(r.get(0)), asLong(r.get(1))))
         case _ => Map.empty
       }
-    val candidates = pruneByStats(dir, base, files, keyBounds)
+    val candidates = pruneByStats(dir, base, files, None, keyBounds)
     // one pass over the candidates: which files contain at least one
     // matched key? Driver receives file names only — O(touched files),
     // never O(rows).
@@ -120,22 +120,41 @@ object GraftMerge {
     org.apache.spark.sql.GraftBridge.conjunctBounds(pred)
 
   /** Manifest-level data skipping: the files of snapshot `base` that
-    * COULD hold a row inside `bounds`, decided from the per-file stats
-    * the commit embedded in the manifest — no footer is opened. A file
-    * lacking stats for a bounded column stays a candidate (sound), so
-    * pre-stats tables degrade to the full discovery scan, never to a
-    * wrong answer. At 100 TB this is the difference between a takedown
-    * DELETE costing one manifest read + touched files and costing an
-    * O(table) metadata sweep — provided the predicate correlates with
-    * the table's clustering (p21's z-order argument). */
+    * COULD hold a row matching the predicate's integral AND string
+    * conjunct bounds, decided from the per-file stats the commit
+    * embedded in the manifest — no footer is opened. A file lacking
+    * stats for a bounded column — or whose stat TYPE does not match
+    * the bound's — stays a candidate (sound), so pre-stats tables and
+    * odd-cast predicates degrade to the full discovery scan, never to
+    * a wrong answer. At 100 TB this is the difference between a
+    * takedown DELETE costing one manifest read + touched files and
+    * costing an O(table) metadata sweep — provided the predicate
+    * correlates with the table's clustering (p21's z-order argument). */
   private def pruneByStats(dir: String, base: Int, files: Seq[String],
-      bounds: Map[String, (Long, Long)]): Seq[String] = {
-    if (bounds.isEmpty) return files
+      pred: Option[org.apache.spark.sql.Column],
+      extraLong: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
+    import org.apache.spark.sql.GraftBridge
+    val longBounds =
+      pred.map(GraftBridge.conjunctBounds).getOrElse(Map.empty) ++ extraLong
+    val strBounds =
+      pred.map(GraftBridge.conjunctStrBounds).getOrElse(Map.empty)
+    if (longBounds.isEmpty && strBounds.isEmpty) return files
     val stats = GraftVersions.manifestStats(dir, base)
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
     files.filter { f =>
-      val s = stats.getOrElse(pathName(f), Map.empty[String, (Long, Long)])
-      bounds.forall { case (c, (lo, hi)) =>
-        s.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      val s = stats.getOrElse(pathName(f), Map.empty[String, GraftColStat])
+      longBounds.forall { case (c, (lo, hi)) =>
+        s.get(c) match {
+          case Some(GraftLongStat(flo, fhi)) => fhi >= lo && flo <= hi
+          case _ => true // no stat or type mismatch: keep
+        }
+      } && strBounds.forall { case (c, (lo, hi)) =>
+        s.get(c) match {
+          case Some(GraftBinStat(flo, fhi)) =>
+            lo.forall(l => cmp(fhi, l) >= 0) && hi.forall(h => cmp(flo, h) <= 0)
+          case _ => true
+        }
       }
     }
   }
@@ -193,7 +212,7 @@ object GraftMerge {
     val files = GraftVersions.manifest(dir, base)
     // manifest-level skip, then the exact per-row discovery scan over
     // the surviving candidates only
-    val candidates = pruneByStats(dir, base, files, predicateBounds(predicate))
+    val candidates = pruneByStats(dir, base, files, Some(predicate))
     val touchedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readSnapshot(spark, dir, base, candidates)
@@ -262,7 +281,7 @@ object GraftMerge {
       }.toMap
     require(assigned.size == assignments.size,
       s"$dir: UPDATE assigns the same column more than once")
-    val candidates = pruneByStats(dir, base, files, predicateBounds(predicate))
+    val candidates = pruneByStats(dir, base, files, Some(predicate))
     val touchedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readSnapshot(spark, dir, base, candidates)

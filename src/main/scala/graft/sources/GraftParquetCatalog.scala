@@ -534,6 +534,15 @@ private class GraftPartitionedTable(
   * a loser's already-moved files just get re-prefixed on retry. The
   * `_current` pointer advances monotonically under a file lock; a
   * reader between link and flip simply sees the previous snapshot. */
+/** A per-file column bound parsed from the manifest's embedded stats:
+  * integral (decimal-coded) or string/binary (base64-coded, compared
+  * unsigned-lexicographically — Spark's UTF8String order). */
+private[graft] sealed trait GraftColStat
+private[graft] final case class GraftLongStat(lo: Long, hi: Long)
+  extends GraftColStat
+private[graft] final case class GraftBinStat(lo: Array[Byte], hi: Array[Byte])
+  extends GraftColStat
+
 private[graft] object GraftVersions {
   def dataDir(dir: String) = new java.io.File(dir, "data")
   def manifestFile(dir: String, v: Int) =
@@ -606,25 +615,37 @@ private[graft] object GraftVersions {
       .map(l => new java.io.File(dataDir(dir), lineName(l)).getAbsolutePath)
 
   /** Per-file column stats embedded in snapshot `v`'s manifest:
-    * fileName → column → (lo, hi). Files committed before stats
-    * existed (or all-null columns) simply have no entry — readers must
-    * treat missing stats as "could match anything". */
+    * fileName → column → bound. Files committed before stats existed
+    * (or all-null columns) simply have no entry — readers must treat
+    * missing stats as "could match anything". Two encodings share the
+    * `col=lo..hi` field shape: integral bounds as decimal longs,
+    * string/binary bounds base64-coded with an `s:` prefix (base64's
+    * alphabet cannot collide with the separators). */
   def manifestStats(dir: String, v: Int)
-      : Map[String, Map[String, (Long, Long)]] =
+      : Map[String, Map[String, GraftColStat]] =
     manifestLines(dir, v).map { l =>
       val parts = l.split('\t')
       val stats = parts.drop(1).flatMap { f =>
         f.split("=", 2) match {
+          case Array(c, range) if range.startsWith("s:") =>
+            range.stripPrefix("s:").split("\\.\\.", 2) match {
+              case Array(lo, hi) =>
+                try {
+                  val dec = java.util.Base64.getDecoder
+                  Some(c -> GraftBinStat(dec.decode(lo), dec.decode(hi)))
+                } catch { case _: IllegalArgumentException => None }
+              case _ => None
+            }
           case Array(c, range) => range.split("\\.\\.", 2) match {
             case Array(lo, hi) =>
-              try Some(c -> (lo.toLong, hi.toLong))
+              try Some(c -> GraftLongStat(lo.toLong, hi.toLong))
               catch { case _: NumberFormatException => None }
             case _ => None
           }
           case _ => None
         }
       }.toMap
-      parts.head -> stats
+      parts.head -> (stats: Map[String, GraftColStat])
     }.toMap
 
   /** Manifest-level data skipping, collected at COMMIT time: per-file
@@ -645,48 +666,95 @@ private[graft] object GraftVersions {
       names: Seq[String]): Seq[String] =
     names.map { n =>
       val fields = footerStats(new java.io.File(dataDir(dir), n))
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
+        .map { case (c, encoded) => s"$c=$encoded" }
       if (fields.isEmpty) "" else fields.mkString("\t", "\t", "")
     }
 
-  private def footerStats(f: java.io.File): Seq[(String, (Long, Long))] = {
+  private def footerStats(f: java.io.File): Seq[(String, String)] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.getAbsolutePath),
       new org.apache.hadoop.conf.Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      val longAcc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      val binAcc =
+        scala.collection.mutable.LinkedHashMap[String, (Array[Byte], Array[Byte])]()
       val dropped = scala.collection.mutable.Set[String]()
       for (block <- reader.getFooter.getBlocks.asScala;
            c <- block.getColumns.asScala) {
         val pt = c.getPrimitiveType
         val name = c.getPath.toDotString
-        val tracked = !name.contains(".") && !name.contains("\t") &&
-          !name.contains("=") &&
-          (pt.getPrimitiveTypeName == INT32 || pt.getPrimitiveTypeName == INT64) &&
-          pt.getLogicalTypeAnnotation == null
-        if (tracked) {
+        val okName = !name.contains(".") && !name.contains("\t") &&
+          !name.contains("=")
+        val isLong = (pt.getPrimitiveTypeName == INT32 ||
+          pt.getPrimitiveTypeName == INT64) && pt.getLogicalTypeAnnotation == null
+        // UTF8-annotated BINARY: parquet's stats comparator is unsigned
+        // lexicographic, identical to Spark's UTF8String byte order —
+        // and truncated stats stay VALID bounds (prefix min, padded max)
+        val isStr = pt.getPrimitiveTypeName == BINARY &&
+          pt.getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.stringType()
+        if (okName && (isLong || isStr)) {
           val st = c.getStatistics
           if (st == null || st.isEmpty) dropped += name
           else if (st.hasNonNullValue) {
-            val lo: Long = st.genericGetMin match {
-              case i: java.lang.Integer => i.toLong
-              case l: java.lang.Long => l.longValue
-            }
-            val hi: Long = st.genericGetMax match {
-              case i: java.lang.Integer => i.toLong
-              case l: java.lang.Long => l.longValue
-            }
-            acc.get(name) match {
-              case Some((alo, ahi)) =>
-                acc(name) = (math.min(alo, lo), math.max(ahi, hi))
-              case None => acc(name) = (lo, hi)
+            if (isLong) {
+              val lo: Long = st.genericGetMin match {
+                case i: java.lang.Integer => i.toLong
+                case l: java.lang.Long => l.longValue
+              }
+              val hi: Long = st.genericGetMax match {
+                case i: java.lang.Integer => i.toLong
+                case l: java.lang.Long => l.longValue
+              }
+              longAcc.get(name) match {
+                case Some((alo, ahi)) =>
+                  longAcc(name) = (math.min(alo, lo), math.max(ahi, hi))
+                case None => longAcc(name) = (lo, hi)
+              }
+            } else {
+              val lo = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val hi = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              def cmp(a: Array[Byte], b: Array[Byte]): Int =
+                java.util.Arrays.compareUnsigned(a, b)
+              binAcc.get(name) match {
+                case Some((alo, ahi)) => binAcc(name) =
+                  (if (cmp(lo, alo) < 0) lo else alo,
+                    if (cmp(hi, ahi) > 0) hi else ahi)
+                case None => binAcc(name) = (lo, hi)
+              }
             }
           } // all-null row group: contributes no values, widens nothing
         }
       }
-      (acc -- dropped).toSeq
+      val enc = java.util.Base64.getEncoder
+      (longAcc -- dropped).toSeq.map { case (c, (lo, hi)) =>
+        c -> s"$lo..$hi"
+      } ++ (binAcc -- dropped).toSeq.flatMap { case (c, (lo, hi)) =>
+        // TRUNCATE long string bounds or the manifest line bloats with
+        // kilobyte document values: a 16-byte PREFIX of the min is still
+        // a valid lower bound (a prefix sorts ≤ its extension), and the
+        // max truncates to a prefix with its last non-0xFF byte
+        // incremented — strictly above anything carrying the original
+        // prefix. 0xFF never occurs in UTF-8, so the increment always
+        // finds a byte; if it ever cannot, the stat is dropped (sound).
+        val tlo = lo.take(16)
+        val thi: Option[Array[Byte]] =
+          if (hi.length <= 16) Some(hi)
+          else {
+            val t = hi.take(16)
+            var i = t.length - 1
+            while (i >= 0 && t(i) == 0xFF.toByte) i -= 1
+            if (i < 0) None
+            else Some(t.take(i) :+ (t(i) + 1).toByte)
+          }
+        thi.map(h =>
+          c -> s"s:${enc.encodeToString(tlo)}..${enc.encodeToString(h)}")
+      }
     } finally reader.close()
   }
 

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
 
 /** Bridge into `private[sql]` helpers so graft code can lift custom
   * Catalyst [[Expression]]s into user-facing [[Column]]s (the Spark 4.x
@@ -12,111 +13,168 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Sound per-column integral interval constraints implied by a
+  /** Sound per-column INTEGRAL interval constraints implied by a
     * predicate Column's CONJUNCTS — the extraction behind graft's
-    * manifest-level data skipping (GraftMerge.pruneByStats). Any
-    * conjunct the walk does not recognize contributes no constraint (a
-    * row matching `A AND B` matches A, so excluding a file by A's
-    * bounds alone stays sound; an OR at the top yields no constraints).
-    * Range bounds are LOOSE (`>` treated as `>=`) — no ±1 overflow
-    * edge, still sound.
-    *
-    * Lives here because a Column predicate arrives in one of two
-    * representations: the node-space tree the `col()/lit()` API builds
-    * (`internal.UnresolvedFunction("=", …)`) or a Catalyst expression
+    * manifest-level data skipping (GraftMerge.pruneByStats). Open ends
+    * are Long.MinValue/MaxValue. */
+  def conjunctBounds(c: Column): Map[String, (Long, Long)] =
+    boundsWalk[Long](c, longLit, longNodeLit)(Ordering.Long).map {
+      case (col, (lo, hi)) =>
+        col -> (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+    }
+
+  /** The STRING channel of the same extraction: per-column byte-array
+    * bounds (UTF8 bytes, unsigned-lexicographic — Spark's UTF8String
+    * ordering, which is also parquet's UTF8 stats comparator). Open
+    * ends are None. */
+  def conjunctStrBounds(c: Column)
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+    boundsWalk[Array[Byte]](c, strLit, strNodeLit)(byteOrd)
+
+  private val byteOrd: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+
+  /** Value-preserving (widening) integral casts only — a NARROWING
+    * cast on either side changes the compared value (truncation), and
+    * stripping it would derive WRONG bounds that prune matching files. */
+  private def widening(from: DataType, to: DataType): Boolean = {
+    def w(d: DataType): Int = d match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => 0
+    }
+    w(from) > 0 && w(to) >= w(from)
+  }
+
+  private def longLit(e: Expression): Option[Long] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.Literal(v: Byte, _) => Some(v.toLong)
+      case ce.Literal(v: Short, _) => Some(v.toLong)
+      case ce.Literal(v: Int, _) => Some(v.toLong)
+      case ce.Literal(v: Long, _) => Some(v)
+      case cst: ce.Cast if widening(cst.child.dataType, cst.dataType) =>
+        longLit(cst.child)
+      case _ => None
+    }
+  }
+
+  private def strLit(e: Expression): Option[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(v.getBytes)
+      case _ => None
+    }
+  }
+
+  private def longNodeLit(node: internal.ColumnNode): Option[Long] =
+    node match {
+      case l: internal.Literal => l.value match {
+        case b: Byte => Some(b.toLong)
+        case s: Short => Some(s.toLong)
+        case i: Int => Some(i.toLong)
+        case lo: Long => Some(lo)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def strNodeLit(node: internal.ColumnNode): Option[Array[Byte]] =
+    node match {
+      case l: internal.Literal => l.value match {
+        case s: String =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The shared conjunct walk over BOTH predicate representations: the
+    * node-space tree the `col()/lit()` API builds
+    * (`internal.UnresolvedFunction("=", …)`) and Catalyst expressions
     * wrapped by `ExpressionColumnNode` (the SQL DML path rebuilding
-    * resolved statement predicates) — both walked below. */
-  def conjunctBounds(c: Column): Map[String, (Long, Long)] = {
+    * resolved statement predicates). Any conjunct the walk does not
+    * recognize contributes no constraint (a row matching `A AND B`
+    * matches A, so excluding a file by A's bounds alone stays sound; an
+    * OR at the top yields no constraints). Range bounds stay LOOSE (`>`
+    * treated as `>=`) — no increment edge, still sound. Cast-stripping
+    * on the COLUMN side is catalyst-only and widening-only (node-space
+    * child types are unknown pre-resolution, so no stripping there). */
+  private def boundsWalk[T](c: Column,
+      clit: Expression => Option[T],
+      nlit: internal.ColumnNode => Option[T])(implicit ord: Ordering[T])
+      : Map[String, (Option[T], Option[T])] = {
     import org.apache.spark.sql.{internal => n}
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CUA}
 
-    def litLong(v: Any): Option[Long] = v match {
-      case b: Byte => Some(b.toLong)
-      case s: Short => Some(s.toLong)
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case _ => None
-    }
+    // (column, lo, hi) with None = unbounded on that side
+    type B = (String, Option[T], Option[T])
 
-    // --- catalyst-space walk (resolved SQL DML predicates) ---
-    def cname(e: ce.Expression): Option[String] = e match {
+    def cname(e: Expression): Option[String] = e match {
       case a: ce.AttributeReference => Some(a.name)
       case u: CUA => Some(u.nameParts.last)
-      case cst: ce.Cast => cname(cst.child)
+      case cst: ce.Cast if widening(cst.child.dataType, cst.dataType) =>
+        cname(cst.child)
       case _ => None
     }
-    def clit(e: ce.Expression): Option[Long] = e match {
-      case ce.Literal(v, _) => litLong(v)
-      case cst: ce.Cast => clit(cst.child)
-      case _ => None
-    }
-    def crange(a: ce.Expression, b: ce.Expression,
-        lo: Long => Long, hi: Long => Long): Seq[(String, Long, Long)] =
-      (for { nm <- cname(a); v <- clit(b) } yield (nm, lo(v), hi(v))).toSeq
-    def cwalk(e: ce.Expression): Seq[(String, Long, Long)] = e match {
+    def crange(a: Expression, b: Expression,
+        mk: T => (Option[T], Option[T])): Seq[B] =
+      (for { nm <- cname(a); v <- clit(b) }
+        yield { val (lo, hi) = mk(v); (nm, lo, hi) }).toSeq
+    def cwalk(e: Expression): Seq[B] = e match {
       case ce.And(l, r) => cwalk(l) ++ cwalk(r)
       case ce.EqualTo(a, b) =>
-        crange(a, b, v => v, v => v) ++ crange(b, a, v => v, v => v)
+        crange(a, b, v => (Some(v), Some(v))) ++
+          crange(b, a, v => (Some(v), Some(v)))
       case ce.GreaterThan(a, b) =>
-        crange(a, b, v => v, _ => Long.MaxValue) ++
-          crange(b, a, _ => Long.MinValue, v => v)
+        crange(a, b, v => (Some(v), None)) ++ crange(b, a, v => (None, Some(v)))
       case ce.GreaterThanOrEqual(a, b) =>
-        crange(a, b, v => v, _ => Long.MaxValue) ++
-          crange(b, a, _ => Long.MinValue, v => v)
+        crange(a, b, v => (Some(v), None)) ++ crange(b, a, v => (None, Some(v)))
       case ce.LessThan(a, b) =>
-        crange(a, b, _ => Long.MinValue, v => v) ++
-          crange(b, a, v => v, _ => Long.MaxValue)
+        crange(a, b, v => (None, Some(v))) ++ crange(b, a, v => (Some(v), None))
       case ce.LessThanOrEqual(a, b) =>
-        crange(a, b, _ => Long.MinValue, v => v) ++
-          crange(b, a, v => v, _ => Long.MaxValue)
+        crange(a, b, v => (None, Some(v))) ++ crange(b, a, v => (Some(v), None))
       case ce.In(a, list) =>
         val vs = list.map(clit)
         if (vs.nonEmpty && vs.forall(_.isDefined))
-          cname(a).map(nm => (nm, vs.flatten.min, vs.flatten.max)).toSeq
+          cname(a).map(nm =>
+            (nm, Some(vs.flatten.min), Some(vs.flatten.max))).toSeq
         else Seq.empty
       case _ => Seq.empty
     }
 
-    // --- node-space walk (col()/lit()-built predicates) ---
     def nname(node: n.ColumnNode): Option[String] = node match {
       case a: n.UnresolvedAttribute => Some(a.nameParts.last)
-      case cst: n.Cast => nname(cst.child)
-      case _ => None
-    }
-    def nlit(node: n.ColumnNode): Option[Long] = node match {
-      case l: n.Literal => litLong(l.value)
-      case cst: n.Cast => nlit(cst.child)
       case _ => None
     }
     def nrange(a: n.ColumnNode, b: n.ColumnNode,
-        lo: Long => Long, hi: Long => Long): Seq[(String, Long, Long)] =
-      (for { nm <- nname(a); v <- nlit(b) } yield (nm, lo(v), hi(v))).toSeq
-    def nwalk(node: n.ColumnNode): Seq[(String, Long, Long)] = node match {
+        mk: T => (Option[T], Option[T])): Seq[B] =
+      (for { nm <- nname(a); v <- nlit(b) }
+        yield { val (lo, hi) = mk(v); (nm, lo, hi) }).toSeq
+    def nwalk(node: n.ColumnNode): Seq[B] = node match {
       case e: classic.ExpressionColumnNode => cwalk(e.expression)
       case f: n.UnresolvedFunction =>
         val a = f.arguments
         f.functionName match {
           case "and" => a.flatMap(nwalk)
           case "=" | "==" if a.length == 2 =>
-            nrange(a(0), a(1), v => v, v => v) ++
-              nrange(a(1), a(0), v => v, v => v)
-          case ">" if a.length == 2 =>
-            nrange(a(0), a(1), v => v, _ => Long.MaxValue) ++
-              nrange(a(1), a(0), _ => Long.MinValue, v => v)
-          case ">=" if a.length == 2 =>
-            nrange(a(0), a(1), v => v, _ => Long.MaxValue) ++
-              nrange(a(1), a(0), _ => Long.MinValue, v => v)
-          case "<" if a.length == 2 =>
-            nrange(a(0), a(1), _ => Long.MinValue, v => v) ++
-              nrange(a(1), a(0), v => v, _ => Long.MaxValue)
-          case "<=" if a.length == 2 =>
-            nrange(a(0), a(1), _ => Long.MinValue, v => v) ++
-              nrange(a(1), a(0), v => v, _ => Long.MaxValue)
+            nrange(a(0), a(1), v => (Some(v), Some(v))) ++
+              nrange(a(1), a(0), v => (Some(v), Some(v)))
+          case ">" | ">=" if a.length == 2 =>
+            nrange(a(0), a(1), v => (Some(v), None)) ++
+              nrange(a(1), a(0), v => (None, Some(v)))
+          case "<" | "<=" if a.length == 2 =>
+            nrange(a(0), a(1), v => (None, Some(v))) ++
+              nrange(a(1), a(0), v => (Some(v), None))
           case "in" if a.length >= 2 =>
             val vs = a.drop(1).map(nlit)
             if (vs.forall(_.isDefined))
-              nname(a.head).map(nm => (nm, vs.flatten.min, vs.flatten.max)).toSeq
+              nname(a.head).map(nm =>
+                (nm, Some(vs.flatten.min), Some(vs.flatten.max))).toSeq
             else Seq.empty
           case _ => Seq.empty
         }
@@ -125,6 +183,12 @@ object GraftBridge {
 
     nwalk(c.node)
       .groupBy(_._1)
-      .map { case (col, bs) => col -> (bs.map(_._2).max, bs.map(_._3).min) }
+      .map { case (col, bs) =>
+        val los = bs.flatMap(_._2)
+        val his = bs.flatMap(_._3)
+        col -> (if (los.isEmpty) None else Some(los.max),
+          if (his.isEmpty) None else Some(his.min))
+      }
+      .filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
   }
 }

@@ -557,6 +557,25 @@ class MergeSpec extends SparkSpec {
     GraftMerge.updateWhere(spark, dir, col("v") === flit("v0"),
       Seq("v" -> flit("z0")))
     assert(kvRows("SELECT * FROM psql.tpcds.mgS").contains(0 -> "z0"))
+
+    // STRING channel: byte-bound extraction and pruning on a
+    // string-clustered table (the takedown-by-source/tenant shape)
+    val sb = org.apache.spark.sql.GraftBridge.conjunctStrBounds(
+      col("g") === "g2" && col("k") > 3)
+    assert(sb.keySet == Set("g"), sb.toString)
+    (0 until 40).map(k => (k, s"g${k / 10}")).toDF("k", "g")
+      .repartitionByRange(4, col("g")).createOrReplaceTempView("mg_srcT")
+    spark.sql("""CREATE TABLE psql.tpcds.mgT TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcT""".stripMargin)
+    val dirT = s"$root/mgT.parquet"
+    val statsT = GraftVersions.manifestStats(dirT, 1)
+    assert(statsT.values.forall(_.contains("g")), statsT.toString)
+    val (_, reusedT, rewrittenT) =
+      GraftMerge.deleteFrom(spark, dirT, col("g") === "g2")
+    assert(rewrittenT == 1 && reusedT == 3,
+      s"string-clustered delete: reused=$reusedT rewritten=$rewrittenT")
+    assert(spark.sql("SELECT k FROM psql.tpcds.mgT").collect()
+      .map(_.getInt(0)).toSet == ((0 until 20) ++ (30 until 40)).toSet)
   }
 
   test("mixed-verb races (merge + delete + compact) converge interleaving-independently") {
