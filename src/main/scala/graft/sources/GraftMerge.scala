@@ -348,6 +348,45 @@ object GraftMerge {
     (base, big.size, small.size)
   }
 
+  /** Re-CLUSTER the table (the `OPTIMIZE … ZORDER BY`-style layout
+    * verb): rewrite the CURRENT snapshot range-partitioned on `cols`
+    * into `targetFiles` files and commit the result — after which the
+    * per-file manifest stats become SELECTIVE on those columns, and
+    * every copy-on-write verb whose predicate hits them prunes its
+    * discovery from the manifest alone (the measured 35.7×→flat gap
+    * in SCALEPROOF.md's r13 table). O(table) BY DESIGN — a layout
+    * rewrite is; it runs rarely (after bulk ingest, before a takedown
+    * campaign), amortized over every subsequent pruned operation, and
+    * old snapshots keep the old layout until retention. Logically a
+    * no-op (row set unchanged); conflicts detected at the atomic
+    * publish, rebase-retried like the other read-modify-write verbs.
+    * Returns (base snapshot, files replaced). */
+  def cluster(spark: SparkSession, dir: String, cols: Seq[String],
+      targetFiles: Int, maxRetries: Int = 0): (Int, Int) = {
+    var attempt = 0
+    var last: java.util.ConcurrentModificationException = null
+    while (attempt <= maxRetries) {
+      try return clusterOnce(spark, dir, cols, targetFiles)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def clusterOnce(spark: SparkSession, dir: String,
+      cols: Seq[String], targetFiles: Int): (Int, Int) = {
+    val base = GraftVersions.current(dir)
+    require(base >= 1, s"$dir: clustering needs at least one committed snapshot")
+    require(cols.nonEmpty, s"$dir: clustering needs at least one column")
+    val files = GraftVersions.manifest(dir, base)
+    val packed = readSnapshot(spark, dir, base, files)
+      .repartitionByRange(targetFiles, cols.map(col): _*)
+    GraftVersions.mergeCommit(dir, base, Seq.empty, packed)
+    (base, files.size)
+  }
+
   /** Change data feed between two snapshots, FROM THE MANIFESTS alone:
     * added rows live in files v2's manifest has and v1's lacks,
     * removed rows in the reverse set — so the diff costs O(changed

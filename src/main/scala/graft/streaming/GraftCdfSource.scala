@@ -133,11 +133,20 @@ private class GraftCdfTable(tschema: StructType, path: String)
     () => new Scan {
       override def readSchema(): StructType = tschema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream =
+          : MicroBatchStream = {
+        val byVersion = Option(options.get("startingVersion")).map(_.toInt)
+        // epoch MICROS, the `TIMESTAMP AS OF` ledger's unit: replay
+        // begins at the first version committed AFTER the instant
+        val byTime = Option(options.get("startingTimestampMicros"))
+          .map(t => GraftVersions.versionAt(path, t.toLong).getOrElse(0))
+        require(byVersion.isEmpty || byTime.isEmpty,
+          "graft-cdf: startingVersion and startingTimestampMicros are " +
+            "mutually exclusive")
         new GraftCdfStream(path, tschema,
           Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-          Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+          byVersion.orElse(byTime).getOrElse(0),
           Option(options.get("includeRemoved")).exists(_.toBoolean))
+      }
     }
 }
 

@@ -578,6 +578,36 @@ class MergeSpec extends SparkSpec {
       .map(_.getInt(0)).toSet == ((0 until 20) ++ (30 until 40)).toSet)
   }
 
+  test("re-clustering turns an all-files predicate into a one-file predicate") {
+    val root = freshRoot()
+    import spark.implicits._
+    // k-clustered layout: every g value appears in EVERY file, so a
+    // g-predicate delete must touch all of them …
+    (0 until 40).map(k => (k, s"g${k % 4}")).toDF("k", "g")
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("mg_srcC")
+    spark.sql("""CREATE TABLE psql.tpcds.mgC TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcC""".stripMargin)
+    val dir = s"$root/mgC.parquet"
+    val (_, _, rwBefore) = GraftMerge.deleteFrom(spark, dir, col("g") === "g9")
+    assert(rwBefore == 0) // no match — but discovery had no g selectivity
+    val before = spark.sql("SELECT k, g FROM psql.tpcds.mgC").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // … re-cluster on g: O(table) once, then g-predicates prune
+    val (_, replaced) = GraftMerge.cluster(spark, dir, Seq("g"), 4)
+    assert(replaced == 4)
+    assert(spark.sql("SELECT k, g FROM psql.tpcds.mgC").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == before,
+      "clustering changed the row set")
+    // old snapshot keeps the old layout; new manifest has g-selective stats
+    val stats = GraftVersions.manifestStats(dir, GraftVersions.current(dir))
+    assert(stats.values.forall(_.contains("g")), stats.toString)
+    val (_, reused, rewritten) = GraftMerge.deleteFrom(spark, dir, col("g") === "g2")
+    assert(rewritten == 1 && reused == 3,
+      s"clustered g-delete: reused=$reused rewritten=$rewritten")
+    assert(spark.sql("SELECT g FROM psql.tpcds.mgC").collect()
+      .map(_.getString(0)).toSet == Set("g0", "g1", "g3"))
+  }
+
   test("mixed-verb races (merge + delete + compact) converge interleaving-independently") {
     val root = freshRoot()
     import spark.implicits._

@@ -461,6 +461,46 @@ class StreamingSpec extends SparkSpec {
     assert(lateAcc.values.flatten.toSet == Set(5, 6), lateAcc.toString)
   }
 
+  test("DSv2 CDF source starts from a timestamp via the commit ledger") {
+    import spark.implicits._
+    import graft.sources.GraftVersions
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf5").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    GraftVersions.commit(dir, Seq((1, "a")).toDF("k", "v"), overwrite = false)
+    Thread.sleep(5)
+    GraftVersions.commit(dir, Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    val commits = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/_commits"))
+      .toArray.map(_.toString.split("=")(1).toLong)
+    // an instant between the two commits → replay begins at v2
+    val acc = new scala.collection.concurrent.TrieMap[Long, Set[Int]]
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir)
+      .option("startingTimestampMicros", (commits(1) - 1).toString)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        acc(id) = batch.select(col("k")).collect().map(_.getInt(0)).toSet
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc.values.flatten.toSet == Set(2), acc.toString)
+    // both start options together are rejected loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.streaming.GraftCdfProvider")
+        .option("path", dir).option("startingVersion", "1")
+        .option("startingTimestampMicros", "0").load()
+        .writeStream.foreachBatch(
+          (_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")),
+      e.toString)
+  }
+
   test("DSv2 CDF source removed-rows channel equals the batch snapshot diff") {
     import spark.implicits._
     import graft.sources.{GraftMerge, GraftVersions}
