@@ -1322,10 +1322,64 @@ object Pipeline {
       .orderBy(col("pos"))
   }
 
+  /** Cross-source contamination matrix (p24) — the corpus-level
+    * leakage audit run before a source may serve as held-out eval
+    * data: for every ordered source pair (a, b), how many of a's
+    * distinct word 5-gram shingles also occur in b, and what fraction
+    * of a that is. High frac(a→b) means source a is NOT independent
+    * of b (mirrored crawls, syndicated text) and can't validate a
+    * model trained on b.
+    *
+    * Scale: shingles travel as sha256 digests; ONE groupBy(digest)
+    * folds each gram's source set map-side (collect_set is bounded by
+    * the source catalog, ~10²–10³ named datasets, not by corpus
+    * size), pair expansion explodes only per-gram source sets, and
+    * per-source denominators ride the same aggregate — no gram↔gram
+    * join, nothing quadratic in documents. */
+  val sourceOverlap: QueryEntry = QueryEntry(
+    "p24_source_overlap",
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT source, unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+      |          i -> sha256(array_to_string(ws[i:i+4], ' ')))) AS sh FROM w),
+      |g AS (SELECT DISTINCT source, sh FROM g0),
+      |na AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY 1),
+      |o AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_overlap
+      |      FROM g a JOIN g b USING (sh) WHERE a.source <> b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_grams, n_overlap,
+      |       CAST(n_overlap AS DOUBLE) / n_grams AS frac
+      |FROM o JOIN na ON na.source = o.src_a
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.documents(s, d).select(col("source"),
+      explode(when(size(ws) >= 5, expr(
+          "zip_with(zip_with(zip_with(zip_with(" +
+            "slice(split(text, ' '), 1, size(split(text, ' ')) - 4), " +
+            "slice(split(text, ' '), 2, size(split(text, ' ')) - 4), (a, b) -> concat(a, ' ', b)), " +
+            "slice(split(text, ' '), 3, size(split(text, ' ')) - 4), (x, c) -> concat(x, ' ', c)), " +
+            "slice(split(text, ' '), 4, size(split(text, ' ')) - 4), (x, d) -> concat(x, ' ', d)), " +
+            "slice(split(text, ' '), 5, size(split(text, ' ')) - 4), (x, e) -> sha2(concat(x, ' ', e), 256))"))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+    val bySh = g.groupBy(col("sh"))
+      .agg(collect_set(col("source")).as("srcs"))
+    val pairs = bySh
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val na = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    pairs.join(broadcast(na), col("src_a") === col("source"))
+      .select(col("src_a"), col("src_b"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("frac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
       globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
-      datasetCard, multimodalPack, zorderLayout, lossMask, epochInterleave)
+      datasetCard, multimodalPack, zorderLayout, lossMask, epochInterleave,
+      sourceOverlap)
 }

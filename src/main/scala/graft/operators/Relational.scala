@@ -1223,6 +1223,39 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Recursive CTE (q80) — iterative hierarchy traversal as a native
+    * SQL statement (WITH RECURSIVE, new surface in Spark 4.x): each
+    * document walks the binary-heap ancestor chain parent = id div 2
+    * up to the root, accumulating depth and path character mass.
+    * The per-iteration step is a hash join of the shrinking frontier
+    * against the dimension on its key, so a D-deep hierarchy costs D
+    * bounded joins — the plan shape that lets org-chart / category-
+    * tree rollups run distributed instead of in driver loops.
+    * Arithmetic is all-integer, so the fixpoint is hash-exact against
+    * DuckDB's recursive evaluation of the same chain. */
+  lazy val recursiveAncestors: QueryEntry = QueryEntry(
+    "q80_recursive_cte",
+    """WITH RECURSIVE walk(doc_id, cur, depth, path_chars) AS (
+      |  SELECT doc_id, doc_id, 0, n_chars FROM documents WHERE doc_id >= 1
+      |  UNION ALL
+      |  SELECT w.doc_id, d.doc_id, w.depth + 1, w.path_chars + d.n_chars
+      |  FROM walk w JOIN documents d ON d.doc_id = w.cur // 2
+      |  WHERE w.cur > 1)
+      |SELECT doc_id, depth, path_chars
+      |FROM walk WHERE cur = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql(
+      """WITH RECURSIVE walk(doc_id, cur, depth, path_chars) AS (
+        |  SELECT doc_id, doc_id, 0, n_chars FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT w.doc_id, d.doc_id, w.depth + 1, w.path_chars + d.n_chars
+        |  FROM walk w JOIN documents d ON d.doc_id = w.cur div 2
+        |  WHERE w.cur > 1)
+        |SELECT doc_id, depth, path_chars
+        |FROM walk WHERE cur = 1 ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[QueryEntry] = Seq(
     aggPushdownSum, scanGroupAgg, joinAggTopN, leftJoinCaseAgg,
     exceptChainCount, distinctKeys, semiJoin, antiJoin, intersectCount,
@@ -1235,7 +1268,8 @@ object Relational {
     arrayAgg, likePredicates, summaryStats, tpchQ4, tpchQ12, tpchQ18,
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
-    saltedSkewJoin, queryProfile, heterogeneousFederation)
+    saltedSkewJoin, queryProfile, heterogeneousFederation,
+    recursiveAncestors)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -647,8 +647,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature linear classifier inference (t18) — the
+    * model-based quality-filter stage (fastText-style bag-of-words
+    * scorer): each token hashes into one of 256 weight buckets
+    * (first 16 bits of sha256, mod 256 — stable across engines), the
+    * weight table is a 256-row broadcast relation (standing in for
+    * trained weights; here derived by a fixed LCG so the oracle can
+    * rebuild it), and a document's score is the sum of its tokens'
+    * bucket weights in integer milli-units. `keep = score > 0` is the
+    * filter decision.
+    *
+    * Scale: the weight table is O(vocab-buckets) and broadcasts — the
+    * exact shape real classifier inference needs (weights ship to
+    * executors once, never shuffle). Token rows reduce by doc_id with
+    * map-side partial sums; integer milli-unit scores make the
+    * reduction order-independent, so the result is hash-exact under
+    * any partitioning. */
+  val hashedClassifier: QueryEntry = QueryEntry(
+    "t18_hashed_classifier",
+    """WITH wt AS (
+      |  SELECT CAST(b AS INTEGER) AS bucket,
+      |         CAST((b * 1103515245 + 12345) % 2001 - 1000 AS BIGINT) AS w_milli
+      |  FROM range(256) t(b)),
+      |tok AS (
+      |  SELECT doc_id,
+      |         CAST(CAST('0x' || substr(sha256(w), 1, 4) AS INTEGER) % 256 AS INTEGER) AS bucket
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM(w_milli) AS BIGINT) AS score_milli,
+      |       SUM(w_milli) > 0 AS keep
+      |FROM tok JOIN wt USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val wt = s.range(256).toDF("b")
+      .select(col("b").cast("int").as("bucket"),
+        ((col("b") * 1103515245L + 12345L) % 2001L - 1000L).as("w_milli"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(sha2(col("w"), 256), 1, 4), 16, 10).cast("int")
+          % 256).as("bucket"))
+      .join(broadcast(wt), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_milli")).as("score_milli"))
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+        (col("score_milli") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     quality, tokenStats, langId, fingerprint, tfidfTopTerms, topBigrams,
     wordPositions, normalize, tfCosinePairs, rankScore, bigramCoverage,
-    maxRun, lexicalDiversity, redact, unigramNll, readability, charEntropy)
+    maxRun, lexicalDiversity, redact, unigramNll, readability, charEntropy,
+    hashedClassifier)
 }

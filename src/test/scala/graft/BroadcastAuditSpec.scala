@@ -68,6 +68,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "q79_heterogeneous_federation" -> (Fixed, "Derby nation dim over JDBC: 25 rows at every SF (TPC-H nation is constant); the hint exists because a JDBC relation reports no size stats, so the planner would otherwise broadcast the parquet FACT side"),
     // --- text / pipeline: profiles, vocabularies, stat cells ---
     "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
+    "t18_hashed_classifier" -> (Fixed, "hashed-feature weight table: exactly 256 rows (the bucket space) at every SF — model weights are corpus-independent by construction"),
+    "p24_source_overlap" -> (Bounded, "per-source denominator aggregate: one row per source in the catalog (20 here; named datasets, not documents, at any corpus size)"),
     "t05_tfidf_topterms" -> (Fixed, "scalar doc-count relation, 1 row"),
     "p10_quality_funnel" -> (Fixed, "scalar total-docs relation feeding rate computation, 1 row"),
     "t10_rank_score" -> (Bounded, "frequency-thresholded vocabulary: O(kept token types), generator vocab is ~fixed"),

@@ -152,4 +152,65 @@ class CorpusMetricsSpec extends SparkSpec {
       yield math.abs(cos(qe, ne) - 0.30)).min
     assert(margin > 1e-6, s"cosine within $margin of threshold")
   }
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t18 classifier matches a driver-side hashed-linear recompute") {
+    def weight(b: Long): Long = (b * 1103515245L + 12345L) % 2001L - 1000L
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val score = toks.map { w =>
+        weight(java.lang.Integer.parseInt(sha256hex(w).take(4), 16) % 256)
+      }.sum
+      id -> ((toks.length.toLong, score, score > 0))
+    }.toMap
+    val got = SparkEntry.queries("t18_hashed_classifier")(spark, sf1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score_milli"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got == expected)
+    // the decision is non-trivial on this corpus: both classes occur
+    val kept = got.values.count(_._3)
+    assert(kept > 0 && kept < got.size, s"degenerate filter: $kept/${got.size}")
+  }
+
+  test("p24 overlap matrix matches driver-side pairwise set intersections") {
+    val bySrc = spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.flatMap { case (_, t) =>
+          t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" "))
+        }.toSet
+      }
+    val expected = (for {
+      (a, ga) <- bySrc.toSeq; (b, gb) <- bySrc.toSeq if a != b
+      n = ga.intersect(gb).size if n > 0
+    } yield (a, b) -> ((ga.size.toLong, n.toLong, n.toDouble / ga.size))).toMap
+    val got = SparkEntry.queries("p24_source_overlap")(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"),
+          r.getAs[Double]("frac")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "no overlapping source pair at sf0.001")
+  }
+
+  test("q80 recursive CTE matches a driver-side ancestor walk") {
+    val chars = spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = chars.keys.filter(_ >= 1).map { id =>
+      var cur = id; var depth = 0L; var path = chars(id)
+      while (cur > 1) { cur /= 2; depth += 1; path += chars(cur) }
+      id -> ((depth, path))
+    }.toMap
+    val got = SparkEntry.queries("q80_recursive_cte")(spark, sf1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("depth").toLong, r.getAs[Long]("path_chars")))).toMap
+    assert(got == expected)
+    // the hierarchy is genuinely deep: a heap over n docs has lg(n) levels
+    assert(got.values.map(_._1).max >= 7)
+  }
 }
