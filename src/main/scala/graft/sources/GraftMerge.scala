@@ -344,7 +344,8 @@ object GraftMerge {
     val (small, big) = files.partition(f => new java.io.File(f).length() < smallBytes)
     if (small.size <= 1) return (base, files.size, 0) // nothing to gain
     val packed = readSnapshot(spark, dir, base, small).repartition(targetFiles)
-    GraftVersions.mergeCommit(dir, base, big.map(pathName), packed)
+    GraftVersions.mergeCommit(dir, base, big.map(pathName), packed,
+      dataChange = false)
     (base, big.size, small.size)
   }
 
@@ -383,7 +384,8 @@ object GraftMerge {
     val files = GraftVersions.manifest(dir, base)
     val packed = readSnapshot(spark, dir, base, files)
       .repartitionByRange(targetFiles, cols.map(col): _*)
-    GraftVersions.mergeCommit(dir, base, Seq.empty, packed)
+    GraftVersions.mergeCommit(dir, base, Seq.empty, packed,
+      dataChange = false)
     (base, files.size)
   }
 

@@ -600,6 +600,25 @@ private[graft] object GraftVersions {
     * [[statsSuffixes]]); the name is everything before the first tab. */
   private def lineName(l: String): String = l.takeWhile(_ != '\t')
 
+  /** Header marking a LAYOUT-ONLY commit (compaction, re-clustering):
+    * the snapshot's row set is identical to its predecessor's — files
+    * changed, data did not (Delta's `dataChange=false` distinction).
+    * The change-data feed skips such versions entirely; without the
+    * marker a 100 TB compaction would replay the whole table into
+    * every downstream incremental consumer as delete+insert. */
+  private val layoutMarker = "#layout"
+
+  /** True when snapshot `v` was committed as layout-only (its manifest
+    * carries the `#layout` header). Tombstoned manifests lose the
+    * header with the rest of their lines, which is fine — expired
+    * versions are skipped by liveness before this is consulted. */
+  def isLayoutOnly(dir: String, v: Int): Boolean = {
+    val f = manifestFile(dir, v)
+    f.exists() &&
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .exists(_ == layoutMarker)
+  }
+
   /** Raw (non-comment) manifest lines, stats included — the form
     * commits carry forward so kept-by-reference files KEEP their
     * skipping stats across snapshots. */
@@ -1198,9 +1217,14 @@ private[graft] object GraftVersions {
     * retry-safe — the kept-file set was derived by reading snapshot
     * `expectedBase`, so if any other writer committed in between, the
     * merge would silently drop their rows; detect the conflict at the
-    * atomic publish and fail loudly instead. */
+    * atomic publish and fail loudly instead.
+    *
+    * `dataChange = false` marks the commit LAYOUT-ONLY (`#layout`
+    * header): same rows, different files — compaction/re-clustering.
+    * Only callers whose rewrite provably preserves the row set may
+    * pass it; the change-data feed skips marked versions. */
   def mergeCommit(dir: String, expectedBase: Int, keepNames: Seq[String],
-      data: DataFrame): Unit = {
+      data: DataFrame, dataChange: Boolean = true): Unit = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val v = expectedBase + 1
     val moved = stageFiles(dir, data, v, nonce)
@@ -1210,7 +1234,8 @@ private[graft] object GraftVersions {
     val keepSet = keepNames.toSet
     val keepLines = manifestLines(dir, expectedBase)
       .filter(l => keepSet.contains(lineName(l)))
-    if (!tryPublish(dir, v, keepLines ++ newLines, nonce)) {
+    val header = if (dataChange) Seq.empty else Seq(layoutMarker)
+    if (!tryPublish(dir, v, header ++ keepLines ++ newLines, nonce)) {
       // lost the race: surrender our staged files (they are orphans —
       // no manifest references them; a later expire may vacuum them
       // once their version prefix falls at or below the pointer)

@@ -85,17 +85,23 @@ object DocsStreaming {
       .select(split(col("value"), "\t").getItem(0).as("file"),
         regexp_extract(input_file_name(), "v(\\d+)\\.txt$", 1)
           .cast("int").as("version"))
-      // keep only files ADDED by this snapshot (its own version prefix);
-      // carried-forward predecessor files and tombstone markers drop out
-      .filter(expr("startswith(file, concat('v', cast(version as string), '-'))"))
+      // keep files ADDED by this snapshot (its own version prefix) plus
+      // the layout-only header; carried-forward predecessor files and
+      // tombstone markers drop out
+      .filter(expr("startswith(file, concat('v', cast(version as string), '-'))" +
+        " OR file = '#layout'"))
     manifests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val byVersion = batch.collect()
           .map(r => r.getInt(1) -> r.getString(0))
           .groupBy(_._1)
         byVersion.toSeq.sortBy(_._1).foreach { case (v, rows) =>
-          val paths = rows.map { case (_, name) => s"$dir/data/$name" }
-          consume(v, batch.sparkSession.read.parquet(paths.toIndexedSeq: _*))
+          // a layout-only commit (compaction/re-clustering) rewrote
+          // files without changing rows — no delta for consumers
+          if (!rows.exists(_._2 == "#layout")) {
+            val paths = rows.map { case (_, name) => s"$dir/data/$name" }
+            consume(v, batch.sparkSession.read.parquet(paths.toIndexedSeq: _*))
+          }
         }
         ()
       }

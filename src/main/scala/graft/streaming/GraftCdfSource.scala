@@ -96,9 +96,14 @@ private[graft] object GraftCdfSource {
   }
 
   /** Files ADDED by version `v`: its own version prefix (new files are
-    * staged under `v<N>-`; kept-by-reference predecessors keep theirs). */
+    * staged under `v<N>-`; kept-by-reference predecessors keep theirs).
+    * LAYOUT-ONLY versions (compaction/re-clustering, `#layout` header)
+    * contribute NOTHING: their row set equals the predecessor's, and
+    * without the skip a 100 TB compaction would replay the whole table
+    * into every incremental consumer. */
   def addedFiles(dir: String, v: Int): Seq[String] =
-    GraftVersions.manifest(dir, v).filter { p =>
+    if (GraftVersions.isLayoutOnly(dir, v)) Seq.empty
+    else GraftVersions.manifest(dir, v).filter { p =>
       p.substring(p.lastIndexOf('/') + 1).startsWith(s"v$v-")
     }
 
@@ -115,6 +120,9 @@ private[graft] object GraftCdfSource {
     // whole-table delete (its adds are equally gone; the documented
     // fell-behind-retention contract)
     if (!GraftVersions.isLive(dir, v)) return Seq.empty
+    // layout-only versions replace files without changing rows — no
+    // delete delta, matching addedFiles' skip
+    if (GraftVersions.isLayoutOnly(dir, v)) return Seq.empty
     val now = GraftVersions.manifest(dir, v)
       .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
     GraftVersions.manifest(dir, v - 1).filterNot { p =>

@@ -589,4 +589,60 @@ class StreamingSpec extends SparkSpec {
       (2L, Seq(3.0f, 4.0f), None, 1),
       (3L, Seq(5.0f), Some("t3"), 3)), acc.toString)
   }
+
+  test("CDF skips layout-only commits (compaction/re-cluster, dataChange=false)") {
+    import spark.implicits._
+    import graft.sources.{GraftMerge, GraftVersions}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf6").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // v1–v2: appends fragment the table; v3: compaction (layout-only);
+    // v4: re-cluster (layout-only); v5: a real append after them
+    GraftVersions.commit(dir,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(2, col("k")),
+      overwrite = false)
+    GraftVersions.commit(dir, Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    GraftMerge.compact(spark, dir, smallBytes = 1L << 20)
+    GraftMerge.cluster(spark, dir, Seq("k"), targetFiles = 1)
+    GraftVersions.commit(dir, Seq((4, "d")).toDF("k", "v"), overwrite = false)
+    assert(GraftVersions.current(dir) == 5)
+    assert(GraftVersions.isLayoutOnly(dir, 3) && GraftVersions.isLayoutOnly(dir, 4))
+    assert(!GraftVersions.isLayoutOnly(dir, 2) && !GraftVersions.isLayoutOnly(dir, 5))
+    // DSv2 source, both channels: the layout versions contribute ZERO
+    // rows — without the skip, v3/v4 would replay the whole table as
+    // delete+insert into every incremental consumer
+    val acc = new scala.collection.concurrent.TrieMap[(Int, String), Set[Int]]
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir).option("includeRemoved", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("k"), col("_cdf_version"), col("_change_type"))
+          .collect().groupBy(r => (r.getInt(1), r.getString(2)))
+          .foreach { case (key, rows) =>
+            acc(key) = acc.getOrElse(key, Set.empty) ++ rows.map(_.getInt(0))
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc == scala.collection.concurrent.TrieMap(
+      (1, "insert") -> Set(1, 2), (2, "insert") -> Set(3),
+      (5, "insert") -> Set(4)), acc.toString)
+    // the text-ledger stream applies the same skip
+    val tacc = new scala.collection.concurrent.TrieMap[Int, Set[Int]]
+    val tq = graft.streaming.DocsStreaming.cdfStream(spark, dir) { (v, df) =>
+      tacc(v) = df.select(col("k")).collect().map(_.getInt(0)).toSet
+    }.start()
+    try tq.processAllAvailable() finally tq.stop()
+    assert(tacc == scala.collection.concurrent.TrieMap(
+      1 -> Set(1, 2), 2 -> Set(3), 5 -> Set(4)), tacc.toString)
+    // the batch snapshot diff stays FILE-level by contract: across the
+    // compaction it reports the rewritten files on both sides even
+    // though the row set is unchanged — the row-change feed and the
+    // file-change diff answer different questions
+    val (added, removed) = GraftMerge.snapshotDiff(spark, dir, 2, 3)
+    assert(added.count() > 0 && removed.count() > 0)
+    assert(added.select(col("k")).collect().map(_.getInt(0)).toSet ==
+      removed.select(col("k")).collect().map(_.getInt(0)).toSet)
+  }
 }
