@@ -55,7 +55,8 @@ object ScaleProof {
     "s22_hybrid_search", "m06_audio_frames", "p20_multimodal_pack", "e16_incremental_agg",
     "d22_ngram_novelty", "t16_readability", "p22_loss_mask", "s23_range_search",
     "e17_sliding_hll_distinct", "p21_zorder_layout", "t17_char_entropy",
-    "p23_epoch_interleave", "s24_index_stats")
+    "p23_epoch_interleave", "s24_index_stats",
+    "t18_hashed_classifier", "p24_source_overlap", "q80_recursive_cte")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

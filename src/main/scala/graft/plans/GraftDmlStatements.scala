@@ -46,6 +46,27 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
         if m.resolved =>
       translateMerge(path, targetOut, source, cond, matched, notMatched,
         notMatchedBySource, withSchemaEvolution)
+
+    // maintenance statements (OPTIMIZE / VACUUM, GraftSqlParser): the
+    // analyzer resolved the relation; bind the command to the table dir
+    case GraftOptimizeStatement(child, zorder) if child.resolved =>
+      child match {
+        case GraftTarget(path, _) => GraftOptimizeCommand(path, zorder)
+        case _ => throw new UnsupportedOperationException(
+          "OPTIMIZE supports graft versioned tables only")
+      }
+    case GraftVacuumStatement(child, retain) if child.resolved =>
+      child match {
+        case GraftTarget(path, _) => GraftVacuumCommand(path, retain)
+        case _ => throw new UnsupportedOperationException(
+          "VACUUM supports graft versioned tables only")
+      }
+    case GraftDescribeHistoryStatement(child) if child.resolved =>
+      child match {
+        case GraftTarget(path, _) => GraftDescribeHistoryCommand(path)
+        case _ => throw new UnsupportedOperationException(
+          "DESCRIBE HISTORY supports graft versioned tables only")
+      }
   }
 
   /** A resolved graft versioned-table target (possibly aliased). */

@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GraftMerge's copy-on-write paths before Spark rejects them as
     // unsupported for tables without SupportsRowLevelOperations
     e.injectPostHocResolutionRule(_ => GraftDmlStatements)
+    // OPTIMIZE / VACUUM maintenance statements (delegating parser —
+    // both keywords are invalid stock SQL, everything else passes
+    // through verbatim)
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectOptimizerRule(_ => PushPartialDistinctBelowJoin)
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     e.injectPlannerStrategy(_ => PartialDistinctStrategy)

@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.{GraftMerge, GraftVersions}
+
+/** Native SQL maintenance statements for graft versioned tables:
+  *
+  *   - `OPTIMIZE <table>` — small-file compaction
+  *   - `OPTIMIZE <table> ZORDER BY (c1, c2, …)` — re-cluster the
+  *     layout so manifest stats become selective on those columns
+  *   - `VACUUM <table> [RETAIN <n> VERSIONS]` — expire old snapshots
+  *     and reclaim their exclusive files
+  *
+  * The reference's only interface is SQL text over a wire protocol
+  * (reference: data-loader/loader.py:25-39), and DML already routes as
+  * statements — but an operator who can MERGE and DELETE over the wire
+  * could not compact or expire without a Scala API. These verbs follow
+  * the Delta Lake statement surface (the de-facto lakehouse idiom) via
+  * an injected DELEGATING parser: the two keywords are not valid Spark
+  * SQL, so anything that doesn't match the exact statement shapes
+  * falls through to the stock parser untouched.
+  *
+  * The parser emits an UNRESOLVED statement node around the table
+  * relation; the normal analyzer resolves the relation, and the same
+  * post-hoc rule that routes DML ([[GraftDmlStatements]]) swaps the
+  * statement for a runnable command bound to the table's directory —
+  * resolution, catalog lookup, and temp-view/alias handling all come
+  * from Spark, not from string parsing. Non-graft targets are rejected
+  * loudly at analysis. */
+case class GraftOptimizeStatement(child: LogicalPlan, zorder: Seq[String])
+    extends UnaryNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftOptimizeStatement = copy(child = newChild)
+}
+
+case class GraftVacuumStatement(child: LogicalPlan, retain: Option[Int])
+    extends UnaryNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftVacuumStatement = copy(child = newChild)
+}
+
+case class GraftDescribeHistoryStatement(child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftDescribeHistoryStatement =
+    copy(child = newChild)
+}
+
+/** `OPTIMIZE` execution: compaction (no ZORDER) or re-cluster. Sizing
+  * comes from `spark.sql.graft.optimize.smallFileBytes` (default 128
+  * MiB): compaction rewrites sub-threshold files into ceil(smallBytes
+  * sum / threshold) bin-packed replacements, re-cluster targets
+  * ceil(table bytes / threshold) range-partitioned files. Both commit
+  * layout-only (`dataChange=false`) and rebase-retry on conflicts. */
+case class GraftOptimizeCommand(path: String, zorder: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metric", StringType, nullable = false)(),
+    AttributeReference("value", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val smallBytes = spark.conf
+      .get("spark.sql.graft.optimize.smallFileBytes", (128L << 20).toString)
+      .toLong
+    val files = GraftVersions.manifest(path, GraftVersions.current(path))
+    def target(bytes: Long) =
+      math.max(1L, (bytes + smallBytes - 1) / smallBytes).toInt
+    if (zorder.isEmpty) {
+      val smallSum = files.map(f => new java.io.File(f).length())
+        .filter(_ < smallBytes).sum
+      val (base, kept, compacted) =
+        GraftMerge.compact(spark, path, smallBytes, target(smallSum),
+          maxRetries = 3)
+      Seq(Row("base_version", base.toLong), Row("files_kept", kept.toLong),
+        Row("files_compacted", compacted.toLong))
+    } else {
+      val total = files.map(f => new java.io.File(f).length()).sum
+      val (base, replaced) =
+        GraftMerge.cluster(spark, path, zorder, target(total), maxRetries = 3)
+      Seq(Row("base_version", base.toLong),
+        Row("files_replaced", replaced.toLong))
+    }
+  }
+}
+
+/** `VACUUM` execution: snapshot retention. `RETAIN n VERSIONS` keeps
+  * the newest n snapshots (default
+  * `spark.sql.graft.vacuum.keepLast` = 2); expired snapshots tombstone
+  * and their exclusively-owned files delete past the orphan grace
+  * window — the two-phase protocol [[GraftVersions.expire]] proves. */
+case class GraftVacuumCommand(path: String, retain: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metric", StringType, nullable = false)(),
+    AttributeReference("value", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keep = retain.getOrElse(
+      spark.conf.get("spark.sql.graft.vacuum.keepLast", "2").toInt)
+    val (expired, deleted) = GraftVersions.expire(path, keep)
+    Seq(Row("versions_expired", expired.size.toLong),
+      Row("files_deleted", deleted.size.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY` execution: the table's commit log — one row per
+  * version with its commit instant (µs; −1 if the instant ledger
+  * predates the version), liveness, the layout-only flag, and the
+  * manifest's file count. Driver-side metadata reads only. */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("committed_micros", LongType, nullable = false)(),
+    AttributeReference("live", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("layout_only", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("n_files", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftVersions.history(path).map { case (v, t, live, layout, n) =>
+      Row(v, t, live, layout, n)
+    }
+}
+
+/** Delegating parser: intercepts exactly the two maintenance keywords
+  * (not valid Spark SQL, so nothing legal can shadow them) and hands
+  * every other string — and every non-plan parse — to the stock
+  * parser. Identifiers inside the statements are parsed by the
+  * DELEGATE's multipart-identifier grammar, so quoting/case semantics
+  * match the rest of the dialect. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val vacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val historyRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case historyRe(ident) =>
+      GraftDescribeHistoryStatement(
+        UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim)))
+    case optimizeRe(ident, zorder) =>
+      val rel = UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim))
+      val cols = Option(zorder).toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+        .map { c =>
+          delegate.parseMultipartIdentifier(c) match {
+            case Seq(one) => one
+            case parts => throw new IllegalArgumentException(
+              s"ZORDER BY supports top-level columns only, got: " +
+                parts.mkString("."))
+          }
+        }
+      GraftOptimizeStatement(rel, cols)
+    case vacuumRe(ident, retain) =>
+      GraftVacuumStatement(
+        UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim)),
+        Option(retain).map(_.toInt))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

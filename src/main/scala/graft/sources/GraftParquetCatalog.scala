@@ -982,6 +982,20 @@ private[graft] object GraftVersions {
       .filter { case (v, _) => isLive(dir, v) }
       .map(_._2).minOption
 
+  /** Per-version commit log backing `DESCRIBE HISTORY`: (version,
+    * commitMicros — −1 if the instant ledger predates the version,
+    * live, layoutOnly, nFiles). Driver-side metadata only: one
+    * `_commits` read plus one manifest line-count per version. */
+  def history(dir: String): Seq[(Int, Long, Boolean, Boolean, Int)] = {
+    val instants = commitInstants(dir).toMap
+    (1 to current(dir)).map { v =>
+      val live = isLive(dir, v)
+      (v, instants.getOrElse(v, -1L), live,
+        live && isLayoutOnly(dir, v),
+        if (live) manifestLines(dir, v).size else 0)
+    }
+  }
+
   /** Retention: drop every snapshot older than the newest `keepLast`,
     * then delete the data files no SURVIVING manifest references —
     * the vacuum half of the lifecycle. Readers of expired snapshots

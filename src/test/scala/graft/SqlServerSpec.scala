@@ -207,6 +207,19 @@ class SqlServerSpec extends SparkSpec {
         "SELECT COUNT(*) FROM psql.tpcds.wire_dml VERSION AS OF 1")
       rs1.next()
       assert(rs1.getLong(1) == 4)
+      // the MAINTENANCE verbs are wire statements too: compaction and
+      // retention reachable by a remote operator with no Scala API
+      val ro = st.executeQuery("OPTIMIZE psql.tpcds.wire_dml")
+      val metrics = scala.collection.mutable.Map[String, Long]()
+      while (ro.next()) metrics(ro.getString(1)) = ro.getLong(2)
+      assert(metrics("files_compacted") >= 2, metrics.toString)
+      st.execute("VACUUM psql.tpcds.wire_dml RETAIN 1 VERSIONS")
+      val rs2 = st.executeQuery(
+        "SELECT k, v FROM psql.tpcds.wire_dml ORDER BY k")
+      val after = scala.collection.mutable.ListBuffer[(Long, String)]()
+      while (rs2.next()) after += ((rs2.getLong(1), rs2.getString(2)))
+      assert(after.toList == List(0L -> "v0", 1L -> "v1!", 2L -> "merged",
+        9L -> "ins", 100L -> "new"), after.toString)
     } finally {
       conn.close()
       spark.conf.unset("spark.sql.graft.root")
