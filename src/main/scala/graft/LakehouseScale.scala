@@ -105,6 +105,29 @@ object LakehouseScale {
       }.toMap
     }
 
+    // the bloom point channel, measured on an id-UNCORRELATED layout
+    // (hash-partitioned by lang: every file's doc_id range spans the
+    // whole corpus, so min/max stats prune nothing): a point DELETE
+    // without sidecars is the honest O(table) discovery caveat; with
+    // sidecars it reads the manifest + the files that actually hold
+    // the id — the before/after pair for GraftBlooms
+    def pointDelete(copies: Int, files: Int, dir: String,
+        bloom: Boolean): Double = {
+      val docs = if (copies == 1) base else ScaleProof.scaleDocs(base, copies)
+      rmTree(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      if (bloom) spark.conf.set("spark.sql.graft.bloom.columns", "doc_id")
+      // scatter by text (high-cardinality): every file non-empty with
+      // a doc_id range spanning the corpus — the layout where min/max
+      // cannot serve a point predicate
+      try GraftVersions.commit(dir,
+        docs.repartition(files, col("text")), overwrite = false)
+      finally spark.conf.unset("spark.sql.graft.bloom.columns")
+      val t0 = System.nanoTime()
+      GraftMerge.deleteFrom(spark, dir, col("doc_id") === band)
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val root = "/dev/shm/graft-lakescale"
     // warm-up pass absorbs codegen/JIT so the 1× measurement is honest
     run(1, 32, s"$root/warm")
@@ -115,6 +138,14 @@ object LakehouseScale {
         "expire").foreach { v =>
       println(f"$v%-10s ${t1(v)}%9.2f ${tN(v)}%12.2f  ${tN(v) / t1(v)}%5.1f")
     }
+    pointDelete(1, 32, s"$root/pwarm", bloom = true) // warm the path
+    val p1b = pointDelete(1, 32, s"$root/p1b", bloom = true)
+    val pNb = pointDelete(copies, 32 * copies, s"$root/pNb", bloom = true)
+    val p1n = pointDelete(1, 32, s"$root/p1n", bloom = false)
+    val pNn = pointDelete(copies, 32 * copies, s"$root/pNn", bloom = false)
+    println(f"${"point-delete (uncorrelated layout)"}%-34s")
+    println(f"${"  with blooms"}%-34s ${p1b}%6.2f ${pNb}%6.2f  ${pNb / p1b}%5.1f")
+    println(f"${"  without"}%-34s ${p1n}%6.2f ${pNn}%6.2f  ${pNn / p1n}%5.1f")
     rmTree(new java.io.File(root))
     spark.stop()
   }

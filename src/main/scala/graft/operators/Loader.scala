@@ -549,8 +549,96 @@ object Loader {
             |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** Bloom-sidecar point DELETE (l12) — the takedown-by-ID case l08's
+    * min/max skipping cannot serve: the table is deliberately laid out
+    * UNCORRELATED with the deleted key (partitioned by name, deleted
+    * by key — exactly a GDPR "remove these document ids" request
+    * against a date-clustered corpus), so every file's key range
+    * overlaps the points and manifest min/max prunes nothing. With
+    * `spark.sql.graft.bloom.columns` set, each committed file carries
+    * a per-column bloom sidecar (built by ONE grouped
+    * BloomFilterAggregate job at commit, O(new files) driver bytes),
+    * and the copy-on-write discovery probes the IN-list against them —
+    * only files that actually contain a candidate id are read or
+    * rewritten, layout be damned. BloomSkipSpec gates the exact
+    * file accounting, the sound no-sidecar fallback, the unsat-
+    * conjunction empty prune, and vacuum's sidecar cleanup; the entry
+    * hash-gates end-state + snapshot isolation vs the oracle. */
+  val bloomPointDelete: QueryEntry = QueryEntry(
+    "l12_bloom_point_delete",
+    """SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey NOT IN (5, 17)
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val root = scratchBase + "/bl_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      s.conf.set("spark.sql.graft.bloom.columns", "n_nationkey")
+      try {
+        Tables.nation(s, d).createOrReplaceTempView("nation_src")
+        s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_bl")
+        s.sql("""CREATE TABLE psql.tpcds.nations_bl
+                |TBLPROPERTIES('versioned'='true')
+                |AS SELECT /*+ REPARTITION(4, n_name) */ *
+                |FROM nation_src""".stripMargin)
+        s.sql("DELETE FROM psql.tpcds.nations_bl WHERE n_nationkey IN (5, 17)")
+        s.sql("""SELECT 2 AS version, n_nationkey, n_name, n_regionkey
+                |FROM psql.tpcds.nations_bl""".stripMargin)
+          .unionAll(s.sql(
+            """SELECT 1 AS version, n_nationkey, n_name, n_regionkey
+              |FROM psql.tpcds.nations_bl VERSION AS OF 1""".stripMargin))
+          .orderBy(col("version"), col("n_nationkey"))
+      } finally s.conf.unset("spark.sql.graft.bloom.columns")
+    }
+  }
+
+  /** Exactly-once streaming ingest (l13) — foreachBatch is
+    * at-least-once (a crash between table commit and checkpoint write
+    * REPLAYS the last microbatch), so the append sink carries a
+    * `#txn <appId> <batchId>` header ATOMIC with each snapshot commit
+    * and skips any batch at or below the table's high-water mark for
+    * its writer id (the Delta `txn` action design;
+    * [[graft.streaming.DocsStreaming.idempotentAppendSink]]). The
+    * entry drives the sink with the crash-replay interleaving itself —
+    * every batch applied TWICE, plus a stale batch after a simulated
+    * restart — and hash-gates that the final table holds each batch's
+    * rows exactly once. ExactlyOnceSpec gates the live checkpointed
+    * stream, per-writer ledger independence, and ledger survival
+    * across retention. */
+  val exactlyOnceIngest: QueryEntry = QueryEntry(
+    "l13_exactly_once_ingest",
+    """SELECT n_nationkey, n_name FROM nation
+      |UNION ALL
+      |SELECT n_nationkey + 1000, n_name FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT n_nationkey + 2000, n_name FROM nation WHERE n_regionkey = 1
+      |ORDER BY n_nationkey""".stripMargin
+  ) { (s, d) =>
+    val root = scratchBase + "/xo_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_xo")
+      s.sql("""CREATE TABLE psql.tpcds.nations_xo
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT n_nationkey, n_name FROM nation_src""".stripMargin)
+      val dir = s"$root/nations_xo.parquet"
+      val sink = graft.streaming.DocsStreaming
+        .idempotentAppendSink(dir, "l13writer")
+      val b0 = s.sql("""SELECT n_nationkey + 1000 AS n_nationkey, n_name
+                       |FROM nation_src WHERE n_regionkey = 0""".stripMargin)
+      val b1 = s.sql("""SELECT n_nationkey + 2000 AS n_nationkey, n_name
+                       |FROM nation_src WHERE n_regionkey = 1""".stripMargin)
+      sink(b0, 0L); sink(b0, 0L) // crash-replay of batch 0
+      sink(b1, 1L); sink(b1, 1L) // and of batch 1
+      sink(b0, 0L)               // stale batch after restart
+      s.sql("""SELECT n_nationkey, n_name FROM psql.tpcds.nations_xo
+              |ORDER BY n_nationkey""".stripMargin)
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
       schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
-      updateWhereEntry, jdbcExport)
+      updateWhereEntry, jdbcExport, bloomPointDelete, exactlyOnceIngest)
 }

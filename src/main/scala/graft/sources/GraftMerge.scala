@@ -41,11 +41,12 @@ object GraftMerge {
     * backstop). 0 (the default) preserves fail-loudly semantics for
     * callers that orchestrate their own retry. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String, maxRetries: Int = 0): (Int, Int, Int) = {
+      keyCol: String, maxRetries: Int = 0,
+      txn: Option[(String, Long)] = None): (Int, Int, Int) = {
     var attempt = 0
     var last: java.util.ConcurrentModificationException = null
     while (attempt <= maxRetries) {
-      try return mergeOnce(spark, dir, source, keyCol)
+      try return mergeOnce(spark, dir, source, keyCol, txn)
       catch {
         case e: java.util.ConcurrentModificationException =>
           last = e; attempt += 1
@@ -55,7 +56,7 @@ object GraftMerge {
   }
 
   private def mergeOnce(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String): (Int, Int, Int) = {
+      keyCol: String, txn: Option[(String, Long)] = None): (Int, Int, Int) = {
     val base = GraftVersions.current(dir)
     require(base >= 1, s"$dir: MERGE needs at least one committed snapshot")
     val files = GraftVersions.manifest(dir, base)
@@ -93,7 +94,7 @@ object GraftMerge {
         .join(srcKeys, Seq(keyCol), "left_anti")
         .unionByName(source)
     GraftVersions.mergeCommit(dir, base,
-      untouched.map(pathName), survivors)
+      untouched.map(pathName), survivors, txn = txn)
     (base, untouched.size, touched.size)
   }
 
@@ -138,11 +139,20 @@ object GraftMerge {
       pred.map(GraftBridge.conjunctBounds).getOrElse(Map.empty) ++ extraLong
     val strBounds =
       pred.map(GraftBridge.conjunctStrBounds).getOrElse(Map.empty)
-    if (longBounds.isEmpty && strBounds.isEmpty) return files
+    // equality/IN conjuncts additionally yield finite candidate-value
+    // sets, probed against per-file bloom sidecars — the layout-
+    // independent point channel (min/max only prunes a point predicate
+    // when the table happens to be clustered on its column)
+    val longPts =
+      pred.map(GraftBridge.conjunctLongPoints).getOrElse(Map.empty)
+    val strPts =
+      pred.map(GraftBridge.conjunctStrPoints).getOrElse(Map.empty)
+    if (longBounds.isEmpty && strBounds.isEmpty &&
+      longPts.isEmpty && strPts.isEmpty) return files
     val stats = GraftVersions.manifestStats(dir, base)
     def cmp(a: Array[Byte], b: Array[Byte]): Int =
       java.util.Arrays.compareUnsigned(a, b)
-    files.filter { f =>
+    val byStats = files.filter { f =>
       val s = stats.getOrElse(pathName(f), Map.empty[String, GraftColStat])
       longBounds.forall { case (c, (lo, hi)) =>
         s.get(c) match {
@@ -157,6 +167,7 @@ object GraftMerge {
         }
       }
     }
+    GraftBlooms.prune(dir, byStats, longPts, strPts)
   }
 
   /** Read snapshot files with the snapshot's AUTHORITATIVE schema

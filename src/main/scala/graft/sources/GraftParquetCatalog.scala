@@ -1054,8 +1054,12 @@ private[graft] object GraftVersions {
           schemaHdr.head.stripPrefix("#schema ").getBytes("UTF-8"))
       }
       val names = manifest(dir, v).map(p => new java.io.File(p).getName)
-      val content = (s"$expiredMarker $now" +: names.map("#f " + _))
-        .mkString("", "\n", "\n")
+      // carry `#txn` headers through: retention must not forget a
+      // stream's idempotence high-water mark (see [[lastTxn]])
+      val txnHdrs = prevLines.filter(_.startsWith("#txn "))
+      val content =
+        (s"$expiredMarker $now" +: (txnHdrs ++ names.map("#f " + _)))
+          .mkString("", "\n", "\n")
       val tmp = new java.io.File(mf.getParentFile,
         s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
@@ -1083,7 +1087,9 @@ private[graft] object GraftVersions {
     }
     val deleted = Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
       .filter(vacuumable)
-      .map { f => val n = f.getName; f.delete(); n }
+      .map { f =>
+        val n = f.getName; f.delete(); GraftBlooms.dropSidecars(dir, n); n
+      }
     (expired, deleted.toSeq)
   }
 
@@ -1199,7 +1205,8 @@ private[graft] object GraftVersions {
     * Optimistically retried on a lost race — both commit shapes are
     * retry-safe because their manifest is recomputed from the current
     * predecessor on every attempt. */
-  def commit(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
+  def commit(dir: String, data: DataFrame, overwrite: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var v = current(dir) + 1
     var moved = stageFiles(dir, data, v, nonce)
@@ -1213,8 +1220,9 @@ private[graft] object GraftVersions {
         if (overwrite || v == 1) Seq.empty
         else manifestLines(dir, v - 1)
       val newLines = moved.zip(suffixes).map { case (n, s) => n + s }
-      if (tryPublish(dir, v, prev ++ newLines, nonce)) {
+      if (tryPublish(dir, v, txnHeader(txn) ++ prev ++ newLines, nonce)) {
         publishPointer(dir, v)
+        GraftBlooms.write(data.sparkSession, dir, moved, data.schema)
         return
       }
       v = math.max(v + 1, current(dir) + 1)
@@ -1238,7 +1246,8 @@ private[graft] object GraftVersions {
     * Only callers whose rewrite provably preserves the row set may
     * pass it; the change-data feed skips marked versions. */
   def mergeCommit(dir: String, expectedBase: Int, keepNames: Seq[String],
-      data: DataFrame, dataChange: Boolean = true): Unit = {
+      data: DataFrame, dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): Unit = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val v = expectedBase + 1
     val moved = stageFiles(dir, data, v, nonce)
@@ -1248,7 +1257,8 @@ private[graft] object GraftVersions {
     val keepSet = keepNames.toSet
     val keepLines = manifestLines(dir, expectedBase)
       .filter(l => keepSet.contains(lineName(l)))
-    val header = if (dataChange) Seq.empty else Seq(layoutMarker)
+    val header = (if (dataChange) Seq.empty else Seq(layoutMarker)) ++
+      txnHeader(txn)
     if (!tryPublish(dir, v, header ++ keepLines ++ newLines, nonce)) {
       // lost the race: surrender our staged files (they are orphans —
       // no manifest references them; a later expire may vacuum them
@@ -1259,6 +1269,43 @@ private[graft] object GraftVersions {
           s"concurrent commit of v$v — re-read and retry the merge")
     }
     publishPointer(dir, v)
+    GraftBlooms.write(data.sparkSession, dir, moved, data.schema)
+  }
+
+  /** Streaming-transaction header: `#txn <appId> <batchId>` marks the
+    * manifest as microbatch `batchId` of writer `appId`, ATOMIC with
+    * the commit itself — the idempotence token exactly-once sinks
+    * consult ([[lastTxn]]; the Delta `txn` action shape). The appId
+    * must be whitespace-free (it is a caller-chosen identifier, not
+    * data). */
+  private def txnHeader(txn: Option[(String, Long)]): Seq[String] =
+    txn.toSeq.map { case (app, batch) =>
+      require(app.nonEmpty && !app.exists(_.isWhitespace),
+        s"txn appId must be non-empty and whitespace-free: '$app'")
+      s"#txn $app $batch"
+    }
+
+  /** The HIGHEST batch id writer `appId` has committed to this table,
+    * across every manifest in the chain — live or tombstoned (expire
+    * carries `#txn` headers into its tombstones, so retention does not
+    * forget idempotence; the ledger is forgotten only if a tombstoned
+    * manifest FILE itself were removed, which this layout never does).
+    * One header-line read per version — O(versions) driver metadata; a
+    * long-lived stream caches its own high-water mark and consults
+    * this only at (re)start. */
+  def lastTxn(dir: String, appId: String): Option[Long] = {
+    val mdir = new java.io.File(dir, "_manifests")
+    val files = Option(mdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.txt"))
+    val prefix = s"#txn $appId "
+    val batches = files.flatMap { f =>
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .takeWhile(_.startsWith("#"))
+        .collectFirst { case l if l.startsWith(prefix) =>
+          l.stripPrefix(prefix).trim.toLong
+        }
+    }
+    if (batches.isEmpty) None else Some(batches.max)
   }
 }
 

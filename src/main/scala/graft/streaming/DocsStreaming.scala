@@ -54,6 +54,54 @@ object DocsStreaming {
         ()
       }
 
+  /** EXACTLY-ONCE microbatch sinks. `foreachBatch` alone is
+    * at-least-once: after a crash between the table commit and the
+    * checkpoint write, Structured Streaming REPLAYS the last batch —
+    * without an idempotence token the replay double-applies (an upsert
+    * tolerates it; an append or any non-idempotent merge does not).
+    * The token here is the `#txn <appId> <batchId>` manifest header
+    * ([[graft.sources.GraftVersions.lastTxn]]), written ATOMICALLY
+    * with the snapshot commit — the Delta `txn` action design. Each
+    * batch first consults the table's high-water mark for its writer
+    * id and skips batches at or below it, so the
+    * crash-replay interleaving commits each batch's rows exactly once.
+    * Batch ids are monotonic per query by Structured Streaming's
+    * contract; `appId` names the WRITER (stable across restarts —
+    * e.g. the checkpoint location), so two different streams into one
+    * table keep independent ledgers. Retention preserves the ledger:
+    * expire carries `#txn` headers into its tombstones. At 100 TB the
+    * check is one driver-side header scan per batch (and a restarted
+    * stream's FIRST batch is the only one that can ever be stale). */
+  def idempotentAppendSink(dir: String, appId: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty &&
+        graft.sources.GraftVersions.lastTxn(dir, appId).forall(_ < batchId))
+      graft.sources.GraftVersions.commit(dir, batch, overwrite = false,
+        txn = Some((appId, batchId)))
+  }
+
+  /** [[idempotentAppendSink]]'s MERGE twin: the CDC upsert stream with
+    * a crash-replay guarantee (merge-with-counters or delete-markers
+    * would double-apply without it). */
+  def idempotentMergeSink(dir: String, keyCol: String, appId: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty &&
+        graft.sources.GraftVersions.lastTxn(dir, appId).forall(_ < batchId))
+      graft.sources.GraftMerge.mergeInto(batch.sparkSession, dir, batch,
+        keyCol, txn = Some((appId, batchId)))
+    ()
+  }
+
+  /** [[mergeStream]] with the exactly-once token attached. */
+  def mergeStreamExactlyOnce(dir: String, keyCol: String, appId: String,
+      updates: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = idempotentMergeSink(dir, keyCol, appId)
+    updates.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      sink(b, id); ()
+    }
+  }
+
   /** Change-data-feed as a STREAMING source — l05's snapshot diff made
     * incremental: `readStream` over the versioned table's manifest
     * ledger, so each newly PUBLISHED snapshot becomes one micro-batch

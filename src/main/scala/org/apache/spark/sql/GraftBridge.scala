@@ -34,6 +34,95 @@ object GraftBridge {
   private val byteOrd: Ordering[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
+  /** Finite per-column candidate-value SETS implied by a predicate's
+    * CONJUNCTS — the extraction behind graft's bloom-sidecar point
+    * skipping (GraftBlooms.prune): `col = v` contributes {v}, `col IN
+    * (…)` the literal set, and several conjuncts on one column
+    * INTERSECT (a matching row satisfies all of them). An EMPTY set is
+    * meaningful: the recognized conjuncts are jointly unsatisfiable, so
+    * NO file can hold a matching row. Unrecognized conjuncts contribute
+    * nothing (sound, as in [[conjunctBounds]]); any OR/NOT above yields
+    * no constraints. */
+  def conjunctLongPoints(c: Column): Map[String, Set[Long]] =
+    pointsWalk[Long](c, longLit, longNodeLit)
+
+  /** The STRING channel of [[conjunctLongPoints]]. */
+  def conjunctStrPoints(c: Column): Map[String, Set[String]] =
+    pointsWalk[String](c, strLitStr, strNodeLitStr)
+
+  private def strLitStr(e: Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(v.toString)
+      case _ => None
+    }
+  }
+
+  private def strNodeLitStr(node: internal.ColumnNode): Option[String] =
+    node match {
+      case l: internal.Literal => l.value match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def pointsWalk[T](c: Column,
+      clit: Expression => Option[T],
+      nlit: internal.ColumnNode => Option[T]): Map[String, Set[T]] = {
+    import org.apache.spark.sql.{internal => n}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CUA}
+
+    def cname(e: Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case u: CUA => Some(u.nameParts.last)
+      case cst: ce.Cast if widening(cst.child.dataType, cst.dataType) =>
+        cname(cst.child)
+      case _ => None
+    }
+    def ceq(a: Expression, b: Expression): Seq[(String, Set[T])] =
+      (for { nm <- cname(a); v <- clit(b) } yield (nm, Set(v))).toSeq
+    def cwalk(e: Expression): Seq[(String, Set[T])] = e match {
+      case ce.And(l, r) => cwalk(l) ++ cwalk(r)
+      case ce.EqualTo(a, b) => ceq(a, b) ++ ceq(b, a)
+      case ce.In(a, list) =>
+        val vs = list.map(clit)
+        if (vs.nonEmpty && vs.forall(_.isDefined))
+          cname(a).map(nm => (nm, vs.flatten.toSet)).toSeq
+        else Seq.empty
+      case _ => Seq.empty
+    }
+
+    def nname(node: n.ColumnNode): Option[String] = node match {
+      case a: n.UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    def neq(a: n.ColumnNode, b: n.ColumnNode): Seq[(String, Set[T])] =
+      (for { nm <- nname(a); v <- nlit(b) } yield (nm, Set(v))).toSeq
+    def nwalk(node: n.ColumnNode): Seq[(String, Set[T])] = node match {
+      case e: classic.ExpressionColumnNode => cwalk(e.expression)
+      case f: n.UnresolvedFunction =>
+        val a = f.arguments
+        f.functionName match {
+          case "and" => a.flatMap(nwalk)
+          case "=" | "==" if a.length == 2 => neq(a(0), a(1)) ++ neq(a(1), a(0))
+          case "in" if a.length >= 2 =>
+            val vs = a.drop(1).map(nlit)
+            if (vs.forall(_.isDefined))
+              nname(a.head).map(nm => (nm, vs.flatten.toSet)).toSeq
+            else Seq.empty
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+
+    nwalk(c.node).groupBy(_._1).map { case (col, sets) =>
+      col -> sets.map(_._2).reduce(_ intersect _)
+    }
+  }
+
   /** Value-preserving (widening) integral casts only — a NARROWING
     * cast on either side changes the compared value (truncation), and
     * stripping it would derive WRONG bounds that prune matching files. */

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftMerge, GraftVersions}
+
+/** Bloom-sidecar point skipping (GraftBlooms): the layout-independent
+  * file-pruning channel for equality/IN predicates. Min/max manifest
+  * stats prune a point predicate only on a column the table is
+  * CLUSTERED by; every table here is deliberately laid out so the
+  * probed column spans every file's range — min/max alone keeps all
+  * files candidates, and any file-count reduction below that is the
+  * bloom's doing. */
+class BloomSkipSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bl").toString
+    spark.conf.set("spark.sql.graft.root", dir)
+    dir
+  }
+
+  /** 64 rows hash-partitioned by `k % 8` (hash collisions may pack
+    * several groups into one file — file COUNT is derived, not
+    * assumed): every file holds a k-residue class spanning [g, 56+g],
+    * so each file's k-range overlaps every point k and min/max stats
+    * prune nothing on k. */
+  private def buildScattered(table: String, bloomCols: String): String = {
+    val root = freshRoot()
+    import spark.implicits._
+    spark.conf.set("spark.sql.graft.bloom.columns", bloomCols)
+    (0 until 64).map(k => (k, k % 8, s"doc_$k")).toDF("k", "grp", "v")
+      .repartition(8, col("grp")).createOrReplaceTempView("bl_src")
+    spark.sql(s"""CREATE TABLE psql.tpcds.$table
+                 |TBLPROPERTIES('versioned'='true')
+                 |AS SELECT * FROM bl_src""".stripMargin)
+    s"$root/$table.parquet"
+  }
+
+  private def ks(table: String): Set[Int] =
+    spark.sql(s"SELECT k FROM psql.tpcds.$table").collect()
+      .map(_.getInt(0)).toSet
+
+  test("point DELETE rewrites only the file that contains the id") {
+    try {
+      val dir = buildScattered("bl1", "k")
+      val n = GraftVersions.manifest(dir, 1).size
+      assert(n >= 4, s"fragmentation precondition: $n files")
+      // blooms: a handful of values in a ~1% @100k-item filter — false
+      // positives are vanishingly improbable, so accounting is exact:
+      // k=13 lives in exactly ONE residue-class file
+      val (base, kept, rewritten) =
+        GraftMerge.deleteFrom(spark, dir, col("k") === 13)
+      assert(base == 1 && rewritten == 1 && kept == n - 1,
+        s"bloom skip failed: kept=$kept rewritten=$rewritten of $n")
+      assert(ks("bl1") == (0 until 64).toSet - 13)
+      // and through the NATIVE SQL statement with an IN list: 5 and 21
+      // share a residue class, though the v2 rewrite may have split
+      // that class across two replacement files — at most 2 rewrites,
+      // everything else carried by reference
+      spark.sql("DELETE FROM psql.tpcds.bl1 WHERE k IN (5, 21)")
+      assert(ks("bl1") == (0 until 64).toSet -- Set(13, 5, 21))
+      val v2 = GraftVersions.manifest(dir, 2).map(_.split('/').last).toSet
+      val v3 = GraftVersions.manifest(dir, 3).map(_.split('/').last).toSet
+      val touched = v2.size - v2.intersect(v3).size
+      assert(touched >= 1 && touched <= 2,
+        s"IN-list should touch 1-2 of ${v2.size} files, touched $touched")
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
+  test("string-channel bloom prunes equality on a text column") {
+    try {
+      val dir = buildScattered("bl2", "v")
+      val n = GraftVersions.manifest(dir, 1).size
+      val (_, kept, rewritten) =
+        GraftMerge.deleteFrom(spark, dir, col("v") === "doc_37")
+      assert(rewritten == 1 && kept == n - 1,
+        s"string bloom skip failed: kept=$kept rewritten=$rewritten of $n")
+      assert(ks("bl2") == (0 until 64).toSet - 37)
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
+  test("unsatisfiable point conjunction prunes every file (no-op delete)") {
+    try {
+      val dir = buildScattered("bl3", "k")
+      val n = GraftVersions.manifest(dir, 1).size
+      val v0 = GraftVersions.current(dir)
+      val (_, kept, rewritten) =
+        GraftMerge.deleteFrom(spark, dir, col("k") === 5 && col("k") === 6)
+      assert(rewritten == 0 && kept == n, s"kept=$kept rewritten=$rewritten")
+      assert(GraftVersions.current(dir) == v0, "no-op must not commit")
+      assert(ks("bl3") == (0 until 64).toSet)
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
+  test("missing sidecars degrade to discovery, never to a wrong answer") {
+    // same layout WITHOUT blooms: correctness identical, all files
+    // stay candidates (the sound fallback for pre-bloom tables)
+    val dir = buildScattered("bl4", "")
+    spark.conf.unset("spark.sql.graft.bloom.columns")
+    val n = GraftVersions.manifest(dir, 1).size
+    val (_, kept, rewritten) =
+      GraftMerge.deleteFrom(spark, dir, col("k") === 13)
+    assert(rewritten == 1 && kept == n - 1,
+      "exact per-row discovery still finds the single touched file")
+    assert(ks("bl4") == (0 until 64).toSet - 13)
+    assert(!new java.io.File(dir, "_blooms").isDirectory)
+  }
+
+  test("UPDATE and MERGE paths keep blooms fresh across rewrites") {
+    try {
+      val dir = buildScattered("bl5", "k")
+      // copy-on-write UPDATE through the statement surface: the
+      // rewritten replacement file gets NEW sidecars at commit
+      spark.sql("UPDATE psql.tpcds.bl5 SET v = 'touched' WHERE k = 22")
+      val n2 = GraftVersions.manifest(dir, 2).size
+      val (_, kept2, rewritten2) =
+        GraftMerge.deleteFrom(spark, dir, col("k") === 22)
+      assert(rewritten2 == 1 && kept2 == n2 - 1,
+        s"post-update bloom stale: kept=$kept2 rewritten=$rewritten2 of $n2")
+      assert(ks("bl5") == (0 until 64).toSet - 22)
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
+  test("vacuum deletes the sidecars of vacuumed data files") {
+    try {
+      val dir = buildScattered("bl6", "k")
+      val v1Files = GraftVersions.manifest(dir, 1).map(_.split('/').last)
+      spark.sql("DELETE FROM psql.tpcds.bl6 WHERE k = 13")
+      val bdir = new java.io.File(dir, "_blooms")
+      def sidecars() = Option(bdir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+      val before = sidecars()
+      assert(v1Files.forall(f => before.contains(s"$f.k.bloom")),
+        s"every v1 file carries a k-bloom: $before")
+      // expire v1 with zero grace: its exclusive file (the one the
+      // delete rewrote) is vacuumed — its sidecar must go with it
+      val (expired, deleted) = GraftVersions.expire(dir, 1, 0L)
+      assert(expired == Seq(1) && deleted.nonEmpty)
+      val after = sidecars()
+      deleted.foreach { d =>
+        assert(!after.contains(s"$d.k.bloom"), s"orphan sidecar for $d")
+      }
+      // live files keep theirs
+      GraftVersions.manifest(dir, 2).map(_.split('/').last).foreach { f =>
+        assert(after.contains(s"$f.k.bloom"), s"live sidecar missing: $f")
+      }
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+}

@@ -125,13 +125,17 @@ class SqlServerSpec extends SparkSpec {
         try { st.executeQuery(slow); () }
         catch { case t: Throwable => failure.set(t) })
       runner.start()
-      // wait for the statement's Spark job to actually start
+      // wait for the statement's Spark job to actually start — tracked
+      // as a DELTA over whatever jobs other suites' stragglers hold
+      // active, so a full-suite run cannot flake this gate
       val tracker = spark.sparkContext.statusTracker
+      val preexisting = tracker.getActiveJobIds().toSet
+      def newJobs() = tracker.getActiveJobIds().toSet -- preexisting
       var waited = 0
-      while (tracker.getActiveJobIds().isEmpty && waited < 30000) {
+      while (newJobs().isEmpty && waited < 60000) {
         Thread.sleep(100); waited += 100
       }
-      assert(tracker.getActiveJobIds().nonEmpty, "slow statement never started a job")
+      assert(newJobs().nonEmpty, "slow statement never started a job")
       // JDBC cancel from another thread → HiveServer2 operation cancel
       // → Spark job-group kill
       st.cancel()
@@ -140,11 +144,11 @@ class SqlServerSpec extends SparkSpec {
       assert(failure.get() != null, "cancelled statement reported success")
       // no orphaned jobs: the job group was killed, not abandoned
       waited = 0
-      while (tracker.getActiveJobIds().nonEmpty && waited < 30000) {
+      while (newJobs().nonEmpty && waited < 30000) {
         Thread.sleep(100); waited += 100
       }
-      assert(tracker.getActiveJobIds().isEmpty,
-        s"orphaned jobs after cancel: ${tracker.getActiveJobIds().mkString(",")}")
+      assert(newJobs().isEmpty,
+        s"orphaned jobs after cancel: ${newJobs().mkString(",")}")
       // the SESSION survives the cancelled statement: a fresh statement
       // on the same connection runs normally
       val rs = conn.createStatement().executeQuery(
