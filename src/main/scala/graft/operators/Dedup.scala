@@ -123,6 +123,17 @@ object Dedup {
     * with jaccard EXACT (shingle-intersection counted), unlimited —
     * callers order/limit (d03) or threshold-filter (p13's near-dup
     * removal stage). */
+  /** LSH banding of a (doc_id, sig) relation: 2-row bands hashed with
+    * the chained two-long XxHash64 — (doc_id, band, bh), the only
+    * columns that cross an exchange. */
+  private def bandedOf(sig: DataFrame, nSig: Int): DataFrame = {
+    val bands = (0 until nSig / 2).map(b =>
+      struct(lit(b).as("band"),
+        xxh(0L, element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)).as("bh")))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   private[graft] def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
     val nSig = 32
     val sh = shinglesOf(docs)
@@ -154,11 +165,7 @@ object Dedup {
       .localCheckpoint()
     // the banded relation carries ONLY (doc_id, band, bh) through the
     // exchange; signatures join back in for candidate pairs only
-    val bands = (0 until nSig / 2).map(b =>
-      struct(lit(b).as("band"),
-        xxh(0L, element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)).as("bh")))
-    val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandedOf(sig, nSig)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1096,9 +1103,130 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental MinHash near-dup against a PERSISTED band index
+    * (d23) — the near-dup twin of d07's incremental exact dedup, and
+    * the operation a GROWING 100 TB corpus actually runs: the
+    * historical corpus (doc_id % 10 < 8) is indexed ONCE — per-doc
+    * 32-hash signatures plus the 16×2 LSH band relation, the band
+    * table PARTITIONED by `pmod(band hash, 32)` — and each arriving
+    * batch (doc_id % 10 ≥ 8) is deduplicated against it WITHOUT
+    * rescanning the corpus: the batch's band hashes broadcast into a
+    * join whose dynamic partition pruning reads only the band-bucket
+    * partitions the batch actually hashes into; signature agreement
+    * screens candidates (est ≥ 0.25, the d03 screen); exact Jaccard
+    * verification re-shingles only the CANDIDATE history docs (fetch
+    * by id, never the corpus). Per batch doc the best verified match
+    * (jaccard ≥ 0.35, ties to the lowest history id) decides
+    * duplicate-vs-novel. Cost shape per batch: O(batch) signatures +
+    * O(touched band partitions) + O(candidate pairs) — corpus size
+    * enters only through the one-time build, exactly like s14's
+    * frozen-quantizer append. Every hash is deterministic, so the
+    * DuckDB mirror replays signatures, band hashes, screen, and
+    * verification exactly; the index layout is an implementation
+    * detail the oracle never needs to model. IncrementalMinhashSpec
+    * pins the DPP firing and stored-vs-rebuilt probe equivalence. */
+  val incrementalMinhash: QueryEntry = QueryEntry(
+    "d23_incremental_minhash",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM d),
+       |${XxhOracle.minhashSigCtes("doc_id", 32)},
+       |${XxhOracle.minhashPairCtes("doc_id", 32, "0.25")},
+       |xp AS (SELECT a_doc_id AS h_id, b_doc_id AS bt_id, jaccard FROM jac
+       |       WHERE a_doc_id % 10 < 8 AND b_doc_id % 10 >= 8
+       |       UNION ALL
+       |       SELECT b_doc_id, a_doc_id, jaccard FROM jac
+       |       WHERE b_doc_id % 10 < 8 AND a_doc_id % 10 >= 8),
+       |best AS (SELECT bt_id, h_id, jaccard FROM (
+       |           SELECT bt_id, h_id, jaccard,
+       |                  ROW_NUMBER() OVER (PARTITION BY bt_id
+       |                    ORDER BY jaccard DESC, h_id) AS rn
+       |           FROM xp WHERE jaccard >= 0.35) WHERE rn = 1)
+       |SELECT dd.doc_id, b.h_id AS match_id, b.jaccard,
+       |       b.h_id IS NULL AS novel
+       |FROM documents dd LEFT JOIN best b ON b.bt_id = dd.doc_id
+       |WHERE dd.doc_id % 10 >= 8 ORDER BY dd.doc_id""".stripMargin
+  ) { (s, d) =>
+    incrementalMinhashProbe(s, d, Similarity.indexDir(s, "d23", d))
+  }
+
+  /** d23's build + probe, factored so the spec can rerun the probe
+    * over the stored index and assert DPP in its executed plan. */
+  private[graft] def incrementalMinhashProbe(s: SparkSession, d: String,
+      idx: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nSig = 32
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc_id") % 10 >= 8
+    // BUILD (one-time): history signatures + band index, persisted;
+    // the band table is partitioned by a 32-way fold of the band hash
+    // so a probe's dynamic partition pruning reads only touched buckets
+    val hSig = shinglesOf(docs.filter(!isBatch)).groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
+        count(lit(1)).as("n"))
+    bandedOf(hSig, nSig)
+      .withColumn("bkt", pmod(col("bh"), lit(32)).cast("int"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
+    hSig.write.mode("overwrite").parquet(s"$idx/sigs")
+    // PROBE: the arriving batch, against STORED state only
+    val batch = docs.filter(isBatch)
+    val bSh = shinglesOf(batch)
+    // NOT checkpointed: the probe side must keep its selective batch
+    // filter visible in the logical plan, or the dynamic-partition-
+    // pruning rule sees a bare LogicalRDD and declines to prune the
+    // stored band scan (recomputing the O(batch) signature twice is
+    // cheaper than scanning untouched index partitions)
+    val bSig = bSh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
+        count(lit(1)).as("n"))
+    val bBands = bandedOf(bSig, nSig)
+      .withColumn("bkt", pmod(col("bh"), lit(32)).cast("int"))
+    val stored = s.read.parquet(s"$idx/bands")
+    val cand = stored.join(
+        broadcast(bBands.select(col("doc_id").as("b_id"), col("band"),
+          col("bh"), col("bkt"))),
+        Seq("bkt", "band", "bh"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    val sigs = s.read.parquet(s"$idx/sigs")
+    val plausible = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga"),
+        col("n").as("na")), "a_id")
+      .join(bSig.select(col("doc_id").as("b_id"), col("sig").as("sigb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("est",
+        size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)"))
+          .cast("double") / nSig)
+      .filter(col("est") >= 0.25)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+    // exact verification fetches CANDIDATE history docs by id and
+    // re-shingles only those — the corpus never rescans at probe time
+    val candHist = plausible.select(col("a_id").as("doc_id")).distinct()
+    val hSh = shinglesOf(docs.join(candHist, Seq("doc_id")))
+    val common = hSh.select(col("doc_id").as("a_id"), col("s"))
+      .join(plausible.select(col("a_id"), col("b_id")), Seq("a_id"))
+      .join(bSh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val jac = plausible.join(common, Seq("a_id", "b_id"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    val best = jac.filter(col("jaccard") >= 0.35)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id")).orderBy(col("jaccard").desc, col("a_id"))))
+      .filter(col("rn") === 1)
+      .select(col("b_id"), col("a_id").as("match_id"), col("jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("jaccard"),
+        col("match_id").isNull.as("novel"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(
     exact, wordJaccard, minhashLsh, simhash, simhashPairs, embedNearDup,
     incrementalDedup, keepBest, ppjoinAllPairs, bloomIncrementalDedup,
     winnowing, clonePairs, containment, paragraphDedup, paragraphNearDup,
-    boilerplateStrip, dupSpans, entityResolution, ngramNovelty)
+    boilerplateStrip, dupSpans, entityResolution, ngramNovelty,
+    incrementalMinhash)
 }

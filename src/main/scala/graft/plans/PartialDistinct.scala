@@ -110,6 +110,30 @@ object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
       (above ++ j.condition.toSeq).forall(_.deterministic) &&
       !alreadyDeduped(j.left) && !alreadyDeduped(j.right)
 
+  /** A side whose subtree scans a PARTITIONED file relation with a
+    * partition column among the join-condition references — the
+    * dynamic-partition-pruning shape. Inserting a PartialDistinct here
+    * would sit between the scan and the DPP filter PartitionPruning
+    * lays above the side: Spark's filter pushdown cannot commute a
+    * predicate through a node it does not know, the un-pushed filter
+    * is cleaned up, and the scan loses its pruning — a far bigger loss
+    * at scale than the exchange-free dedup is worth (a pruned scan
+    * reads O(touched partitions); the dedup saves only join-input
+    * width). Leave such sides untouched. */
+  private def dppEligible(side: LogicalPlan, cond: Seq[Expression]): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val condRefs = AttributeSet(cond.flatMap(_.references))
+    side.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.partitionSchema.nonEmpty =>
+          val partCols = fs.partitionSchema.map(_.name).toSet
+          lr.output.exists(a => partCols.contains(a.name) && condRefs.contains(a))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
   /** Rebuild `j` with each side deduped per-partition on its columns
     * referenced by `above` (the expressions consumed over the join
     * output) and the join condition. */
@@ -118,7 +142,8 @@ object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
       above.flatMap(_.references) ++ j.condition.toSeq.flatMap(_.references))
     def push(side: LogicalPlan): LogicalPlan = {
       val keys = side.output.filter(refs.contains)
-      if (keys.isEmpty) side else PartialDistinct(keys, side)
+      if (keys.isEmpty || dppEligible(side, j.condition.toSeq)) side
+      else PartialDistinct(keys, side)
     }
     j.copy(left = push(j.left), right = push(j.right))
   }
