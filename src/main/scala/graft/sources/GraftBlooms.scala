@@ -51,13 +51,43 @@ private[graft] object GraftBlooms {
   private def sidecar(dir: String, file: String, col: String) =
     new java.io.File(bloomsDir(dir), s"$file.$col.bloom")
 
+  private def configFile(dir: String) = new java.io.File(bloomsDir(dir), "_config")
+
+  /** The table's PERSISTED bloom column list: written the first time a
+    * session with `spark.sql.graft.bloom.columns` set commits, read by
+    * every later commit — so a writer whose session never set the conf
+    * keeps producing sidecars instead of silently letting the index
+    * decay (missing sidecars are sound, but a table whose point-skip
+    * erodes one rewrite at a time is an operational trap). The session
+    * conf, when set, always wins and refreshes the record. */
+  private def configuredColumns(spark: SparkSession, dir: String): Set[String] = {
+    val conf = spark.conf.get("spark.sql.graft.bloom.columns", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (conf.nonEmpty) {
+      val f = configFile(dir)
+      val payload = conf.toSeq.sorted.mkString(",")
+      val stale = !f.isFile ||
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") != payload
+      if (stale) {
+        bloomsDir(dir).mkdirs()
+        java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
+      }
+      conf
+    } else {
+      val f = configFile(dir)
+      if (f.isFile)
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    }
+  }
+
   /** Configured bloom columns resolved against `schema`, split by hash
     * channel: (integral → long, string). Unknown names and unsupported
     * types are ignored — the conf is a hint, not a contract. */
-  private def channels(spark: SparkSession,
+  private def channels(spark: SparkSession, dir: String,
       schema: StructType): (Seq[String], Seq[String]) = {
-    val want = spark.conf.get("spark.sql.graft.bloom.columns", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val want = configuredColumns(spark, dir)
     if (want.isEmpty) return (Nil, Nil)
     val fields = schema.fields.filter(f => want.contains(f.name))
     (fields.collect {
@@ -88,7 +118,7 @@ private[graft] object GraftBlooms {
 
   private def writeOrThrow(spark: SparkSession, dir: String,
       names: Seq[String], schema: StructType): Unit = {
-    val (longCols, strCols) = channels(spark, schema)
+    val (longCols, strCols) = channels(spark, dir, schema)
     if ((longCols.isEmpty && strCols.isEmpty) || names.isEmpty) return
     // size filters for the LARGEST committed file's row count (from
     // the parquet footers already on the driver's metadata path — no
@@ -198,5 +228,27 @@ private[graft] object GraftBlooms {
         .filter(_.getName.startsWith(dataFile + "."))
         .foreach(_.delete())
     }
+  }
+
+  /** Sweep sidecars whose data file is GONE — a crash between a
+    * vacuum's data-file delete and its sidecar delete strands them
+    * (harmless to reads, but the store would grow monotonically).
+    * Called at the end of expire; one directory listing each side. */
+  def sweepOrphans(dir: String): Unit = {
+    val bdir = bloomsDir(dir)
+    if (!bdir.isDirectory) return
+    val live = Option(GraftVersions.dataDir(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    Option(bdir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        // <dataFile>.<col>.bloom — strip the two suffix segments
+        n.endsWith(".bloom") && {
+          val base = n.dropRight(".bloom".length)
+          val cut = base.lastIndexOf('.')
+          cut > 0 && !live.contains(base.substring(0, cut))
+        }
+      }
+      .foreach(_.delete())
   }
 }

@@ -73,7 +73,33 @@ object GraftMerge {
           else Map(keyCol -> (asLong(r.get(0)), asLong(r.get(1))))
         case _ => Map.empty
       }
-    val candidates = pruneByStats(dir, base, files, None, keyBounds)
+    // small-batch CDC shape: when the source has at most
+    // `bloomProbeMaxKeys` distinct keys, collect them (driver cost
+    // bounded by the cap, enforced with limit) and probe the key SET
+    // against per-file bloom sidecars — on a key-uncorrelated layout
+    // the min/max span covers every file while the blooms pin the
+    // handful that actually hold a matched key. Larger batches skip
+    // the collect and keep the bounds-only path.
+    val cap = spark.conf
+      .get("spark.sql.graft.merge.bloomProbeMaxKeys", "1024").toInt
+    def smallKeySet[T](f: org.apache.spark.sql.Row => T): Option[Set[T]] = {
+      val rows = srcKeys.limit(cap + 1).collect()
+      if (rows.length <= cap)
+        Some(rows.toSeq.filterNot(_.isNullAt(0)).map(f).toSet)
+      else None
+    }
+    val (keyLongPts, keyStrPts) = source.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        (smallKeySet(r => asLong(r.get(0))).map(keyCol -> _).toMap,
+          Map.empty[String, Set[String]])
+      case org.apache.spark.sql.types.StringType =>
+        (Map.empty[String, Set[Long]],
+          smallKeySet(_.getString(0)).map(keyCol -> _).toMap)
+      case _ => (Map.empty[String, Set[Long]], Map.empty[String, Set[String]])
+    }
+    val candidates =
+      pruneByStats(dir, base, files, None, keyBounds, keyLongPts, keyStrPts)
     // one pass over the candidates: which files contain at least one
     // matched key? Driver receives file names only — O(touched files),
     // never O(rows).
@@ -131,9 +157,18 @@ object GraftMerge {
     * takedown DELETE costing one manifest read + touched files and
     * costing an O(table) metadata sweep — provided the predicate
     * correlates with the table's clustering (p21's z-order argument). */
+  /** Point-set constraints from two sources INTERSECT per column (a
+    * matching row satisfies both). */
+  private def combinePts[T](a: Map[String, Set[T]],
+      b: Map[String, Set[T]]): Map[String, Set[T]] =
+    (a.toSeq ++ b.toSeq).groupBy(_._1)
+      .map { case (c, ss) => c -> ss.map(_._2).reduce(_ intersect _) }
+
   private def pruneByStats(dir: String, base: Int, files: Seq[String],
       pred: Option[org.apache.spark.sql.Column],
-      extraLong: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
+      extraLong: Map[String, (Long, Long)] = Map.empty,
+      extraLongPts: Map[String, Set[Long]] = Map.empty,
+      extraStrPts: Map[String, Set[String]] = Map.empty): Seq[String] = {
     import org.apache.spark.sql.GraftBridge
     val longBounds =
       pred.map(GraftBridge.conjunctBounds).getOrElse(Map.empty) ++ extraLong
@@ -143,10 +178,10 @@ object GraftMerge {
     // sets, probed against per-file bloom sidecars — the layout-
     // independent point channel (min/max only prunes a point predicate
     // when the table happens to be clustered on its column)
-    val longPts =
-      pred.map(GraftBridge.conjunctLongPoints).getOrElse(Map.empty)
-    val strPts =
-      pred.map(GraftBridge.conjunctStrPoints).getOrElse(Map.empty)
+    val longPts = combinePts(
+      pred.map(GraftBridge.conjunctLongPoints).getOrElse(Map.empty), extraLongPts)
+    val strPts = combinePts(
+      pred.map(GraftBridge.conjunctStrPoints).getOrElse(Map.empty), extraStrPts)
     if (longBounds.isEmpty && strBounds.isEmpty &&
       longPts.isEmpty && strPts.isEmpty) return files
     val stats = GraftVersions.manifestStats(dir, base)

@@ -1090,6 +1090,7 @@ private[graft] object GraftVersions {
       .map { f =>
         val n = f.getName; f.delete(); GraftBlooms.dropSidecars(dir, n); n
       }
+    GraftBlooms.sweepOrphans(dir) // sidecars a crashed vacuum stranded
     (expired, deleted.toSeq)
   }
 

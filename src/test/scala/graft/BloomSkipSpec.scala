@@ -121,6 +121,47 @@ class BloomSkipSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.graft.bloom.columns")
   }
 
+  test("MERGE with a small source key set probes blooms (CDC upsert shape)") {
+    try {
+      val dir = buildScattered("bl7", "k")
+      val n = GraftVersions.manifest(dir, 1).size
+      import spark.implicits._
+      // 2 keys, same residue class (13 % 8 == 21 % 8): ONE touched file
+      val src = Seq((13, 13 % 8, "u13"), (21, 21 % 8, "u21"), (999, 7, "new"))
+        .toDF("k", "grp", "v")
+      val (base, reused, rewritten) =
+        GraftMerge.mergeInto(spark, dir, src, "k")
+      assert(base == 1 && rewritten <= 2 && reused >= n - 2,
+        s"merge key-set bloom skip failed: reused=$reused rewritten=$rewritten of $n")
+      val got = spark.sql("SELECT k, v FROM psql.tpcds.bl7 WHERE k IN (13, 21, 999)")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got == Set((13, "u13"), (21, "u21"), (999, "new")))
+      assert(spark.sql("SELECT COUNT(*) FROM psql.tpcds.bl7").head.getLong(0) == 65)
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
+  test("bloom column list persists in the table: conf-less writers keep sidecars fresh") {
+    val dir = buildScattered("bl8", "k")
+    // a LATER session/writer without the conf: rewrites must still
+    // produce sidecars (the persisted _config record carries the list)
+    spark.conf.unset("spark.sql.graft.bloom.columns")
+    spark.sql("DELETE FROM psql.tpcds.bl8 WHERE k = 13")
+    val v2New = GraftVersions.manifest(dir, 2).map(_.split('/').last)
+      .filter(_.startsWith("v2-"))
+    assert(v2New.nonEmpty)
+    val bdir = new java.io.File(dir, "_blooms")
+    v2New.foreach { f =>
+      assert(new java.io.File(bdir, s"$f.k.bloom").isFile,
+        s"conf-less rewrite dropped the sidecar for $f")
+    }
+    // and the point channel still prunes exactly on the next delete
+    val n2 = GraftVersions.manifest(dir, 2).size
+    val (_, kept, rewritten) =
+      GraftMerge.deleteFrom(spark, dir, col("k") === 21)
+    assert(rewritten == 1 && kept == n2 - 1,
+      s"post-conf-less-rewrite skip failed: kept=$kept rewritten=$rewritten of $n2")
+  }
+
   test("vacuum deletes the sidecars of vacuumed data files") {
     try {
       val dir = buildScattered("bl6", "k")
@@ -144,6 +185,15 @@ class BloomSkipSpec extends SparkSpec {
       GraftVersions.manifest(dir, 2).map(_.split('/').last).foreach { f =>
         assert(after.contains(s"$f.k.bloom"), s"live sidecar missing: $f")
       }
+      // a sidecar stranded by a crashed vacuum (data file gone) is
+      // swept on the next expire; the _config record survives sweeps
+      java.nio.file.Files.write(
+        new java.io.File(bdir, "v0-gone.parquet.k.bloom").toPath,
+        Array[Byte](1, 2, 3))
+      GraftVersions.expire(dir, 1, 0L)
+      assert(!sidecars().contains("v0-gone.parquet.k.bloom"),
+        "orphan sidecar not swept")
+      assert(new java.io.File(bdir, "_config").isFile, "_config swept")
     } finally spark.conf.unset("spark.sql.graft.bloom.columns")
   }
 }
