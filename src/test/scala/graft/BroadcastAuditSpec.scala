@@ -53,6 +53,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "q03_join_agg_topn" -> (Dim, "customer + nation dims (reference q003 shape)"),
     "q30_tpch_q3" -> (Dim, "customer dim"),
     "q36_hll_sketch" -> (Fixed, "merged HLL sketch relation + exact-total scalar: single-row aggregates"),
+    "d23_incremental_minhash" -> (Dim, "arriving-batch band relation: O(batch x 16 bands). The ENTRY pins batch = 20% of corpus so the oracle is SF-invariant, hence rows grow with the 10x SF step (within Dim's cap); in production the broadcast side is the INGEST BATCH - corpus-independent by definition, the s14-append posture. The corpus-sized side (the stored band index) is never hinted."),
     "q49_tpch_q7" -> (Dim, "supplier + nation×2 dims"),
     "q50_tpch_q14" -> (Dim, "part dim"),
     "q51_tpch_q19" -> (Dim, "part dim"),
