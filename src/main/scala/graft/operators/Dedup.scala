@@ -1150,26 +1150,52 @@ object Dedup {
     incrementalMinhashProbe(s, d, Similarity.indexDir(s, "d23", d))
   }
 
-  /** d23's build + probe, factored so the spec can rerun the probe
-    * over the stored index and assert DPP in its executed plan. */
-  private[graft] def incrementalMinhashProbe(s: SparkSession, d: String,
-      idx: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Build (or incrementally APPEND to) the persisted MinHash band
+    * index of `docs`: per-doc signatures plus the LSH band relation
+    * partitioned by a 32-way fold of the band hash — the layout whose
+    * probe prunes to touched buckets. Append mode touches zero
+    * existing files (the s14 posture), which is what lets a CDF-driven
+    * maintenance stream keep the index current at the cost of each
+    * commit's delta. */
+  private[graft] def buildBandIndex(s: SparkSession, docs: DataFrame,
+      idx: String, append: Boolean = false): Unit = {
     val nSig = 32
-    val docs = Tables.documents(s, d)
-    val isBatch = col("doc_id") % 10 >= 8
-    // BUILD (one-time): history signatures + band index, persisted;
-    // the band table is partitioned by a 32-way fold of the band hash
-    // so a probe's dynamic partition pruning reads only touched buckets
-    val hSig = shinglesOf(docs.filter(!isBatch)).groupBy(col("doc_id"))
+    val mode = if (append) "append" else "overwrite"
+    val hSig = shinglesOf(docs).groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
     bandedOf(hSig, nSig)
       .withColumn("bkt", pmod(col("bh"), lit(32)).cast("int"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
-    hSig.write.mode("overwrite").parquet(s"$idx/sigs")
+      .write.mode(mode).partitionBy("bkt").parquet(s"$idx/bands")
+    hSig.write.mode(mode).parquet(s"$idx/sigs")
+  }
+
+  /** d23's build + probe, factored so the spec can rerun the probe
+    * over the stored index and assert DPP in its executed plan. */
+  private[graft] def incrementalMinhashProbe(s: SparkSession, d: String,
+      idx: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc_id") % 10 >= 8
+    // BUILD (one-time): history signatures + band index, persisted
+    buildBandIndex(s, docs.filter(!isBatch), idx)
     // PROBE: the arriving batch, against STORED state only
-    val batch = docs.filter(isBatch)
+    probeBandIndex(s, idx, docs, docs.filter(isBatch))
+  }
+
+  /** Probe `batch` against the persisted band index at `idx`: banded
+    * candidates via the DPP-pruned bucket join, signature screen,
+    * exact Jaccard verification against candidate docs fetched by id
+    * from `corpus` (the id→text source of truth — the documents
+    * relation or the versioned table the index tracks). REPLAY-
+    * TOLERANT: an at-least-once maintenance stream may append a
+    * batch's index rows twice; candidates are `distinct` and the
+    * plausible pair set dedups post-screen, so duplicated index rows
+    * cost only candidate-bounded work, never a wrong answer. */
+  private[graft] def probeBandIndex(s: SparkSession, idx: String,
+      corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nSig = 32
+    val docs = corpus
     val bSh = shinglesOf(batch)
     // NOT checkpointed: the probe side must keep its selective batch
     // filter visible in the logical plan, or the dynamic-partition-
@@ -1198,6 +1224,10 @@ object Dedup {
           .cast("double") / nSig)
       .filter(col("est") >= 0.25)
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+      // an at-least-once maintenance replay appends identical sig rows
+      // twice; pairs dedup HERE (candidate-bounded) instead of a full
+      // shuffle-dedup of the corpus-sized sig relation
+      .dropDuplicates("a_id", "b_id")
     // exact verification fetches CANDIDATE history docs by id and
     // re-shingles only those — the corpus never rescans at probe time
     val candHist = plausible.select(col("a_id").as("doc_id")).distinct()

@@ -92,6 +92,38 @@ object DocsStreaming {
     ()
   }
 
+  /** CDF-DRIVEN dedup-index maintenance: the composition that keeps
+    * d23's persisted MinHash band index CURRENT with a versioned
+    * documents table — each table commit's change feed becomes one
+    * micro-batch whose rows are signature-computed and APPENDED into
+    * the index (zero existing index files touched, the s14 posture),
+    * so "dedup the next arriving batch against everything ever
+    * ingested" never rescans the corpus: the table streams at its
+    * commit rate, the index follows at the delta's cost, probes prune
+    * to touched band buckets.
+    *
+    * Delivery is at-least-once (foreachBatch); the index tolerates it
+    * BY CONSTRUCTION — probes dedup candidates and plausible pairs
+    * (GraftBlooms-style soundness: duplicates cost candidate-bounded
+    * work, never a wrong answer) — so no txn ledger is needed for a
+    * store that is itself a downstream view. CdfIndexSpec gates
+    * stream-maintained ≡ batch-built probe equality and replay
+    * tolerance. */
+  def bandIndexMaintenance(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, idxDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cdf = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", tableDir)
+      .load()
+    cdf.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        graft.operators.Dedup.buildBandIndex(batch.sparkSession,
+          batch.select(col("doc_id"), col("text")), idxDir, append = true)
+      ()
+    }
+  }
+
   /** [[mergeStream]] with the exactly-once token attached. */
   def mergeStreamExactlyOnce(dir: String, keyCol: String, appId: String,
       updates: DataFrame)
