@@ -56,7 +56,8 @@ object ScaleProof {
     "d22_ngram_novelty", "t16_readability", "p22_loss_mask", "s23_range_search",
     "e17_sliding_hll_distinct", "p21_zorder_layout", "t17_char_entropy",
     "p23_epoch_interleave", "s24_index_stats",
-    "t18_hashed_classifier", "p24_source_overlap", "q80_recursive_cte")
+    "t18_hashed_classifier", "p24_source_overlap", "q80_recursive_cte",
+    "d23_incremental_minhash")
 
   /** Copy id-range stride. Copies only stay disjoint while every base
     * id is below it — asserted at corpus-build time, so a grown base

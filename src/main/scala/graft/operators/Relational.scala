@@ -1244,7 +1244,9 @@ object Relational {
       |SELECT doc_id, depth, path_chars
       |FROM walk WHERE cur = 1 ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    Tables.registerViews(s, d)
+    // documents only (not registerViews): the ScaleProof corpus dirs
+    // carry just the scaled tables this query reads
+    Tables.documents(s, d).createOrReplaceTempView("documents")
     s.sql(
       """WITH RECURSIVE walk(doc_id, cur, depth, path_chars) AS (
         |  SELECT doc_id, doc_id, 0, n_chars FROM documents WHERE doc_id >= 1
