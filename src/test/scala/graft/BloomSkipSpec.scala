@@ -162,6 +162,42 @@ class BloomSkipSpec extends SparkSpec {
       s"post-conf-less-rewrite skip failed: kept=$kept rewritten=$rewritten of $n2")
   }
 
+  test("racing bloom-conf'd appends: all rows land, every file gets sidecars") {
+    try {
+      val dir = buildScattered("bl9", "k")
+      import spark.implicits._
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      (1 to 5).foreach { rep =>
+        val threads = (0 until 4).map { i =>
+          val df = Seq((1000 * rep + i, i, s"w$rep-$i")).toDF("k", "grp", "v")
+          new Thread(() =>
+            try GraftVersions.commit(dir, df, overwrite = false)
+            catch { case t: Throwable => errs.add(t) })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        assert(errs.isEmpty, s"round $rep: a racing writer died: ${errs.peek()}")
+      }
+      val expected = (0 until 64).toSet ++
+        (1 to 5).flatMap(rep => (0 until 4).map(1000 * rep + _))
+      assert(ks("bl9") == expected)
+      // every file of the FINAL manifest carries its k-sidecar —
+      // including racers' files renamed by commit-retry reprefixing
+      // (blooms are written with the post-publish final names)
+      val cur = GraftVersions.current(dir)
+      val bdir = new java.io.File(dir, "_blooms")
+      GraftVersions.manifest(dir, cur).map(_.split('/').last).foreach { f =>
+        assert(new java.io.File(bdir, s"$f.k.bloom").isFile,
+          s"racer file without sidecar: $f")
+      }
+      // and point skipping stays exact over the raced-in files
+      val n = GraftVersions.manifest(dir, cur).size
+      val (_, kept, rewritten) =
+        GraftMerge.deleteFrom(spark, dir, col("k") === 3001)
+      assert(rewritten == 1 && kept == n - 1,
+        s"post-race skip failed: kept=$kept rewritten=$rewritten of $n")
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
+
   test("vacuum deletes the sidecars of vacuumed data files") {
     try {
       val dir = buildScattered("bl6", "k")
