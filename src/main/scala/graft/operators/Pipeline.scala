@@ -1375,11 +1375,102 @@ object Pipeline {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Governed-ingest capstone (p25) — the r13 lakehouse + dedup pieces
+    * composed into the pipeline a production corpus actually runs,
+    * end-to-end and EXACTLY oracled:
+    *
+    *  1. the accepted corpus lives in a VERSIONED table (history =
+    *     doc_id % 10 < 8 at v1, bloom sidecars on doc_id);
+    *  2. each arriving batch (% 10 == 8, then == 9) is probed against
+    *     the PERSISTED MinHash band index of everything accepted so
+    *     far (d23's DPP-pruned probe) and only NOVEL documents (no
+    *     verified match ≥ 0.35) are admitted;
+    *  3. admission is an EXACTLY-ONCE idempotent append — the entry
+    *     applies every batch TWICE (the crash-replay interleaving) and
+    *     the `#txn` ledger makes the replay a no-op;
+    *  4. the index absorbs each admitted batch incrementally (append,
+    *     zero existing files touched — the CDF stream's posture,
+    *     stream-equivalence gated in CdfIndexSpec);
+    *  5. a takedown DELETE by id list runs through the bloom point
+    *     channel before the final state is read.
+    *
+    * The oracle replays the whole admission cascade from the same
+    * deterministic hashes: stage-1 novelty vs history, stage-2 novelty
+    * vs history ∪ stage-1 admissions, minus the takedown ids. Every
+    * stage is the exact construction its standalone entry oracles
+    * (d23 / l12 / l13), so the composition is hash-gated, not merely
+    * plumbing-tested. */
+  val governedIngest: QueryEntry = QueryEntry(
+    "p25_governed_ingest",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || '_' || ws[i+1]))) AS s FROM d),
+       |${XxhOracle.minhashSigCtes("doc_id", 32)},
+       |${XxhOracle.minhashPairCtes("doc_id", 32, "0.25")},
+       |xp AS (SELECT a_doc_id AS x, b_doc_id AS y, jaccard FROM jac
+       |       UNION ALL
+       |       SELECT b_doc_id, a_doc_id, jaccard FROM jac),
+       |m1 AS (SELECT DISTINCT y AS doc_id FROM xp
+       |       WHERE x % 10 < 8 AND y % 10 = 8 AND jaccard >= 0.35),
+       |nov1 AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % 10 = 8
+       |           AND doc_id NOT IN (SELECT doc_id FROM m1)),
+       |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 8
+       |         UNION ALL SELECT doc_id FROM nov1),
+       |m2 AS (SELECT DISTINCT y AS doc_id FROM xp
+       |       JOIN acc1 ON xp.x = acc1.doc_id
+       |       WHERE y % 10 = 9 AND jaccard >= 0.35),
+       |nov2 AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % 10 = 9
+       |           AND doc_id NOT IN (SELECT doc_id FROM m2)),
+       |fin AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM nov2)
+       |SELECT doc_id FROM fin WHERE doc_id NOT IN (4, 24)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val scratch = "/dev/shm/graftcat/gov_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(scratch).mkdirs()
+    val prevRoot = s.conf.getOption("spark.sql.graft.root")
+    s.conf.set("spark.sql.graft.root", scratch)
+    s.conf.set("spark.sql.graft.bloom.columns", "doc_id")
+    try {
+      val idx = Similarity.indexDir(s, "p25", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 10 < 8).createOrReplaceTempView("gov_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.docsgov")
+      s.sql("""CREATE TABLE psql.tpcds.docsgov
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT /*+ REPARTITION(4) */ * FROM gov_src""".stripMargin)
+      val tableDir = s"$scratch/docsgov.parquet"
+      Dedup.buildBandIndex(s, docs.filter(col("doc_id") % 10 < 8), idx)
+      val admit = graft.streaming.DocsStreaming
+        .idempotentAppendSink(tableDir, "govwriter")
+      var batchId = 0L
+      Seq(8, 9).foreach { residue =>
+        val batch = docs.filter(col("doc_id") % 10 === residue)
+        val novel = Dedup.probeBandIndex(s, idx, docs, batch)
+          .filter(col("novel"))
+          .select(col("doc_id"))
+          .join(docs, Seq("doc_id"))
+        admit(novel, batchId); admit(novel, batchId) // crash replay
+        Dedup.buildBandIndex(s, novel, idx, append = true)
+        batchId += 1
+      }
+      s.sql("DELETE FROM psql.tpcds.docsgov WHERE doc_id IN (4, 24)")
+      s.sql("SELECT doc_id FROM psql.tpcds.docsgov ORDER BY doc_id")
+    } finally {
+      s.conf.unset("spark.sql.graft.bloom.columns")
+      prevRoot match {
+        case Some(v) => s.conf.set("spark.sql.graft.root", v)
+        case None => s.conf.unset("spark.sql.graft.root")
+      }
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(decontaminate, stratifiedSample, packSequences, repetitionScore,
       mixtureStats, mixtureSample, vocabBuild, bpeTrain, bpeEncode,
       qualityFunnel, mixtureTemperature, pipelineCompose, pipelineFull,
       globalShuffle, tokenBudget, dsirWeights, curriculum, chunkSplit,
       datasetCard, multimodalPack, zorderLayout, lossMask, epochInterleave,
-      sourceOverlap)
+      sourceOverlap, governedIngest)
 }
