@@ -40,7 +40,11 @@ object ClusterCheck {
     // physical operator (GroupedTopKExec) serialized to executor JVMs,
     // and a stored-index probe whose dynamic partition pruning must
     // fire across processes (executors also WRITE the index partitions)
-    "q25_grouped_topk_custom", "s11_ann_persisted")
+    "q25_grouped_topk_custom", "s11_ann_persisted",
+    // r13: the band-index probe (custom TypedImperativeAggregate
+    // signatures + DPP across processes) and the bloom point DELETE
+    // (sidecar build is a distributed aggregate; probe is driver-side)
+    "d23_incremental_minhash", "l12_bloom_point_delete")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
