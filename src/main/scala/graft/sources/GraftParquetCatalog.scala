@@ -1224,6 +1224,7 @@ private[graft] object GraftVersions {
       if (tryPublish(dir, v, txnHeader(txn) ++ prev ++ newLines, nonce)) {
         publishPointer(dir, v)
         GraftBlooms.write(data.sparkSession, dir, moved, data.schema)
+        autoCompact(data.sparkSession, dir)
         return
       }
       v = math.max(v + 1, current(dir) + 1)
@@ -1271,6 +1272,44 @@ private[graft] object GraftVersions {
     }
     publishPointer(dir, v)
     GraftBlooms.write(data.sparkSession, dir, moved, data.schema)
+  }
+
+  /** Conf-gated AUTO-COMPACTION after an append commit: when
+    * `spark.sql.graft.autoCompact.minSmallFiles` is set (> 0) and the
+    * new snapshot holds at least that many files below
+    * `spark.sql.graft.optimize.smallFileBytes` (default 128 MiB), pack
+    * them into bin-packed replacements committed LAYOUT-ONLY — the
+    * Delta auto-compaction idiom, so a per-microbatch streaming sink
+    * never accumulates a small-files problem (each batch appends O(1)
+    * files; every Nth commit folds them; CDF consumers skip the
+    * layout-only versions entirely). Disabled by default: compaction
+    * inside a write path is a policy, not a default. Rebase-retried
+    * against racing appends; a conflict after retries is LOGGED and
+    * dropped — the APPEND already committed, and the next write's
+    * auto-pass retries the fold. */
+  private def autoCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val minSmall = spark.conf
+      .get("spark.sql.graft.autoCompact.minSmallFiles", "0").toInt
+    if (minSmall <= 0) return
+    val smallBytes = spark.conf
+      .get("spark.sql.graft.optimize.smallFileBytes", (128L << 20).toString)
+      .toLong
+    val smallSizes = manifest(dir, current(dir))
+      .map(f => new java.io.File(f).length()).filter(_ < smallBytes)
+    if (smallSizes.size < minSmall) return
+    // same bin-pack target the OPTIMIZE statement computes; a pack
+    // still below the threshold is re-folded on a later pass — write
+    // amplification is bounded at one rewrite per minSmallFiles appends
+    val target = math.max(1L,
+      (smallSizes.sum + smallBytes - 1) / smallBytes).toInt
+    try GraftMerge.compact(spark, dir, smallBytes, target, maxRetries = 3)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-compact of $dir lost its rebase races (the append " +
+            s"itself is committed; the next write retries): $e")
+    }
   }
 
   /** Streaming-transaction header: `#txn <appId> <batchId>` marks the

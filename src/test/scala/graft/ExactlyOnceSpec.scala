@@ -87,6 +87,36 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(kRows("xo3") == Seq(0, 1, 2, 3, 4))
   }
 
+  test("auto-compaction bounds the file count under many small appends") {
+    val root = freshRoot()
+    import spark.implicits._
+    Seq((0, "seed")).toDF("k", "v").createOrReplaceTempView("xo_src5")
+    spark.sql("""CREATE TABLE psql.tpcds.xo5 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM xo_src5""".stripMargin)
+    val dir = s"$root/xo5.parquet"
+    spark.conf.set("spark.sql.graft.autoCompact.minSmallFiles", "4")
+    try {
+      val sink = DocsStreaming.idempotentAppendSink(dir, "writerC")
+      (0 until 12).foreach(i =>
+        sink(Seq((i + 1, s"b$i")).toDF("k", "v"), i.toLong))
+      // 12 one-file appends would leave 13 files; the auto pass folds
+      // whenever ≥4 smalls accumulate, so the live manifest stays small
+      val cur = GraftVersions.current(dir)
+      val files = GraftVersions.manifest(dir, cur).size
+      assert(files <= 4, s"auto-compact left $files files")
+      assert(kRows("xo5") == (0 to 12), s"rows lost: ${kRows("xo5")}")
+      // compaction commits are LAYOUT-ONLY: the exactly-once ledger
+      // still reads the append high-water mark and replays still skip
+      assert(GraftVersions.lastTxn(dir, "writerC").contains(11L))
+      sink(Seq((99, "replay")).toDF("k", "v"), 11L)
+      assert(kRows("xo5") == (0 to 12))
+      // at least one auto fold actually happened, marked layout-only
+      val layoutVersions = (1 to cur).filter(v =>
+        GraftVersions.isLive(dir, v) && GraftVersions.isLayoutOnly(dir, v))
+      assert(layoutVersions.nonEmpty, "no auto-compaction commit found")
+    } finally spark.conf.unset("spark.sql.graft.autoCompact.minSmallFiles")
+  }
+
   test("a live checkpointed stream lands each batch once") {
     val root = freshRoot()
     import spark.implicits._
