@@ -67,6 +67,12 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
         case _ => throw new UnsupportedOperationException(
           "DESCRIBE HISTORY supports graft versioned tables only")
       }
+    case GraftDescribeDetailStatement(child) if child.resolved =>
+      child match {
+        case GraftTarget(path, _) => GraftDescribeDetailCommand(path)
+        case _ => throw new UnsupportedOperationException(
+          "DESCRIBE DETAIL supports graft versioned tables only")
+      }
   }
 
   /** A resolved graft versioned-table target (possibly aliased). */

@@ -57,6 +57,51 @@ case class GraftDescribeHistoryStatement(child: LogicalPlan)
     copy(child = newChild)
 }
 
+case class GraftDescribeDetailStatement(child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftDescribeDetailStatement =
+    copy(child = newChild)
+}
+
+/** `DESCRIBE DETAIL` execution: one row summarizing the table's
+  * CURRENT snapshot — location, version, live-version count, file
+  * count and bytes, the bloom-indexed column list (from the persisted
+  * `_blooms/_config` record), and the schema width. Driver-side
+  * metadata reads only (manifest lines + file lengths). */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("live_versions", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("n_files", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("bloom_columns", StringType, nullable = false)(),
+    AttributeReference("n_columns", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = GraftVersions.current(path)
+    val files = GraftVersions.manifest(path, v)
+    val live = (1 to v).count(GraftVersions.isLive(path, _))
+    val bytes = files.map(f => new java.io.File(f).length()).sum
+    val cfg = new java.io.File(new java.io.File(path, "_blooms"), "_config")
+    val blooms =
+      if (cfg.isFile)
+        new String(java.nio.file.Files.readAllBytes(cfg.toPath), "UTF-8")
+      else ""
+    val nCols = GraftVersions.schemaAt(path, v).map(_.size).getOrElse(
+      if (files.isEmpty) 0
+      else spark.read.parquet(files.head).schema.size)
+    Seq(Row(path, v, live, files.size, bytes, blooms, nCols))
+  }
+}
+
 /** `OPTIMIZE` execution: compaction (no ZORDER) or re-cluster. Sizing
   * comes from `spark.sql.graft.optimize.smallFileBytes` (default 128
   * MiB): compaction rewrites sub-threshold files into ceil(smallBytes
@@ -151,10 +196,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val historyRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val detailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case historyRe(ident) =>
       GraftDescribeHistoryStatement(
+        UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim)))
+    case detailRe(ident) =>
+      GraftDescribeDetailStatement(
         UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim)))
     case optimizeRe(ident, zorder) =>
       val rel = UnresolvedRelation(delegate.parseMultipartIdentifier(ident.trim))

@@ -768,5 +768,14 @@ class MergeSpec extends SparkSpec {
     // stock parser (the intercept requires a second identifier)
     Seq((1, "h")).toDF("k", "v").createOrReplaceTempView("history")
     assert(spark.sql("DESCRIBE history").count() >= 2)
+    // DESCRIBE DETAIL: the one-row current-snapshot summary
+    val det = spark.sql("DESCRIBE DETAIL psql.tpcds.mgM").collect()
+    assert(det.length == 1)
+    val dr = det.head
+    assert(dr.getString(0).endsWith("mgM.parquet"))
+    assert(dr.getInt(1) == 3 && dr.getInt(2) == 1, dr.toString) // version, live
+    assert(dr.getInt(3) == 1 && dr.getLong(4) > 0, dr.toString) // files, bytes
+    assert(dr.getString(5) == "" && dr.getInt(6) == 2, dr.toString)
+    intercept[Exception] { spark.sql("DESCRIBE DETAIL mg_plain").collect() }
   }
 }
