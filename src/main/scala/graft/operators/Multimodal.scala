@@ -520,6 +520,114 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).orderBy(col("doc_id"), col("fidx"))
   }
 
+  /** Perceptual-hash image dedup (m07) — dedup × multimodal: the
+    * near-dup detector images need (re-encoded, resized or
+    * metadata-stripped copies defeat byte-level digests; a perceptual
+    * hash of the DECODED pixels survives them). Each document's REAL
+    * BMP payload (m05's packing) decodes from bytes alone, and a
+    * 64-bit dHash summarizes the image: 9×8 grid-sampled grayscale
+    * values, one bit per horizontally-adjacent pair (right > left) —
+    * the standard difference-hash construction, here with SAMPLING as
+    * the reduce step so every operation is integer-exact and the
+    * DuckDB oracle replays the whole pipeline from the text bytes
+    * (grid indices, 3-channel sums, integer-div grayscale, bit
+    * packing). The hash ships as TWO 32-bit halves so no engine's
+    * 64-bit signed arithmetic overflows. Exact-hash grouping keeps the
+    * lowest doc per perceptual class (d01's keep rule at pixel
+    * granularity); Hamming-banded NEAR-matching of these hashes is
+    * d04/d05's existing SimHash machinery. At 100 TB: one map-only
+    * decode pass over the media column; the group-by shuffles 2×8-byte
+    * hashes, never pixels. */
+  val perceptualDedup: QueryEntry = QueryEntry(
+    "m07_perceptual_dedup",
+    """WITH b AS (SELECT doc_id, text, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents),
+      |d AS (SELECT doc_id, text, w, n // (3 * w) AS h FROM b),
+      |g AS (SELECT doc_id, i, j,
+      |        (ord(substring(text, CAST(3*(((j*h)//8)*w + ((i*w)//9)) + 1 AS INTEGER), 1))
+      |       + ord(substring(text, CAST(3*(((j*h)//8)*w + ((i*w)//9)) + 2 AS INTEGER), 1))
+      |       + ord(substring(text, CAST(3*(((j*h)//8)*w + ((i*w)//9)) + 3 AS INTEGER), 1))) // 3 AS gray
+      |      FROM d, unnest(range(9)) t1(i), unnest(range(8)) t2(j)
+      |      WHERE h > 0),
+      |bits AS (SELECT a.doc_id, 8 * a.j + a.i AS k,
+      |                CASE WHEN bb.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |         FROM g a JOIN g bb ON a.doc_id = bb.doc_id AND a.j = bb.j
+      |                           AND bb.i = a.i + 1
+      |         WHERE a.i < 8),
+      |ph AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN k >= 32
+      |           THEN CAST(bit AS BIGINT) << CAST(k - 32 AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS hi,
+      |         CAST(SUM(CASE WHEN k < 32
+      |           THEN CAST(bit AS BIGINT) << CAST(k AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS lo
+      |       FROM bits GROUP BY 1)
+      |SELECT dd.doc_id, ph.hi AS phash_hi, ph.lo AS phash_lo,
+      |       CASE WHEN ph.hi IS NOT NULL THEN
+      |         MIN(dd.doc_id) OVER (PARTITION BY ph.hi, ph.lo) END AS keep_id,
+      |       CASE WHEN ph.hi IS NOT NULL THEN
+      |         dd.doc_id <> MIN(dd.doc_id) OVER (PARTITION BY ph.hi, ph.lo)
+      |       END AS is_dup
+      |FROM d dd LEFT JOIN ph ON dd.doc_id = ph.doc_id
+      |ORDER BY dd.doc_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val in = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val paySchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val bmps = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val w = 8 + (id % 9).toInt
+        val h = bytes.length / (3 * w)
+        Row(id, bmpBytes(w, h, java.util.Arrays.copyOf(bytes, 3 * w * h)))
+      }
+    }(RowEncoder.encoderFor(paySchema))
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash_hi", LongType, nullable = true),
+      StructField("phash_lo", LongType, nullable = true)))
+    val hashes = bmps.mapPartitions { rows =>
+      rows.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, px) = parseBmp(r.getAs[Array[Byte]](1))
+          if (h == 0) Row(r.getLong(0), null, null)
+          else {
+            def gray(x: Int, y: Int): Int = {
+              val o = 3 * (y * w + x)
+              ((px(o) & 0xFF) + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)) / 3
+            }
+            var hi = 0L; var lo = 0L
+            var j = 0
+            while (j < 8) {
+              val y = j * h / 8
+              var i = 0
+              while (i < 8) {
+                if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) {
+                  val k = 8 * j + i
+                  if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+                }
+                i += 1
+              }
+              j += 1
+            }
+            Row(r.getLong(0), hi, lo)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(hashSchema))
+    val grp = Window.partitionBy(col("phash_hi"), col("phash_lo"))
+    hashes
+      .withColumn("keep_id",
+        when(col("phash_hi").isNotNull, min(col("doc_id")).over(grp)))
+      .withColumn("is_dup",
+        when(col("phash_hi").isNotNull, col("doc_id") =!= col("keep_id")))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryEntry] = Seq(binaryMeta, decodeFeatures, frameSample,
-    batchEmbed, imageDecode, audioFrames)
+    batchEmbed, imageDecode, audioFrames, perceptualDedup)
 }
