@@ -1161,9 +1161,14 @@ object Dedup {
       idx: String, append: Boolean = false): Unit = {
     val nSig = 32
     val mode = if (append) "append" else "overwrite"
+    // localCheckpoint: the signature table feeds BOTH writes (bands,
+    // sigs) — without it the shingle+minhash aggregate runs twice per
+    // build. Safe here, unlike the PROBE side: DPP's selective-filter
+    // check never looks at the build plan.
     val hSig = shinglesOf(docs).groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     bandedOf(hSig, nSig)
       .withColumn("bkt", pmod(col("bh"), lit(32)).cast("int"))
       .write.mode(mode).partitionBy("bkt").parquet(s"$idx/bands")
