@@ -182,8 +182,12 @@ object GraftMerge {
       pred.map(GraftBridge.conjunctLongPoints).getOrElse(Map.empty), extraLongPts)
     val strPts = combinePts(
       pred.map(GraftBridge.conjunctStrPoints).getOrElse(Map.empty), extraStrPts)
+    val nullness =
+      pred.map(GraftBridge.conjunctNullness).getOrElse(Map.empty)
     if (longBounds.isEmpty && strBounds.isEmpty &&
-      longPts.isEmpty && strPts.isEmpty) return files
+      longPts.isEmpty && strPts.isEmpty && nullness.isEmpty) return files
+    // `col IS NULL AND col IS NOT NULL` is unsatisfiable: no file matches
+    if (nullness.values.exists(_.size == 2)) return Seq.empty
     val stats = GraftVersions.manifestStats(dir, base)
     def cmp(a: Array[Byte], b: Array[Byte]): Int =
       java.util.Arrays.compareUnsigned(a, b)
@@ -199,6 +203,15 @@ object GraftMerge {
           case Some(GraftBinStat(flo, fhi)) =>
             lo.forall(l => cmp(fhi, l) >= 0) && hi.forall(h => cmp(flo, h) <= 0)
           case _ => true
+        }
+      } && nullness.forall { case (c, req) =>
+        s.get(s"$c#n") match {
+          // IS NULL required: a zero-null file cannot match;
+          // IS NOT NULL required: an all-null file cannot match
+          case Some(GraftNullStat(nulls, rows)) =>
+            (!req.contains(true) || nulls > 0) &&
+              (!req.contains(false) || rows - nulls > 0)
+          case _ => true // no null record: keep (sound)
         }
       }
     }

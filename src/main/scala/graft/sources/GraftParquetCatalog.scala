@@ -542,6 +542,12 @@ private[graft] final case class GraftLongStat(lo: Long, hi: Long)
   extends GraftColStat
 private[graft] final case class GraftBinStat(lo: Array[Byte], hi: Array[Byte])
   extends GraftColStat
+/** Null accounting for a column across one file (keyed `<col>#n` in the
+  * stats map — a separate key, so it composes with the bound stat):
+  * `nulls == 0` proves `IS NULL` matches nothing in the file;
+  * `nulls == rows` proves `IS NOT NULL` matches nothing. */
+private[graft] final case class GraftNullStat(nulls: Long, rows: Long)
+  extends GraftColStat
 
 private[graft] object GraftVersions {
   def dataDir(dir: String) = new java.io.File(dir, "data")
@@ -655,6 +661,13 @@ private[graft] object GraftVersions {
                 } catch { case _: IllegalArgumentException => None }
               case _ => None
             }
+          case Array(c, counts) if c.endsWith("#n") =>
+            counts.split("/", 2) match {
+              case Array(nn, rr) =>
+                try Some(c -> GraftNullStat(nn.toLong, rr.toLong))
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
           case Array(c, range) => range.split("\\.\\.", 2) match {
             case Array(lo, hi) =>
               try Some(c -> GraftLongStat(lo.toLong, hi.toLong))
@@ -700,13 +713,15 @@ private[graft] object GraftVersions {
       val longAcc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
       val binAcc =
         scala.collection.mutable.LinkedHashMap[String, (Array[Byte], Array[Byte])]()
+      val nullAcc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
       val dropped = scala.collection.mutable.Set[String]()
+      val droppedNulls = scala.collection.mutable.Set[String]()
       for (block <- reader.getFooter.getBlocks.asScala;
            c <- block.getColumns.asScala) {
         val pt = c.getPrimitiveType
         val name = c.getPath.toDotString
         val okName = !name.contains(".") && !name.contains("\t") &&
-          !name.contains("=")
+          !name.contains("=") && !name.contains("#")
         val isLong = (pt.getPrimitiveTypeName == INT32 ||
           pt.getPrimitiveTypeName == INT64) && pt.getLogicalTypeAnnotation == null
         // UTF8-annotated BINARY: parquet's stats comparator is unsigned
@@ -717,6 +732,14 @@ private[graft] object GraftVersions {
             LogicalTypeAnnotation.stringType()
         if (okName && (isLong || isStr)) {
           val st = c.getStatistics
+          // NULL channel: sum numNulls + rows across row groups; any
+          // group without a null count drops the column (sound: no
+          // record, never a wrong prune)
+          if (st == null || st.isEmpty || !st.isNumNullsSet) droppedNulls += name
+          else {
+            val (an, ar) = nullAcc.getOrElse(name, (0L, 0L))
+            nullAcc(name) = (an + st.getNumNulls, ar + block.getRowCount)
+          }
           if (st == null || st.isEmpty) dropped += name
           else if (st.hasNonNullValue) {
             if (isLong) {
@@ -753,6 +776,8 @@ private[graft] object GraftVersions {
       val enc = java.util.Base64.getEncoder
       (longAcc -- dropped).toSeq.map { case (c, (lo, hi)) =>
         c -> s"$lo..$hi"
+      } ++ (nullAcc -- droppedNulls).toSeq.map { case (c, (nn, rr)) =>
+        s"$c#n" -> s"$nn/$rr"
       } ++ (binAcc -- dropped).toSeq.flatMap { case (c, (lo, hi)) =>
         // TRUNCATE long string bounds or the manifest line bloats with
         // kilobyte document values: a 16-byte PREFIX of the min is still

@@ -50,6 +50,51 @@ object GraftBridge {
   def conjunctStrPoints(c: Column): Map[String, Set[String]] =
     pointsWalk[String](c, strLitStr, strNodeLitStr)
 
+  /** Per-column NULLNESS constraints implied by a predicate's
+    * CONJUNCTS: `col IS NULL` → true, `col IS NOT NULL` → false —
+    * probed against the manifest's per-file null counts (a file with
+    * zero nulls in the column cannot match IS NULL; a file that is all
+    * null cannot match IS NOT NULL). Both requirements on one column
+    * is unsatisfiable — encoded as BOTH entries present via the
+    * special key handling in the caller (here: last-writer-wins is
+    * avoided by collecting into a Set). */
+  def conjunctNullness(c: Column): Map[String, Set[Boolean]] = {
+    import org.apache.spark.sql.{internal => n}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CUA}
+    def cname(e: Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case u: CUA => Some(u.nameParts.last)
+      case _ => None
+    }
+    def cwalk(e: Expression): Seq[(String, Boolean)] = e match {
+      case ce.And(l, r) => cwalk(l) ++ cwalk(r)
+      case ce.IsNull(a) => cname(a).map(_ -> true).toSeq
+      case ce.IsNotNull(a) => cname(a).map(_ -> false).toSeq
+      case _ => Seq.empty
+    }
+    def nname(node: n.ColumnNode): Option[String] = node match {
+      case a: n.UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    def nwalk(node: n.ColumnNode): Seq[(String, Boolean)] = node match {
+      case e: classic.ExpressionColumnNode => cwalk(e.expression)
+      case f: n.UnresolvedFunction =>
+        f.functionName match {
+          case "and" => f.arguments.flatMap(nwalk)
+          case "isnull" if f.arguments.length == 1 =>
+            nname(f.arguments.head).map(_ -> true).toSeq
+          case "isnotnull" if f.arguments.length == 1 =>
+            nname(f.arguments.head).map(_ -> false).toSeq
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    nwalk(c.node).groupBy(_._1).map { case (col, xs) =>
+      col -> xs.map(_._2).toSet
+    }
+  }
+
   private def strLitStr(e: Expression): Option[String] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     e match {

@@ -112,7 +112,7 @@ class BloomSkipSpec extends SparkSpec {
       // copy-on-write UPDATE through the statement surface: the
       // rewritten replacement file gets NEW sidecars at commit
       spark.sql("UPDATE psql.tpcds.bl5 SET v = 'touched' WHERE k = 22")
-      val n2 = GraftVersions.manifest(dir, 2).size
+      val n2 = GraftVersions.manifest(dir, GraftVersions.current(dir)).size
       val (_, kept2, rewritten2) =
         GraftMerge.deleteFrom(spark, dir, col("k") === 22)
       assert(rewritten2 == 1 && kept2 == n2 - 1,
@@ -160,6 +160,46 @@ class BloomSkipSpec extends SparkSpec {
       GraftMerge.deleteFrom(spark, dir, col("k") === 21)
     assert(rewritten == 1 && kept == n2 - 1,
       s"post-conf-less-rewrite skip failed: kept=$kept rewritten=$rewritten of $n2")
+  }
+
+  test("null-count stats prune IS NULL / IS NOT NULL discovery") {
+    val root = freshRoot()
+    import spark.implicits._
+    // exactly 3 files by construction — one single-partition commit per
+    // group: grp 0 all-null v, grp 1 mixed, grp 2 no nulls
+    val groups = Seq(
+      Seq((0, 0, null: String), (1, 0, null: String)),
+      Seq((2, 1, "x"), (3, 1, null: String)),
+      Seq((4, 2, "y"), (5, 2, "z")))
+    groups.head.toDF("k", "grp", "v").coalesce(1)
+      .createOrReplaceTempView("ns_src")
+    spark.sql("""CREATE TABLE psql.tpcds.ns1 TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM ns_src""".stripMargin)
+    val dir = s"$root/ns1.parquet"
+    groups.drop(1).foreach { g =>
+      GraftVersions.commit(dir, g.toDF("k", "grp", "v").coalesce(1),
+        overwrite = false)
+    }
+    val base = GraftVersions.current(dir)
+    val n = GraftVersions.manifest(dir, base).size
+    assert(n == 3, s"expected 3 single-group files, got $n")
+    // IS NULL touches only the files that HAVE nulls (grp 0 and 1)
+    val (_, kept1, rewritten1) =
+      GraftMerge.deleteFrom(spark, dir, col("v").isNull)
+    assert(rewritten1 == 2 && kept1 == 1,
+      s"IS NULL skip failed: kept=$kept1 rewritten=$rewritten1 of $n")
+    assert(spark.sql("SELECT k FROM psql.tpcds.ns1").collect()
+      .map(_.getInt(0)).toSet == Set(2, 4, 5))
+    // IS NOT NULL touches only files with at least one non-null —
+    // v2's state: the all-null file was dropped entirely, mixed file
+    // rewrote to one non-null row, grp-2 file carried
+    val n2 = GraftVersions.manifest(dir, 2).size
+    val (_, kept2, rewritten2) =
+      GraftMerge.deleteFrom(spark, dir, col("v").isNotNull)
+    assert(rewritten2 == n2 && kept2 == 0,
+      s"IS NOT NULL should touch every remaining file: " +
+        s"kept=$kept2 rewritten=$rewritten2 of $n2")
+    assert(spark.sql("SELECT COUNT(*) FROM psql.tpcds.ns1").head.getLong(0) == 0)
   }
 
   test("racing bloom-conf'd appends: all rows land, every file gets sidecars") {
