@@ -118,19 +118,24 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
     val sourceSet = source.outputSet
     // type coercion wraps a narrower side in Cast (e.g. t.k = CAST(s.k
     // AS BIGINT)) — the join GraftMerge performs applies the same
-    // widening, so seeing through casts preserves semantics
+    // widening, so seeing through VALUE-PRESERVING casts preserves
+    // semantics. A NARROWING cast (user-written `CAST(s.k AS INT)` on
+    // a bigint) truncates the compared value; stripping it would join
+    // on different values than the statement compares — rejected
+    // instead (ADVICE r13).
     @tailrec def stripCast(e: Expression): Expression = e match {
-      case c: Cast => stripCast(c.child)
+      case c: Cast if valuePreserving(c.child.dataType, c.dataType) =>
+        stripCast(c.child)
       case other => other
     }
-    val key = (stripCast(cond) match {
+    val (key, srcKey) = (cond match {
       case EqualTo(l, r) => Some((stripCast(l), stripCast(r)))
       case _ => None
     }) match {
       case Some((l: AttributeReference, r: AttributeReference))
-          if targetSet.contains(l) && sourceSet.contains(r) => l
+          if targetSet.contains(l) && sourceSet.contains(r) => (l, r)
       case Some((l: AttributeReference, r: AttributeReference))
-          if targetSet.contains(r) && sourceSet.contains(l) => r
+          if targetSet.contains(r) && sourceSet.contains(l) => (r, l)
       case _ => reject(
         s"the ON condition must be one target-key = source-key equality, " +
           s"got: ${cond.sql}")
@@ -167,8 +172,36 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
           s"(${up(c).sql} vs ${ins(c).sql}) — whole-row upsert requires " +
           "identical assignments (use SET * / INSERT *)")
     }
+    // the key column must be assigned the ON condition's OWN source
+    // key (ADVICE r13): mergeInto joins target.key against the
+    // projected source's key column, so `ON t.k = s.k … SET k =
+    // s.other` (identical branches — passes every check above) would
+    // silently join on s.other, different match semantics than the
+    // statement declares. Coercion's widening cast around the
+    // assignment value is seen through; anything else is rejected.
+    if (!stripCast(up(key.name)).semanticEquals(srcKey))
+      reject(s"the key column ${key.name} must be assigned the ON " +
+        s"condition's source key ${srcKey.sql}, got: ${up(key.name).sql}")
     GraftMergeCommand(path, source, key.name, targetOut.map(_.name),
       targetOut.map(a => up(a.name)))
+  }
+
+  /** Value-preserving casts only: integral widening (the shape
+    * analyzer coercion inserts around the narrower side) or a no-op
+    * same-type cast. Everything else — narrowing, string/decimal
+    * round-trips — may change the compared value and must NOT be
+    * stripped. */
+  private def valuePreserving(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def w(d: DataType): Int = d match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => 0
+    }
+    from == to || (w(from) > 0 && w(to) >= w(from))
   }
 }
 

@@ -190,10 +190,35 @@ private[graft] object GraftBlooms {
     * [[org.apache.spark.sql.GraftBridge.conjunctLongPoints]] /
     * `conjunctStrPoints`. An EMPTY point set means the predicate's
     * recognized conjuncts are jointly unsatisfiable — no file can
-    * match. Missing sidecars keep the file (sound). */
+    * match. Missing sidecars keep the file (sound).
+    *
+    * CHANNEL SOUNDNESS (ADVICE r13): a constraint is honored only when
+    * its literal channel matches the column's declared type in
+    * `schema` — `col("strCol") === 5` (valid via Spark's implicit
+    * casts) extracts a LONG point on a STRING column, and probing the
+    * string-channel sidecar with the long hash would ALWAYS miss,
+    * unsoundly pruning files that hold matching rows. Sidecars are
+    * built from the same schema split ([[channels]]), so type match ⇒
+    * channel match. The same guard gates the empty-set
+    * unsatisfiability shortcut: `intCol === "7" AND intCol === "07"`
+    * intersects to an empty STRING set, yet both conjuncts cast to
+    * intCol = 7 — only a type-matched empty set (where equality against
+    * two distinct literals really is vacuous) proves no file matches.
+    * Mismatched constraints are dropped, leaving files candidates. */
   def prune(dir: String, files: Seq[String],
-      longPts: Map[String, Set[Long]],
-      strPts: Map[String, Set[String]]): Seq[String] = {
+      longPtsRaw: Map[String, Set[Long]],
+      strPtsRaw: Map[String, Set[String]],
+      schema: => StructType): Seq[String] = {
+    if (longPtsRaw.isEmpty && strPtsRaw.isEmpty) return files
+    if (files.isEmpty) return files
+    val s = schema
+    def typeOf(c: String) = s.fields.find(_.name == c).map(_.dataType)
+    val longPts = longPtsRaw.filter { case (c, _) =>
+      typeOf(c).exists(Seq(ByteType, ShortType, IntegerType, LongType).contains)
+    }
+    val strPts = strPtsRaw.filter { case (c, _) =>
+      typeOf(c).contains(StringType)
+    }
     if (longPts.isEmpty && strPts.isEmpty) return files
     if ((longPts.values ++ strPts.values).exists(_.isEmpty)) return Seq.empty
     if (!bloomsDir(dir).isDirectory) return files

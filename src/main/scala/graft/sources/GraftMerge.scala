@@ -99,7 +99,7 @@ object GraftMerge {
       case _ => (Map.empty[String, Set[Long]], Map.empty[String, Set[String]])
     }
     val candidates =
-      pruneByStats(dir, base, files, None, keyBounds, keyLongPts, keyStrPts)
+      pruneByStats(spark, dir, base, files, None, keyBounds, keyLongPts, keyStrPts)
     // one pass over the candidates: which files contain at least one
     // matched key? Driver receives file names only — O(touched files),
     // never O(rows).
@@ -164,7 +164,8 @@ object GraftMerge {
     (a.toSeq ++ b.toSeq).groupBy(_._1)
       .map { case (c, ss) => c -> ss.map(_._2).reduce(_ intersect _) }
 
-  private def pruneByStats(dir: String, base: Int, files: Seq[String],
+  private def pruneByStats(spark: SparkSession, dir: String, base: Int,
+      files: Seq[String],
       pred: Option[org.apache.spark.sql.Column],
       extraLong: Map[String, (Long, Long)] = Map.empty,
       extraLongPts: Map[String, Set[Long]] = Map.empty,
@@ -215,8 +216,22 @@ object GraftMerge {
         }
       }
     }
-    GraftBlooms.prune(dir, byStats, longPts, strPts)
+    // bloom probing needs the table's DECLARED column types to match
+    // each point constraint to its hash channel (ADVICE r13 — a
+    // cross-type literal would otherwise probe the wrong channel and
+    // unsoundly prune); the schema record covers evolved tables, one
+    // footer covers the rest, and it is only forced when a point
+    // constraint survives to the probe
+    GraftBlooms.prune(dir, byStats, longPts, strPts, tableSchema(spark, dir, base, files))
   }
+
+  /** The snapshot's authoritative schema: the evolution record if the
+    * table ever evolved, else ONE data-file footer (never-evolved
+    * tables are schema-homogeneous). */
+  private def tableSchema(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String]): org.apache.spark.sql.types.StructType =
+    GraftVersions.schemaAt(dir, v)
+      .getOrElse(spark.read.parquet(files.head).schema)
 
   /** Read snapshot files with the snapshot's AUTHORITATIVE schema
     * ([[GraftVersions.schemaAt]]): after an ADD COLUMN the table's
@@ -271,7 +286,7 @@ object GraftMerge {
     val files = GraftVersions.manifest(dir, base)
     // manifest-level skip, then the exact per-row discovery scan over
     // the surviving candidates only
-    val candidates = pruneByStats(dir, base, files, Some(predicate))
+    val candidates = pruneByStats(spark, dir, base, files, Some(predicate))
     val touchedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readSnapshot(spark, dir, base, candidates)
@@ -325,8 +340,7 @@ object GraftMerge {
     // no schema record ⇒ never evolved ⇒ files are schema-homogeneous:
     // ONE footer gives the schema (an all-files read here was an
     // O(table) metadata pass on a 3200-file table)
-    val schema = GraftVersions.schemaAt(dir, base)
-      .getOrElse(spark.read.parquet(files.head).schema)
+    val schema = tableSchema(spark, dir, base, files)
     // resolve each assignment key to the EXACT schema field name:
     // validation is case-insensitive (SQL identifier semantics), so the
     // applying map must be too — a caller's "V" against schema column
@@ -340,7 +354,7 @@ object GraftMerge {
       }.toMap
     require(assigned.size == assignments.size,
       s"$dir: UPDATE assigns the same column more than once")
-    val candidates = pruneByStats(dir, base, files, Some(predicate))
+    val candidates = pruneByStats(spark, dir, base, files, Some(predicate))
     val touchedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readSnapshot(spark, dir, base, candidates)

@@ -639,6 +639,17 @@ private[graft] object GraftVersions {
     manifestLines(dir, v)
       .map(l => new java.io.File(dataDir(dir), lineName(l)).getAbsolutePath)
 
+  /** The newest LIVE version at or below `v` (0 if none). Commit's
+    * predecessor chain consults this instead of blindly reading `v`:
+    * normally one `isLive` check (the pointer's version is live), but
+    * after an abandoned rollback a tombstoned manifest can sit ABOVE
+    * the pointer, and an append must chain past it. */
+  private[graft] def newestLiveAtOrBelow(dir: String, v: Int): Int = {
+    var i = v
+    while (i > 0 && !isLive(dir, i)) i -= 1
+    i
+  }
+
   /** Per-file column stats embedded in snapshot `v`'s manifest:
     * fileName → column → bound. Files committed before stats existed
     * (or all-null columns) simply have no entry — readers must treat
@@ -948,9 +959,9 @@ private[graft] object GraftVersions {
     val restoredSchema = schemaAt(dir, v)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
+    var nv = current(dir) + 1
     while (attempts < 100) {
       attempts += 1
-      val nv = current(dir) + 1
       val header = restoredSchema.map(s => s"#schema ${s.json}").toSeq
       if (tryPublish(dir, nv, header ++ lines, s"$nonce-$attempts")) {
         // a concurrent expire may have tombstoned v between our isLive
@@ -958,15 +969,24 @@ private[graft] object GraftVersions {
         // orphan grace window (expire defers physical deletion), so
         // this re-verification only fails when the restore stalled past
         // the grace — and it fails BEFORE the pointer flip, so no
-        // reader ever sees a current snapshot with missing files (the
-        // won manifest stays a dead, skipped version number).
+        // reader ever sees a current snapshot with missing files.
         val missing =
           names.filterNot(n => new java.io.File(dataDir(dir), n).exists())
-        if (missing.nonEmpty)
+        if (missing.nonEmpty) {
+          // the won manifest must not stay live (ADVICE r13): a
+          // successor's append chains onto manifestLines(nv) — the
+          // dead manifest's lines reference vacuumed files, and the
+          // next commit would publish a current snapshot that breaks
+          // every read. Tombstone it (no preserved #f lines — the
+          // files are already gone) so [[liveLinesBelow]] skips it;
+          // the version number stays burned, as tryPublish requires.
+          tombstone(dir, nv, System.currentTimeMillis(), Seq.empty, Seq.empty)
           throw new IllegalStateException(
             s"$dir: RESTORE of snapshot $v lost a race with expire — " +
               s"data files ${missing.mkString(", ")} were vacuumed; " +
-              "the pointer was not flipped")
+              "the pointer was not flipped and the won manifest was " +
+              "tombstoned")
+        }
         // a table with schema history restores v's schema too —
         // without this, rolling back past an ADD COLUMN would keep
         // serving the post-evolution schema for pre-evolution data
@@ -980,6 +1000,9 @@ private[graft] object GraftVersions {
         publishPointer(dir, nv)
         return nv
       }
+      // lost the publish race (or a dead abandoned manifest occupies
+      // nv): step past it, like commit's retry loop
+      nv = math.max(nv + 1, current(dir) + 1)
     }
     throw new java.util.ConcurrentModificationException(
       s"$dir: restore lost $attempts optimistic races — giving up")
@@ -1081,16 +1104,7 @@ private[graft] object GraftVersions {
       val names = manifest(dir, v).map(p => new java.io.File(p).getName)
       // carry `#txn` headers through: retention must not forget a
       // stream's idempotence high-water mark (see [[lastTxn]])
-      val txnHdrs = prevLines.filter(_.startsWith("#txn "))
-      val content =
-        (s"$expiredMarker $now" +: (txnHdrs ++ names.map("#f " + _)))
-          .mkString("", "\n", "\n")
-      val tmp = new java.io.File(mf.getParentFile,
-        s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, mf.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tombstone(dir, v, now, prevLines.filter(_.startsWith("#txn ")), names)
     }
     // partition every tombstone's preserved file list by tombstone age:
     // fresh (within grace) → protected from ALL tiers; stale → deletable
@@ -1117,6 +1131,26 @@ private[graft] object GraftVersions {
       }
     GraftBlooms.sweepOrphans(dir) // sidecars a crashed vacuum stranded
     (expired, deleted.toSeq)
+  }
+
+  /** Atomically rewrite snapshot `v`'s manifest as an `#expired`
+    * tombstone (expiry instant, carried `#txn` headers, one `#f` line
+    * per preserved data-file name) — shared by [[expire]]'s retention
+    * pass and [[rollback]]'s abandoned-manifest path. The manifest
+    * FILE always survives: deleting it would let a retrying writer win
+    * the dead version number again (see [[isLive]]). */
+  private def tombstone(dir: String, v: Int, now: Long,
+      txnHdrs: Seq[String], names: Seq[String]): Unit = {
+    val mf = manifestFile(dir, v)
+    val content =
+      (s"$expiredMarker $now" +: (txnHdrs ++ names.map("#f " + _)))
+        .mkString("", "\n", "\n")
+    val tmp = new java.io.File(mf.getParentFile,
+      s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, mf.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** (expiredAtMillis, preserved file names) for every tombstoned
@@ -1241,10 +1275,14 @@ private[graft] object GraftVersions {
     while (attempts < 100) {
       attempts += 1
       // carry the predecessor's RAW lines: kept-by-reference files keep
-      // their data-skipping stats across snapshots
+      // their data-skipping stats across snapshots — from the newest
+      // LIVE predecessor: a tombstoned manifest above the pointer (a
+      // rollback that won its version but failed re-verification,
+      // ADVICE r13) reads as empty lines, and chaining onto it would
+      // publish an append that silently drops the whole table
       val prev =
         if (overwrite || v == 1) Seq.empty
-        else manifestLines(dir, v - 1)
+        else manifestLines(dir, newestLiveAtOrBelow(dir, v - 1))
       val newLines = moved.zip(suffixes).map { case (n, s) => n + s }
       if (tryPublish(dir, v, txnHeader(txn) ++ prev ++ newLines, nonce)) {
         publishPointer(dir, v)

@@ -137,10 +137,12 @@ object DocsStreaming {
   /** Change-data-feed as a STREAMING source — l05's snapshot diff made
     * incremental: `readStream` over the versioned table's manifest
     * ledger, so each newly PUBLISHED snapshot becomes one micro-batch
-    * whose rows are exactly that snapshot's ADDED files (a commit's
-    * new files carry its `v<N>-` version prefix; that set is identical
-    * to `snapshotDiff(N-1, N)`'s added half, which StreamingSpec
-    * equates). `consume` receives (version, addedRows) per snapshot.
+    * whose rows are exactly that snapshot's ADDED files (manifest
+    * set-difference against the predecessor — `snapshotDiff(N-1, N)`'s
+    * added half, which StreamingSpec equates; NOT the `v<N>-` filename
+    * prefix, which silently missed a RESTORE's re-added files because
+    * restored files keep their original prefixes — ADVICE r13).
+    * `consume` receives (version, addedRows) per snapshot.
     *
     * Scale shape: the stream reads manifest LINES (O(changed files),
     * the same driver-side budget as GraftMerge's touched-file names) and
@@ -165,11 +167,11 @@ object DocsStreaming {
       .select(split(col("value"), "\t").getItem(0).as("file"),
         regexp_extract(input_file_name(), "v(\\d+)\\.txt$", 1)
           .cast("int").as("version"))
-      // keep files ADDED by this snapshot (its own version prefix) plus
-      // the layout-only header; carried-forward predecessor files and
-      // tombstone markers drop out
-      .filter(expr("startswith(file, concat('v', cast(version as string), '-'))" +
-        " OR file = '#layout'"))
+      // keep data-file lines plus the layout-only header; tombstone
+      // markers and other comment headers drop out. The ADDED subset
+      // is decided per version in the sink (set-diff needs the
+      // predecessor manifest, a driver-side metadata read).
+      .filter(expr("NOT startswith(file, '#') OR file = '#layout'"))
     manifests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val byVersion = batch.collect()
@@ -179,8 +181,15 @@ object DocsStreaming {
           // a layout-only commit (compaction/re-clustering) rewrote
           // files without changing rows — no delta for consumers
           if (!rows.exists(_._2 == "#layout")) {
-            val paths = rows.map { case (_, name) => s"$dir/data/$name" }
-            consume(v, batch.sparkSession.read.parquet(paths.toIndexedSeq: _*))
+            // added = this manifest minus the predecessor's (by name):
+            // one driver-side manifest read, O(changed files) — the
+            // same rule GraftCdfSource.addedFiles applies
+            val prev = graft.sources.GraftVersions.manifestLines(dir, v - 1)
+              .map(_.takeWhile(_ != '\t')).toSet
+            val added = rows.map(_._2).filterNot(prev.contains)
+            if (added.nonEmpty)
+              consume(v, batch.sparkSession.read.parquet(
+                added.map(n => s"$dir/data/$n").toIndexedSeq: _*))
           }
         }
         ()

@@ -29,10 +29,12 @@ import graft.sources.GraftVersions
   * }}}
   *
   * OFFSETS ARE SNAPSHOT VERSIONS: micro-batch (start, end] carries
-  * exactly the rows of the files ADDED by versions start+1..end (a
-  * commit's new files carry its `v<N>-` prefix — the same added-set
-  * rule the batch snapshot diff derives from the manifests, which
-  * StreamingSpec equates). Offsets checkpoint like any DSv2 source, so
+  * exactly the rows of the files ADDED by versions start+1..end
+  * (manifest set-difference against each predecessor — the added-set
+  * rule the batch snapshot diff uses, which StreamingSpec equates; a
+  * RESTORE's re-added files flow through like any other add, which
+  * the filename-prefix rule this replaced silently dropped).
+  * Offsets checkpoint like any DSv2 source, so
   * a restarted query resumes MID-LEDGER from its stored version —
   * no manifest replay bookkeeping in user code. Tombstoned (expired)
   * and metadata-only snapshots contribute empty deltas; versions still
@@ -95,16 +97,26 @@ private[graft] object GraftCdfSource {
         "(flat atomics and arrays of atomics only)")
   }
 
-  /** Files ADDED by version `v`: its own version prefix (new files are
-    * staged under `v<N>-`; kept-by-reference predecessors keep theirs).
+  /** Files ADDED by version `v`: manifest set-difference against the
+    * predecessor — the SAME rule the batch snapshot diff and
+    * [[removedFiles]] use, NOT the `v<N>-` filename-prefix heuristic
+    * (ADVICE r13): a rollback/RESTORE publishes restored files under
+    * their ORIGINAL prefixes, so the prefix rule emitted their removal
+    * (set-diff) but never their re-addition, and every downstream
+    * incremental consumer silently diverged from the table.
     * LAYOUT-ONLY versions (compaction/re-clustering, `#layout` header)
     * contribute NOTHING: their row set equals the predecessor's, and
     * without the skip a 100 TB compaction would replay the whole table
     * into every incremental consumer. */
   def addedFiles(dir: String, v: Int): Seq[String] =
-    if (GraftVersions.isLayoutOnly(dir, v)) Seq.empty
-    else GraftVersions.manifest(dir, v).filter { p =>
-      p.substring(p.lastIndexOf('/') + 1).startsWith(s"v$v-")
+    if (!GraftVersions.isLive(dir, v) ||
+      GraftVersions.isLayoutOnly(dir, v)) Seq.empty
+    else {
+      val prev = GraftVersions.manifest(dir, v - 1)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      GraftVersions.manifest(dir, v).filterNot { p =>
+        prev.contains(p.substring(p.lastIndexOf('/') + 1))
+      }
     }
 
   /** Files REMOVED by version `v`: the predecessor manifest's files the

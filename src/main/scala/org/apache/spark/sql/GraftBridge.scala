@@ -64,7 +64,7 @@ object GraftBridge {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CUA}
     def cname(e: Expression): Option[String] = e match {
       case a: ce.AttributeReference => Some(a.name)
-      case u: CUA => Some(u.nameParts.last)
+      case u: CUA if u.nameParts.length == 1 => Some(u.nameParts.head)
       case _ => None
     }
     def cwalk(e: Expression): Seq[(String, Boolean)] = e match {
@@ -74,7 +74,8 @@ object GraftBridge {
       case _ => Seq.empty
     }
     def nname(node: n.ColumnNode): Option[String] = node match {
-      case a: n.UnresolvedAttribute => Some(a.nameParts.last)
+      case a: n.UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
       case _ => None
     }
     def nwalk(node: n.ColumnNode): Seq[(String, Boolean)] = node match {
@@ -122,7 +123,7 @@ object GraftBridge {
 
     def cname(e: Expression): Option[String] = e match {
       case a: ce.AttributeReference => Some(a.name)
-      case u: CUA => Some(u.nameParts.last)
+      case u: CUA if u.nameParts.length == 1 => Some(u.nameParts.head)
       case cst: ce.Cast if widening(cst.child.dataType, cst.dataType) =>
         cname(cst.child)
       case _ => None
@@ -141,7 +142,8 @@ object GraftBridge {
     }
 
     def nname(node: n.ColumnNode): Option[String] = node match {
-      case a: n.UnresolvedAttribute => Some(a.nameParts.last)
+      case a: n.UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
       case _ => None
     }
     def neq(a: n.ColumnNode, b: n.ColumnNode): Seq[(String, Set[T])] =
@@ -236,7 +238,12 @@ object GraftBridge {
     * OR at the top yields no constraints). Range bounds stay LOOSE (`>`
     * treated as `>=`) — no increment edge, still sound. Cast-stripping
     * on the COLUMN side is catalyst-only and widening-only (node-space
-    * child types are unknown pre-resolution, so no stripping there). */
+    * child types are unknown pre-resolution, so no stripping there).
+    * UNRESOLVED attributes constrain only when their name is a SINGLE
+    * part: `col("s.b")` denotes the nested field b of struct s, and
+    * keying a constraint by the trailing part would prune on an
+    * unrelated top-level column b's stats (ADVICE r13) — multipart
+    * names contribute nothing, which is sound. */
   private def boundsWalk[T](c: Column,
       clit: Expression => Option[T],
       nlit: internal.ColumnNode => Option[T])(implicit ord: Ordering[T])
@@ -250,7 +257,7 @@ object GraftBridge {
 
     def cname(e: Expression): Option[String] = e match {
       case a: ce.AttributeReference => Some(a.name)
-      case u: CUA => Some(u.nameParts.last)
+      case u: CUA if u.nameParts.length == 1 => Some(u.nameParts.head)
       case cst: ce.Cast if widening(cst.child.dataType, cst.dataType) =>
         cname(cst.child)
       case _ => None
@@ -282,7 +289,8 @@ object GraftBridge {
     }
 
     def nname(node: n.ColumnNode): Option[String] = node match {
-      case a: n.UnresolvedAttribute => Some(a.nameParts.last)
+      case a: n.UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
       case _ => None
     }
     def nrange(a: n.ColumnNode, b: n.ColumnNode,

@@ -272,4 +272,50 @@ class BloomSkipSpec extends SparkSpec {
       assert(new java.io.File(bdir, "_config").isFile, "_config swept")
     } finally spark.conf.unset("spark.sql.graft.bloom.columns")
   }
+
+  test("cross-type point predicates never unsoundly skip (channel guard)") {
+    try {
+      val root = freshRoot()
+      import spark.implicits._
+      // bloom BOTH channels: sv is k's decimal string, so cross-type
+      // literals compare TRUE through Spark's implicit casts while the
+      // sidecar hash channels differ — exactly ADVICE r13's trap
+      spark.conf.set("spark.sql.graft.bloom.columns", "k,sv")
+      (0 until 64).map(k => (k, k.toString, k % 8)).toDF("k", "sv", "grp")
+        .repartition(8, col("grp")).createOrReplaceTempView("bl_xt")
+      spark.sql("""CREATE TABLE psql.tpcds.bl7
+                  |TBLPROPERTIES('versioned'='true')
+                  |AS SELECT * FROM bl_xt""".stripMargin)
+      val dir = s"$root/bl7.parquet"
+      def remaining(): Set[Int] = spark.sql("SELECT k FROM psql.tpcds.bl7")
+        .collect().map(_.getInt(0)).toSet
+      // LONG literal against the STRING column: the long point would
+      // probe sv's string-channel sidecar, always miss, and prune every
+      // file — the row sv='13' (which Spark's cast makes a match) must
+      // still be deleted
+      val (_, _, rw1) = GraftMerge.deleteFrom(spark, dir, col("sv") === 13)
+      assert(rw1 >= 1, "channel-mismatched point set pruned all files")
+      assert(remaining() == (0 until 64).toSet - 13)
+      // STRING literals against the INT column, intersecting to the
+      // EMPTY set ('7' ∩ '07') — yet both conjuncts cast to k = 7: the
+      // unsat shortcut must not fire on a channel-mismatched set
+      val (_, _, rw2) = GraftMerge.deleteFrom(spark, dir,
+        col("k") === "7" && col("k") === "07")
+      assert(rw2 >= 1, "cross-type empty intersection claimed unsat")
+      assert(remaining() == (0 until 64).toSet - 13 - 7)
+      // TYPE-MATCHED empty intersection IS genuine unsatisfiability:
+      // zero files touched, zero rows lost, no discovery scan needed
+      val (_, kept3, rw3) = GraftMerge.deleteFrom(spark, dir,
+        col("k") === 1 && col("k") === 2)
+      assert(rw3 == 0 && kept3 > 0, s"unsat prune regressed: rw=$rw3")
+      assert(remaining() == (0 until 64).toSet - 13 - 7)
+      // and the matched channels still SKIP: a point delete on k
+      // rewrites exactly the file holding it
+      val n = GraftVersions.manifest(dir, GraftVersions.current(dir)).size
+      val (_, kept4, rw4) = GraftMerge.deleteFrom(spark, dir, col("k") === 20)
+      assert(rw4 == 1 && kept4 == n - 1,
+        s"bloom skip lost after channel guard: kept=$kept4 rw=$rw4 of $n")
+      assert(remaining() == (0 until 64).toSet - 13 - 7 - 20)
+    } finally spark.conf.unset("spark.sql.graft.bloom.columns")
+  }
 }

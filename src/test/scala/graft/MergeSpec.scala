@@ -513,6 +513,31 @@ class MergeSpec extends SparkSpec {
                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e3.getMessage.contains("equality"), e3.getMessage)
+    // the key column must be assigned the ON condition's OWN source
+    // key (ADVICE r13): identical branches assigning k = s.o pass the
+    // whole-row check, but mergeInto would join on s.o — different
+    // match semantics than the statement declares
+    Seq((2, "x", 7), (9, "y", 8)).toDF("k", "v", "o")
+      .createOrReplaceTempView("mg_updM3")
+    val e4 = intercept[Exception] {
+      spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM3 s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET k = s.o, v = s.v
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.o, s.v)""".stripMargin)
+    }
+    assert(e4.getMessage.contains("source key"), e4.getMessage)
+    // a NARROWING cast in the ON condition is never stripped — the
+    // truncated comparison is not the equality mergeInto performs
+    val e5 = intercept[Exception] {
+      spark.sql("""MERGE INTO psql.tpcds.mgM t USING mg_updM3 s
+                  |ON t.k = CAST(s.k AS TINYINT)
+                  |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    assert(e5.getMessage.contains("equality"), e5.getMessage)
+    // the table is untouched by every rejected statement
+    assert(kvRows("SELECT * FROM psql.tpcds.mgM") ==
+      Set((1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "NEW")))
   }
 
   test("manifest stats skip untouched files in the discovery pass (sound bounds)") {
@@ -527,6 +552,19 @@ class MergeSpec extends SparkSpec {
     // an unrecognized conjunct contributes nothing but keeps the rest
     assert(GraftMerge.predicateBounds(col("k") > 3 && col("v").contains("a")) ==
       Map("k" -> (3L, Long.MaxValue)))
+    // NESTED-FIELD names constrain nothing (ADVICE r13): col("s.b")
+    // denotes struct s's field b — keying by the trailing part would
+    // prune on an unrelated top-level column b's stats/sidecars
+    assert(GraftMerge.predicateBounds(col("s.b") === 5).isEmpty)
+    assert(org.apache.spark.sql.GraftBridge
+      .conjunctLongPoints(col("s.b") === 5).isEmpty)
+    assert(org.apache.spark.sql.GraftBridge
+      .conjunctStrPoints(col("s.b") === "x").isEmpty)
+    assert(org.apache.spark.sql.GraftBridge
+      .conjunctNullness(col("s.b").isNull).isEmpty)
+    // …while the single-part conjunct in the same predicate survives
+    assert(GraftMerge.predicateBounds(col("s.b") === 5 && col("k") === 9) ==
+      Map("k" -> (9L, 9L)))
 
     val root = freshRoot()
     import spark.implicits._

@@ -645,4 +645,55 @@ class StreamingSpec extends SparkSpec {
     assert(added.select(col("k")).collect().map(_.getInt(0)).toSet ==
       removed.select(col("k")).collect().map(_.getInt(0)).toSet)
   }
+
+  test("CDF emits a RESTORE's re-added files (manifest set-diff, not prefix)") {
+    import spark.implicits._
+    import graft.sources.GraftVersions
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf7").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // v1: rows A; v2: OVERWRITE with rows B (A's files leave the
+    // manifest); v3: RESTORE v1 — the restored files keep their
+    // ORIGINAL v1- prefixes, which is exactly the case the filename-
+    // prefix rule dropped (ADVICE r13): consumers saw A removed at v2
+    // but never re-added at v3 and silently diverged from the table
+    GraftVersions.commit(dir, Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      overwrite = false)
+    GraftVersions.commit(dir, Seq((9, "bad")).toDF("k", "v"), overwrite = true)
+    assert(GraftVersions.rollback(dir, 1) == 3)
+    val acc = new scala.collection.concurrent.TrieMap[(Int, String), Set[Int]]
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir).option("includeRemoved", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("k"), col("_cdf_version"), col("_change_type"))
+          .collect().groupBy(r => (r.getInt(1), r.getString(2)))
+          .foreach { case (key, rows) =>
+            acc(key) = acc.getOrElse(key, Set.empty) ++ rows.map(_.getInt(0))
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc == scala.collection.concurrent.TrieMap(
+      (1, "insert") -> Set(1, 2),
+      (2, "insert") -> Set(9), (2, "delete") -> Set(1, 2),
+      (3, "insert") -> Set(1, 2), (3, "delete") -> Set(9)), acc.toString)
+    // an incremental consumer folding the feed converges back to the
+    // table's state — the divergence the prefix rule caused
+    val state = scala.collection.mutable.Map[Int, Int]() // k -> net adds
+    acc.toSeq.sortBy(_._1._1).foreach { case ((_, ch), ks) =>
+      ks.foreach(k => state(k) = state.getOrElse(k, 0) +
+        (if (ch == "insert") 1 else -1))
+    }
+    assert(state.filter(_._2 > 0).keySet == Set(1, 2), state.toString)
+    // the text-ledger stream applies the same set-diff rule
+    val tacc = new scala.collection.concurrent.TrieMap[Int, Set[Int]]
+    val tq = graft.streaming.DocsStreaming.cdfStream(spark, dir) { (v, df) =>
+      tacc(v) = df.select(col("k")).collect().map(_.getInt(0)).toSet
+    }.start()
+    try tq.processAllAvailable() finally tq.stop()
+    assert(tacc == scala.collection.concurrent.TrieMap(
+      1 -> Set(1, 2), 2 -> Set(9), 3 -> Set(1, 2)), tacc.toString)
+  }
 }

@@ -273,4 +273,49 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM psql.tpcds.tt9 VERSION AS OF 5")
       .columns.toSeq == Seq("k", "v", "note"))
   }
+
+  test("abandoned restore tombstones its won manifest; successors chain past it") {
+    import spark.implicits._
+    import graft.sources.GraftVersions
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt10").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // v1: rows A; v2: OVERWRITE — v1's files leave the live manifest
+    GraftVersions.commit(dir, Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      overwrite = false)
+    GraftVersions.commit(dir, Seq((9, "keep")).toDF("k", "v"), overwrite = true)
+    // simulate the expire race: v1's data files are vacuumed AFTER the
+    // restore passes its isLive check (here: before the call — same
+    // observable state, the restore wins its manifest then finds the
+    // files gone at re-verification)
+    val v1Files = GraftVersions.manifest(dir, 1).map(new java.io.File(_))
+    v1Files.foreach(f => assert(f.delete(), s"setup: could not delete $f"))
+    val e = intercept[IllegalStateException] { GraftVersions.rollback(dir, 1) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // the pointer did not flip — and the WON manifest (v3) must not
+    // stay live: a successor's append chains onto its predecessor's
+    // manifest lines, and the dead manifest references vacuumed files
+    // (ADVICE r13 — the next commit would publish a current snapshot
+    // that breaks every read)
+    assert(GraftVersions.current(dir) == 2)
+    assert(new java.io.File(s"$dir/_manifests/v3.txt").exists(),
+      "the won version number must stay burned")
+    assert(!GraftVersions.isLive(dir, 3), "abandoned manifest left live")
+    // an append AFTER the abandoned restore: steps past the burned v3,
+    // chains onto v2's LIVE lines, and the table stays fully readable
+    GraftVersions.commit(dir, Seq((10, "new")).toDF("k", "v"), overwrite = false)
+    assert(GraftVersions.current(dir) == 4)
+    val rows = spark.read.parquet(GraftVersions.manifest(dir, 4): _*)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set(9 -> "keep", 10 -> "new"), rows.toString)
+    // a second abandoned restore (v1's manifest is still live, its
+    // files still gone) burns v5…
+    intercept[IllegalStateException] { GraftVersions.rollback(dir, 1) }
+    assert(!GraftVersions.isLive(dir, 5))
+    // …and a LEGITIMATE restore's retry loop steps past it to v6
+    val nv = GraftVersions.rollback(dir, 2)
+    assert(nv == 6 && GraftVersions.current(dir) == 6)
+    val restored = spark.read.parquet(GraftVersions.manifest(dir, 6): _*)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(restored == Set(9 -> "keep"), restored.toString)
+  }
 }
