@@ -38,16 +38,21 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Federated three-part naming (reference: psql/mongodb/elastic
     // catalogs, values.yml.j2:34-61) with the loader's table placement
-    // (loader.py:313-322): facts and dims in psql, the second-store fact
-    // in mongodb, document/event data in elastic.
+    // (loader.py:313-322): facts and dims in psql, the second-store
+    // facts in mongodb, the document corpus behind the elastic WIRE
+    // catalog below.
     .config("spark.sql.catalog.psql", "graft.sources.GraftParquetCatalog")
     .config("spark.sql.catalog.psql.tables",
       "region,nation,customer,supplier,part,lineitem")
     .config("spark.sql.catalog.mongodb", "graft.sources.GraftParquetCatalog")
-    .config("spark.sql.catalog.mongodb.tables", "orders")
-    .config("spark.sql.catalog.elastic", "graft.sources.GraftParquetCatalog")
-    .config("spark.sql.catalog.elastic.tables", "events,documents,embeddings")
-    .config("spark.sql.catalog.elastic.namespace", "default")
+    .config("spark.sql.catalog.mongodb.tables", "orders,events,embeddings")
+    // the elastic role is a REAL wire connector: scroll-paged HTTP
+    // against an in-process ES-API server, filter/projection pushdown
+    // rendered into the request (GraftElasticSource; page size mirrors
+    // the reference's elasticsearch.scroll-size=1000, values.yml.j2:53)
+    .config("spark.sql.catalog.elastic", "graft.sources.GraftElasticCatalog")
+    .config("spark.sql.catalog.elastic.pageSize", "1000")
+    .config("spark.sql.catalog.elastic.slices", "4")
     // wire-protocol surface (GraftSqlServer): static confs must ride
     // the session build. Single-session shares this session's temp
     // views/catalogs with Thrift clients; incremental collect streams

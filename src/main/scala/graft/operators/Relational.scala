@@ -464,6 +464,47 @@ object Relational {
          |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** THREE-store heterogeneous federation over THREE protocols (q81):
+    * one SQL statement spans the elastic WIRE catalog (scroll-paged
+    * HTTP through GraftElasticSource — the reference's third store,
+    * `elasticsearch.scroll-size=1000` at values.yml.j2:53), the Derby
+    * JDBC catalog (the psql role), and a parquet DSv2 catalog — no
+    * store is a rename. The `lang` filter pushes into the HTTP
+    * request's query DSL (spec-pinned in ElasticSourceSpec), the JDBC
+    * dim broadcasts, and the corpus streams through bounded 1000-row
+    * scroll pages. The mod-25 bridge stands in for the tenant key a
+    * real corpus carries (the synthetic documents table has no FK).
+    * Oracle: the same join over the parquet tables. */
+  lazy val elasticFederation: QueryEntry = QueryEntry(
+    "q81_elastic_scroll_federation",
+    """SELECT n_name, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents d, nation nat, region r
+      |WHERE MOD(d.doc_id, 25) = nat.n_nationkey
+      |  AND nat.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'ASIA' AND d.lang = 'en'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val table = derbyNationTable(s, d)
+    s.conf.set("spark.sql.catalog.derbyfed",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.derbyfed.url", derbyFedUrl)
+    s.conf.set("spark.sql.catalog.derbyfed.pushDownAggregate", "true")
+    // BROADCAST both dims: the JDBC relation reports no size stats and
+    // the HTTP corpus side must stay the streamed probe side
+    s.sql(
+      s"""SELECT /*+ BROADCAST(nat, r) */ n_name AS n_name,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM elastic.default.documents d, derbyfed.APP.$table nat,
+         |     psql.tpcds.region r
+         |WHERE MOD(d.doc_id, 25) = nat.n_nationkey
+         |  AND nat.n_regionkey = r.r_regionkey
+         |  AND r.r_name = 'ASIA' AND d.lang = 'en'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   /** CUBE grouping sets (completes the rollup/cube/grouping-sets
     * family, SURVEY.md §2.4 noted-absent). */
   val cubeAgg: QueryEntry = QueryEntry(
@@ -1271,7 +1312,7 @@ object Relational {
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
     saltedSkewJoin, queryProfile, heterogeneousFederation,
-    recursiveAncestors)
+    recursiveAncestors, elasticFederation)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftElasticServer
+
+/** The elastic WIRE connector (GraftElasticSource/GraftElasticServer):
+  * scroll-paged HTTP reads with filter/projection pushdown rendered
+  * into the request — the reference's third federation store spoken
+  * over its actual protocol (scroll-size=1000,
+  * ansible/roles/trino/templates/values.yml.j2:53). */
+class ElasticSourceSpec extends SparkSpec {
+
+  private def useRoot(dir: String): Unit =
+    spark.conf.set("spark.sql.graft.root", dir)
+
+  private def index(dir: String): String =
+    GraftElasticServer.documentsIndex(spark, dir)
+
+  test("wire reads equal the parquet corpus (full scan over slices)") {
+    useRoot(sf1)
+    val wire = spark.sql(
+      "SELECT doc_id, text, lang, source, n_chars FROM elastic.default.documents")
+      .collect().map(_.toSeq).toSet
+    val direct = Tables.documents(spark, sf1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(wire == direct, s"wire=${wire.size} direct=${direct.size}")
+    // parallelism is the sliced scroll: one input partition per slice
+    val parts = spark.sql("SELECT doc_id FROM elastic.default.documents")
+      .rdd.getNumPartitions
+    assert(parts == 4, s"expected 4 slices, got $parts")
+  }
+
+  test("filters and projection push into the search request") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    val before = GraftElasticServer.searchCount(idx)
+    val q = spark.sql(
+      """SELECT doc_id, n_chars FROM elastic.default.documents
+        |WHERE lang = 'en' AND n_chars > 100""".stripMargin)
+    val rows = q.collect()
+    // plan carries the pushed filters (DSv2 explain description)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftElasticScan"), plan)
+    assert(plan.contains("EqualTo(lang,en)") && plan.contains("GreaterThan(n_chars,100)"),
+      plan)
+    // the WIRE saw the rendered query DSL and the pruned _source —
+    // one search per slice
+    assert(GraftElasticServer.searchCount(idx) == before + 4)
+    val body = GraftElasticServer.lastSearchBody(idx).get
+    assert(body.contains(""""term":{"lang":"en"}"""), body)
+    assert(body.contains(""""range":{"n_chars":{"gt":100}}"""), body)
+    assert(body.contains(""""_source":["doc_id","n_chars"]"""), body)
+    // and the server-side evaluation matches Spark's
+    val expect = Tables.documents(spark, sf1)
+      .filter(col("lang") === "en" && col("n_chars") > 100)
+      .select("doc_id", "n_chars").collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == expect)
+  }
+
+  test("unsupported conjuncts stay Spark-side residuals (sound split)") {
+    useRoot(sf1)
+    val q = spark.sql(
+      """SELECT doc_id FROM elastic.default.documents
+        |WHERE lang = 'en' AND n_chars % 7 = 0""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(lang,en)"), plan)
+    val expect = Tables.documents(spark, sf1)
+      .filter(col("lang") === "en" && col("n_chars") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet == expect)
+  }
+
+  test("scroll paging: page count follows size and slice arithmetic") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    // a dedicated one-slice, 7-row-page reader over the same server
+    val total = Tables.documents(spark, sf1).count().toInt
+    spark.conf.set("spark.sql.catalog.espage",
+      "graft.sources.GraftElasticCatalog")
+    spark.conf.set("spark.sql.catalog.espage.pageSize", "7")
+    spark.conf.set("spark.sql.catalog.espage.slices", "1")
+    val before = GraftElasticServer.pageCount(idx)
+    val n = spark.sql("SELECT doc_id FROM espage.default.documents")
+      .collect().length
+    assert(n == total)
+    val pages = GraftElasticServer.pageCount(idx) - before
+    // ceil(total / 7) pages, ±1 when the tail lands exactly on a
+    // boundary (the reader stops at the first SHORT page)
+    val expect = (total + 6) / 7
+    assert(pages == expect || pages == expect + 1,
+      s"pages=$pages expected≈$expect for $total rows @7")
+  }
+
+  test("IN, prefix and IS NOT NULL render; empty result stays correct") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    val q = spark.sql(
+      """SELECT doc_id FROM elastic.default.documents
+        |WHERE lang IN ('de', 'fr') AND source LIKE 'src1%'""".stripMargin)
+    val got = q.collect().map(_.getLong(0)).toSet
+    val body = GraftElasticServer.lastSearchBody(idx).get
+    assert(body.contains(""""terms":{"lang":["de","fr"]}"""), body)
+    assert(body.contains(""""prefix":{"source":"src1"}"""), body)
+    val expect = Tables.documents(spark, sf1)
+      .filter(col("lang").isin("de", "fr") && col("source").startsWith("src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // a pushed filter matching nothing returns empty, not an error
+    assert(spark.sql(
+      "SELECT doc_id FROM elastic.default.documents WHERE lang = 'xx'")
+      .collect().isEmpty)
+  }
+
+  test("the catalog is read-only and lists only the corpus table") {
+    useRoot(sf1)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("elastic")
+      .asInstanceOf[TableCatalog]
+    val tables = cat.listTables(Array("default")).map(_.name()).toSeq
+    assert(tables == Seq("documents"))
+    assert(!cat.dropTable(Identifier.of(Array("default"), "documents")))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM elastic.default.nosuch").collect()
+    }
+    assert(e.getMessage.contains("nosuch") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+}
