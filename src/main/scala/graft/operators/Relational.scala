@@ -505,6 +505,64 @@ object Relational {
          |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** One writable WAREHOUSE catalog per JVM (`cbocat`, pinned to a
+    * scratch root so it coexists with the per-entry source roots):
+    * holds the ANALYZE'd dimension copies q82 joins against. Rebuilt
+    * per (dir) on first use; a stale directory from a previous JVM is
+    * replaced, never trusted. */
+  private val cboDimTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val cboRoot = "/dev/shm/graftcbo"
+
+  private def cboDimTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cboDimTables.computeIfAbsent(d, _ => {
+      s.conf.set("spark.sql.catalog.cbocat",
+        "graft.sources.GraftParquetCatalog")
+      s.conf.set("spark.sql.catalog.cbocat.pinnedRoot", cboRoot)
+      val t = "cbo_customer_" + d.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      new java.io.File(cboRoot).mkdirs()
+      val dir = new java.io.File(cboRoot, s"$t.parquet")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
+      Tables.customer(s, d).createOrReplaceTempView(s"cbo_src_$t")
+      s.sql(s"""CREATE TABLE cbocat.tpcds.$t
+               |TBLPROPERTIES('versioned'='true')
+               |AS SELECT c_custkey, c_mktsegment, c_acctbal
+               |FROM cbo_src_$t""".stripMargin)
+      s.sql(s"ANALYZE TABLE cbocat.tpcds.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      t
+    })
+
+  /** Stats-driven (CBO) join distribution (q82) — Trino picks
+    * REPLICATED vs PARTITIONED from per-node `Estimates:` (reference:
+    * results/q003/workers-1/explain.txt:7); here the dimension is a
+    * versioned catalog table carrying an `ANALYZE TABLE … COMPUTE
+    * STATISTICS FOR ALL COLUMNS` record, its scan reports
+    * selectivity-scaled statistics (GraftTableStats), and the planner
+    * broadcasts it with NO hint — the stored stats, not file size or
+    * a hint, are the operative estimate (CboStatsSpec pins the
+    * broadcast↔shuffle flip from the same record at two SFs). */
+  lazy val cboStatsJoin: QueryEntry = QueryEntry(
+    "q82_cbo_stats_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+      |FROM orders o, customer c
+      |WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 1000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val t = cboDimTable(s, d)
+    s.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+         |FROM mongodb.tpcds.orders o, cbocat.tpcds.$t c
+         |WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 1000
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** CUBE grouping sets (completes the rollup/cube/grouping-sets
     * family, SURVEY.md §2.4 noted-absent). */
   val cubeAgg: QueryEntry = QueryEntry(
@@ -1312,7 +1370,7 @@ object Relational {
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
     saltedSkewJoin, queryProfile, heterogeneousFederation,
-    recursiveAncestors, elasticFederation)
+    recursiveAncestors, elasticFederation, cboStatsJoin)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

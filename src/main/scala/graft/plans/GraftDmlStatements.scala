@@ -73,6 +73,14 @@ object GraftDmlStatements extends Rule[LogicalPlan] {
         case _ => throw new UnsupportedOperationException(
           "DESCRIBE DETAIL supports graft versioned tables only")
       }
+    case GraftAnalyzeStatement(child, forCols) if child.resolved =>
+      child match {
+        case GraftTarget(path, _) => GraftAnalyzeCommand(path, forCols)
+        case _ => throw new UnsupportedOperationException(
+          "ANALYZE TABLE supports graft versioned tables only " +
+            "(source-root tables are read-only; stock Spark rejects " +
+            "ANALYZE for all v2 tables)")
+      }
   }
 
   /** A resolved graft versioned-table target (possibly aliased). */

@@ -93,6 +93,7 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     defaultRoot = options.getOrDefault("root", "/root/testdata/sf0.001")
+    pinnedRoot = Option(options.get("pinnedRoot"))
     baseNamespace = options.getOrDefault("namespace", "tpcds")
     Option(options.get("tables")).foreach { t =>
       placement = Some(t.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -103,8 +104,14 @@ class GraftParquetCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def root: String =
-    spark.conf.getOption("spark.sql.graft.root").getOrElse(defaultRoot)
+  /** `pinnedRoot` fixes this catalog's directory regardless of the
+    * session's `spark.sql.graft.root` — a WRITABLE warehouse catalog
+    * (derived/ANALYZE'd tables) coexisting with the source catalogs
+    * that follow the per-entry scale-factor root. */
+  private var pinnedRoot: Option[String] = None
+
+  private def root: String = pinnedRoot.getOrElse(
+    spark.conf.getOption("spark.sql.graft.root").getOrElse(defaultRoot))
 
   private def pathOf(table: String): String = s"$root/$table.parquet"
   private def jsonPathOf(table: String): String = s"$root/$table.json"
@@ -1472,8 +1479,15 @@ private[graft] class GraftVersionedTable(parquet: ParquetTable, val path: String
   override def capabilities(): util.Set[TableCapability] =
     (parquet.capabilities().asScala.toSet + TableCapability.V1_BATCH_WRITE +
       TableCapability.OVERWRITE_BY_FILTER + TableCapability.TRUNCATE).asJava
+  /** Scans wrap the native builder so an ANALYZE record (if present)
+    * drives the reported statistics — the hint-free broadcast/shuffle
+    * seam (GraftTableStats); without a record the wrapper builds the
+    * stock scan with its file-size estimate. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    parquet.newScanBuilder(options)
+    new GraftStatsScanBuilder(
+      parquet.newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
+      path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftVersionedWriteBuilder(path)
 

@@ -67,6 +67,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "q66_tpch_q21" -> (Dim, "supplier(one nation) + nation(filtered) dims"),
     "q67_tpch_q22" -> (Fixed, "scalar avg-balance threshold, 1 row"),
     "q79_heterogeneous_federation" -> (Fixed, "Derby nation dim over JDBC: 25 rows at every SF (TPC-H nation is constant); the hint exists because a JDBC relation reports no size stats, so the planner would otherwise broadcast the parquet FACT side"),
+    "q81_elastic_scroll_federation" -> (Fixed, "Derby nation dim (25 rows, JDBC reports no size stats) + region dim (5 rows): both SF-constant; the HTTP corpus side is never hinted — it must stay the streamed probe side. The stats-derived hint-free path is q82 (CboStatsSpec); JDBC relations stay hinted because the stock JDBCTableCatalog reports no statistics"),
     // --- text / pipeline: profiles, vocabularies, stat cells ---
     "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
     "t18_hashed_classifier" -> (Fixed, "hashed-feature weight table: exactly 256 rows (the bucket space) at every SF — model weights are corpus-independent by construction"),
