@@ -637,8 +637,60 @@ object Loader {
     }
   }
 
+  /** ROW-level change feed (l14) — closes the r13 design note that the
+    * CDF delete channel is file-granularity: `GraftMerge.rowLevelDiff`
+    * joins each commit's removed and added rows on the merge key and
+    * emits `update_preimage`/`update_postimage` pairs for changed
+    * keys, plain insert/delete for one-sided ones, and NOTHING for
+    * rows a copy-on-write rewrite carried unchanged — the per-row
+    * images a CDC consumer expects, at O(changed files' rows) per
+    * commit. The entry walks all four change types across an UPDATE
+    * commit (pairs), a DELETE commit (deletes), and an append
+    * (inserts); the oracle restates each image from the base table. */
+  val rowLevelCdf: QueryEntry = QueryEntry(
+    "l14_row_level_cdf",
+    """WITH upd AS (SELECT * FROM nation WHERE n_regionkey = 1)
+      |SELECT 1 AS step, n_nationkey, n_name, n_regionkey,
+      |       'update_preimage' AS _change_type FROM upd
+      |UNION ALL
+      |SELECT 1, n_nationkey, n_name || '_u', n_regionkey,
+      |       'update_postimage' FROM upd
+      |UNION ALL
+      |SELECT 2, n_nationkey, n_name, n_regionkey, 'delete'
+      |FROM nation WHERE n_regionkey = 4
+      |UNION ALL
+      |SELECT 3, 100, 'NEWLAND', 9, 'insert'
+      |UNION ALL
+      |SELECT 3, 101, 'OLDLAND', 9, 'insert'
+      |ORDER BY step, n_nationkey, _change_type""".stripMargin
+  ) { (s, d) =>
+    val root = scratchBase + "/rl_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    withScratchRoot(s, root) {
+      Tables.nation(s, d).createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS psql.tpcds.nations_rl")
+      s.sql("""CREATE TABLE psql.tpcds.nations_rl
+              |TBLPROPERTIES('versioned'='true')
+              |AS SELECT /*+ REPARTITION(4, n_nationkey) */ *
+              |FROM nation_src""".stripMargin)
+      s.sql("""UPDATE psql.tpcds.nations_rl
+              |SET n_name = n_name || '_u' WHERE n_regionkey = 1""".stripMargin)
+      s.sql("DELETE FROM psql.tpcds.nations_rl WHERE n_regionkey = 4")
+      s.sql("""INSERT INTO psql.tpcds.nations_rl VALUES
+              |(100, 'NEWLAND', 9), (101, 'OLDLAND', 9)""".stripMargin)
+      val dir = s"$root/nations_rl.parquet"
+      (1 to 3).map { v =>
+        graft.sources.GraftMerge
+          .rowLevelDiff(s, dir, v, v + 1, "n_nationkey")
+          .select(lit(v).as("step"), col("n_nationkey"), col("n_name"),
+            col("n_regionkey"), col("_change_type"))
+      }.reduce(_.unionAll(_))
+        .orderBy(col("step"), col("n_nationkey"), col("_change_type"))
+    }
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
       schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
-      updateWhereEntry, jdbcExport, bloomPointDelete, exactlyOnceIngest)
+      updateWhereEntry, jdbcExport, bloomPointDelete, exactlyOnceIngest,
+      rowLevelCdf)
 }

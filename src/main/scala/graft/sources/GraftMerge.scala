@@ -473,6 +473,51 @@ object GraftMerge {
     * would need row ids the format deliberately doesn't have).
     * Returns (added DataFrame, removed DataFrame); either may be
     * empty-with-schema when the version pair shares every file. */
+  /** ROW-level change feed between two snapshots (ADVICE/VERDICT r13
+    * #4): the file-granularity [[snapshotDiff]] reports a copy-on-write
+    * UPDATE as whole-file delete+insert churn; this joins the removed
+    * and added rows on the table's merge key and emits
+    * `update_preimage`/`update_postimage` pairs for keys present on
+    * both sides with CHANGED content, plain `insert`/`delete` for
+    * one-sided keys, and NOTHING for rows a rewrite carried unchanged
+    * — the per-row images a CDC consumer expects.
+    *
+    * Contract: `key` is unique per side (the upsert key every
+    * copy-on-write verb here maintains); a NULL key never matches
+    * (SQL join semantics), so null-keyed removed rows surface as
+    * deletes and added ones as inserts. Cost: one shuffled full-outer
+    * join over O(changed files' rows) — the same bound the file diff
+    * has; at 100 TB that is the commit's touched set, never the
+    * table. Layout-only rewrites (compaction) diff to EMPTY here,
+    * where the file feed reports full churn. */
+  def rowLevelDiff(spark: SparkSession, dir: String, v1: Int, v2: Int,
+      key: String): DataFrame = {
+    val (added, removed) = snapshotDiff(spark, dir, v1, v2)
+    val cols = added.columns.toSeq
+    require(cols.contains(key),
+      s"$dir: rowLevelDiff key $key not in ${cols.mkString(", ")}")
+    val pre = removed.select(struct(cols.map(col): _*).as("pre"))
+    val post = added.select(struct(cols.map(col): _*).as("post"))
+    val joined = pre.join(post,
+      col(s"pre.$key") === col(s"post.$key"), "full_outer")
+    val pair = array(
+      struct(col("pre").as("row"), lit("update_preimage").as("ct")),
+      struct(col("post").as("row"), lit("update_postimage").as("ct")))
+    val changeArr =
+      when(col("pre").isNull,
+        array(struct(col("post").as("row"), lit("insert").as("ct"))))
+        .when(col("post").isNull,
+          array(struct(col("pre").as("row"), lit("delete").as("ct"))))
+        // carried row (rewrite kept it byte-identical): no change row;
+        // the empty array keeps the branch types aligned
+        .when(col("pre") <=> col("post"),
+          filter(pair, _ => lit(false)))
+        .otherwise(pair)
+    joined.select(explode(changeArr).as("c"))
+      .select(cols.map(c => col(s"c.row.$c")) :+
+        col("c.ct").as("_change_type"): _*)
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String, v1: Int, v2: Int)
       : (DataFrame, DataFrame) = {
     val f1 = GraftVersions.manifest(dir, v1)

@@ -109,17 +109,33 @@ object DocsStreaming {
     * store that is itself a downstream view. CdfIndexSpec gates
     * stream-maintained ≡ batch-built probe equality and replay
     * tolerance. */
+  /** `rowLevel = true` consumes the PER-ROW change feed instead of the
+    * file-granularity added-files channel: a copy-on-write UPDATE then
+    * indexes only the documents whose content actually changed
+    * (`insert` + `update_postimage` images), not every row of every
+    * rewritten file — at 100 TB the difference between appending
+    * O(changed docs) and O(touched files × rows) signatures per
+    * commit. Preimages/deletes are ignored: the band index is
+    * candidate-generating and sound under stale entries (probes verify
+    * exactly), so removing old signatures is a compaction concern, not
+    * a correctness one. */
   def bandIndexMaintenance(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, idxDir: String)
+      tableDir: String, idxDir: String, rowLevel: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val cdf = spark.readStream
+    val reader = spark.readStream
       .format("graft.streaming.GraftCdfProvider")
       .option("path", tableDir)
-      .load()
+    val cdf = (if (rowLevel)
+      reader.option("rowLevel", "true").option("mergeKey", "doc_id")
+    else reader).load()
     cdf.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty)
-        graft.operators.Dedup.buildBandIndex(batch.sparkSession,
-          batch.select(col("doc_id"), col("text")), idxDir, append = true)
+      val fresh =
+        if (rowLevel)
+          batch.filter(col("_change_type").isin("insert", "update_postimage"))
+        else batch
+      if (!fresh.isEmpty)
+        graft.operators.Dedup.buildBandIndex(fresh.sparkSession,
+          fresh.select(col("doc_id"), col("text")), idxDir, append = true)
       ()
     }
   }

@@ -56,7 +56,8 @@ import graft.sources.GraftVersions
 class GraftCdfProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftCdfSource.fullSchema(options.get("path"),
-      Option(options.get("includeRemoved")).exists(_.toBoolean))
+      Option(options.get("includeRemoved")).exists(_.toBoolean) ||
+        Option(options.get("rowLevel")).exists(_.toBoolean))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftCdfTable(schema, properties.get("path"))
@@ -162,10 +163,17 @@ private class GraftCdfTable(tschema: StructType, path: String)
         require(byVersion.isEmpty || byTime.isEmpty,
           "graft-cdf: startingVersion and startingTimestampMicros are " +
             "mutually exclusive")
+        val rowLevel = Option(options.get("rowLevel")).exists(_.toBoolean)
+        val mergeKey = Option(options.get("mergeKey"))
+        require(!rowLevel || mergeKey.exists(k =>
+          tschema.fieldNames.contains(k)),
+          "graft-cdf: rowLevel=true requires .option(\"mergeKey\", <col>) " +
+            s"naming a data column; schema: ${tschema.fieldNames.mkString(", ")}")
         new GraftCdfStream(path, tschema,
           Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
           byVersion.orElse(byTime).getOrElse(0),
-          Option(options.get("includeRemoved")).exists(_.toBoolean))
+          Option(options.get("includeRemoved")).exists(_.toBoolean),
+          rowLevel, mergeKey.getOrElse(""))
       }
     }
 }
@@ -177,9 +185,19 @@ private case class GraftCdfOffset(version: Int) extends Offset {
 private case class GraftCdfPartition(version: Int, file: String,
     change: String) extends InputPartition
 
+/** One REWRITE version in row-level mode: the added and removed file
+  * sets of the version, diffed per row inside the reader (the join
+  * needs both sides, so the version is the partition unit — memory is
+  * O(the commit's changed rows), which IS the CDC bound; insert-only
+  * versions keep the per-file parallel path). */
+private case class GraftCdfRowDiffPartition(version: Int,
+    added: Seq[String], removed: Seq[String], mergeKey: String)
+  extends InputPartition
+
 private class GraftCdfStream(dir: String, schema: StructType,
     maxVersionsPerTrigger: Option[Int], startingVersion: Int,
-    includeRemoved: Boolean)
+    includeRemoved: Boolean, rowLevel: Boolean = false,
+    mergeKey: String = "")
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = GraftCdfOffset(startingVersion)
@@ -214,17 +232,25 @@ private class GraftCdfStream(dir: String, schema: StructType,
     val s = start.asInstanceOf[GraftCdfOffset].version
     val e = end.asInstanceOf[GraftCdfOffset].version
     ((s + 1) to e).flatMap { v =>
-      GraftCdfSource.addedFiles(dir, v)
-        .map(f => GraftCdfPartition(v, f, "insert")) ++
-        (if (includeRemoved)
-          GraftCdfSource.removedFiles(dir, v)
-            .map(f => GraftCdfPartition(v, f, "delete"))
-        else Seq.empty)
+      val added = GraftCdfSource.addedFiles(dir, v)
+      if (rowLevel) {
+        val removed = GraftCdfSource.removedFiles(dir, v)
+        if (removed.isEmpty)
+          // pure append: the per-file parallel path, no join needed
+          added.map(f => GraftCdfPartition(v, f, "insert"))
+        else Seq(GraftCdfRowDiffPartition(v, added, removed, mergeKey))
+      } else {
+        added.map(f => GraftCdfPartition(v, f, "insert")) ++
+          (if (includeRemoved)
+            GraftCdfSource.removedFiles(dir, v)
+              .map(f => GraftCdfPartition(v, f, "delete"))
+          else Seq.empty)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdfReaderFactory(schema, includeRemoved)
+    new GraftCdfReaderFactory(schema, includeRemoved || rowLevel)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -237,10 +263,117 @@ private class GraftCdfStream(dir: String, schema: StructType,
 private class GraftCdfReaderFactory(schema: StructType,
     includeRemoved: Boolean) extends PartitionReaderFactory {
 
+  private def metaCols = if (includeRemoved) 2 else 1
+  private def dataFields = schema.fields.dropRight(metaCols)
+
+  /** All data-column value arrays of one parquet file (parquet-mr
+    * decode through [[convert]]) — the shared row source for both the
+    * per-file readers and the row-diff join. */
+  private def fileValues(file: String): Iterator[Array[Any]] = {
+    val fields = dataFields
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file))
+      .build()
+    new Iterator[Array[Any]] {
+      private var cur = reader.read()
+      override def hasNext: Boolean = {
+        if (cur == null) reader.close()
+        cur != null
+      }
+      override def next(): Array[Any] = {
+        val values = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          values(i) = convert(cur, fields(i).name, fields(i).dataType)
+          i += 1
+        }
+        cur = reader.read()
+        values
+      }
+    }
+  }
+
   override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case rd: GraftCdfRowDiffPartition => createRowDiffReader(rd)
+    case p: GraftCdfPartition => createFileReader(p)
+  }
+
+  /** Row-level diff of one rewrite version: removed rows load into a
+    * key-indexed map (O(the commit's rewritten rows) — the CDC bound),
+    * added files stream against it. Matching keys with identical
+    * content are CARRIED rows (no change emitted); changed content
+    * emits the preimage/postimage pair; unmatched added rows are
+    * inserts and unmatched removed rows drain as deletes at the end. */
+  private def createRowDiffReader(p: GraftCdfRowDiffPartition)
       : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftCdfPartition]
-    val metaCols = if (includeRemoved) 2 else 1 // _cdf_version[, _change_type]
+    val fields = dataFields
+    val keyIdx = fields.indexWhere(_.name == p.mergeKey)
+    require(keyIdx >= 0, s"graft-cdf: mergeKey ${p.mergeKey} not in schema")
+
+    def mk(values: Array[Any], change: String): InternalRow = {
+      val out = new Array[Any](fields.length + 2)
+      System.arraycopy(values, 0, out, 0, fields.length)
+      out(fields.length) = p.version
+      out(fields.length + 1) = UTF8String.fromString(change)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+    def valEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: GenericArrayData, y: GenericArrayData) =>
+        x.numElements() == y.numElements() &&
+          x.array.zip(y.array).forall { case (u, v) => valEq(u, v) }
+      case (x, y) => x == y
+    }
+    def rowsEqual(a: Array[Any], b: Array[Any]): Boolean = {
+      var i = 0
+      while (i < a.length) { if (!valEq(a(i), b(i))) return false; i += 1 }
+      true
+    }
+
+    val removedByKey = new java.util.LinkedHashMap[Any, Array[Any]]()
+    val nullKeyRemoved = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    p.removed.foreach(f => fileValues(f).foreach { vals =>
+      val k = vals(keyIdx)
+      if (k == null) nullKeyRemoved += vals else removedByKey.put(k, vals)
+    })
+    val touched = new java.util.HashSet[Any]()
+
+    val head: Iterator[InternalRow] =
+      p.added.iterator.flatMap(fileValues).flatMap { vals =>
+        val k = vals(keyIdx)
+        val old = if (k == null) null else removedByKey.get(k)
+        if (old == null) Iterator.single(mk(vals, "insert"))
+        else {
+          touched.add(k)
+          if (rowsEqual(old, vals)) Iterator.empty // carried: no change
+          else Iterator(mk(old, "update_preimage"), mk(vals, "update_postimage"))
+        }
+      }
+    // Iterator#++ takes its argument by name: the delete drain only
+    // materializes after the added side ran and `touched` is complete
+    def deletes: Iterator[InternalRow] =
+      (nullKeyRemoved.iterator ++
+        removedByKey.entrySet().iterator().asScala
+          .filterNot(e => touched.contains(e.getKey)).map(_.getValue))
+        .map(mk(_, "delete"))
+    val out = head ++ deletes
+
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (out.hasNext) { cur = out.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  private def createFileReader(p: GraftCdfPartition)
+      : PartitionReader[InternalRow] = {
     val dataFields = schema.fields.dropRight(metaCols)
     new PartitionReader[InternalRow] {
       private val reader = org.apache.parquet.hadoop.ParquetReader

@@ -96,4 +96,44 @@ class CdfIndexSpec extends SparkSpec {
     try q3.processAllAvailable() finally q3.stop()
     assert(bandFiles() == stable, "idle restart must append nothing")
   }
+
+  test("row-level CDF maintenance re-indexes only the changed document") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfrl").toString
+    spark.conf.set("spark.sql.graft.root", root)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cdfrl_idx").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdfrl_ck").toString
+    Tables.documents(spark, sf1).select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("cdfrl_src")
+    spark.sql("""CREATE TABLE psql.tpcds.cdfrl
+                |TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM cdfrl_src""".stripMargin)
+    val tableDir = s"$root/cdfrl.parquet"
+    def run(): Unit = {
+      val q = graft.streaming.DocsStreaming
+        .bandIndexMaintenance(spark, tableDir, idx, rowLevel = true)
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // initial snapshot indexes as inserts
+    def bandRowsByDoc(): Map[Long, Long] =
+      spark.read.parquet(s"$idx/bands").groupBy(col("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = bandRowsByDoc()
+    assert(before.nonEmpty)
+    // a copy-on-write UPDATE rewrites a whole FILE; the row-level feed
+    // must re-index ONLY the one changed document — the file feed
+    // would re-append signatures for every row of the rewritten file
+    val target = before.keySet.min
+    spark.sql(s"""UPDATE psql.tpcds.cdfrl
+                 |SET text = text || ' freshly rewritten marker token'
+                 |WHERE doc_id = $target""".stripMargin)
+    run()
+    val after = bandRowsByDoc()
+    val grown = after.filter { case (id, n) => n > before.getOrElse(id, 0L) }
+    assert(grown.keySet == Set(target),
+      s"expected only doc $target re-indexed, grew: ${grown.keySet}")
+    assert(after.filterNot(_._1 == target) == before.filterNot(_._1 == target),
+      "untouched documents gained band rows")
+  }
 }

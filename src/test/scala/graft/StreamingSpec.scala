@@ -696,4 +696,56 @@ class StreamingSpec extends SparkSpec {
     assert(tacc == scala.collection.concurrent.TrieMap(
       1 -> Set(1, 2), 2 -> Set(9), 3 -> Set(1, 2)), tacc.toString)
   }
+
+  test("row-level CDF: preimage/postimage pairs, carried rows suppressed") {
+    import spark.implicits._
+    import graft.sources.{GraftMerge, GraftVersions}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf8").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // ONE file holding four rows: the copy-on-write update rewrites
+    // the whole file, so the file feed reports 4 removed + 4 added —
+    // the row feed must emit exactly ONE pre/post pair (k=2), nothing
+    // for the three carried rows
+    GraftVersions.commit(dir,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+        .coalesce(1), overwrite = false)
+    GraftMerge.updateWhere(spark, dir, col("k") === 2,
+      Seq("v" -> org.apache.spark.sql.functions.lit("B!")))
+    GraftMerge.deleteFrom(spark, dir, col("k") === 4)
+    GraftVersions.commit(dir, Seq((9, "i")).toDF("k", "v"), overwrite = false)
+    val acc = new scala.collection.concurrent.TrieMap[(Int, String), Set[(Int, String)]]
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir)
+      .option("rowLevel", "true").option("mergeKey", "k")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val key = (r.getAs[Int]("_cdf_version"), r.getAs[String]("_change_type"))
+          acc(key) = acc.getOrElse(key, Set.empty) +
+            ((r.getAs[Int]("k"), r.getAs[String]("v")))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc == scala.collection.concurrent.TrieMap(
+      (1, "insert") -> Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"),
+      (2, "update_preimage") -> Set(2 -> "b"),
+      (2, "update_postimage") -> Set(2 -> "B!"),
+      (3, "delete") -> Set(4 -> "d"),
+      (4, "insert") -> Set(9 -> "i")), acc.toString)
+    // the batch rowLevelDiff agrees version-by-version
+    (1 to 3).foreach { v =>
+      val batchRows = GraftMerge.rowLevelDiff(spark, dir, v, v + 1, "k")
+        .collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+          r.getAs[String]("_change_type"))).toSet
+      val streamRows = acc.toSeq.filter(_._1._1 == v + 1)
+        .flatMap { case ((_, ct), rows) =>
+          rows.map { case (k, vv) => (k, vv, ct) } }.toSet
+      assert(batchRows == streamRows, s"v$v→${v + 1}: $batchRows vs $streamRows")
+    }
+  }
 }
