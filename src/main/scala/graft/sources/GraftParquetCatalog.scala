@@ -959,9 +959,21 @@ private[graft] object GraftVersions {
     * restored state is version-pinned, not read-modify-write).
     * Returns the new current version. */
   def rollback(dir: String, v: Int): Int = {
-    require(isLive(dir, v),
+    // ONE read decides liveness AND supplies the lines: a separate
+    // isLive-then-manifestLines pair races a concurrent expire —
+    // tombstoned between the two reads, the tombstone's comment-only
+    // body parses as ZERO lines and the restore would publish an
+    // EMPTY table (caught by MergeSpec's rollback-vs-expire race
+    // gate, r14). Expire's tombstone write is an atomic rename, so
+    // this read sees the live manifest or the tombstone, never a mix.
+    val mf = manifestFile(dir, v)
+    val raw =
+      if (mf.exists())
+        java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
+      else Seq.empty
+    require(mf.exists() && !raw.headOption.exists(_.startsWith(expiredMarker)),
       s"$dir: cannot restore snapshot $v — it does not exist or was expired")
-    val lines = manifestLines(dir, v) // raw: restored files keep stats
+    val lines = raw.filter(l => l.nonEmpty && !l.startsWith("#")) // stats kept
     val names = lines.map(lineName)
     val restoredSchema = schemaAt(dir, v)
     val nonce = java.util.UUID.randomUUID().toString.take(8)

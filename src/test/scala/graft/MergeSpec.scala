@@ -646,15 +646,19 @@ class MergeSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("g0", "g1", "g3"))
   }
 
-  test("mixed-verb races (merge + delete + compact) converge interleaving-independently") {
+  test("mixed-verb races (merge + delete + compact + expire) converge interleaving-independently") {
     val root = freshRoot()
     import spark.implicits._
     // the three read-modify-write verbs share one rebase loop — an
     // interleaving bug there corrupts silently. Each round races a
     // MERGE (inserts key 1000+r, updates key 1), a DELETE (previous
-    // round's inserted key), and a logically-no-op COMPACT; the verbs
-    // touch DISJOINT keys within a round, so the final state is a pure
-    // function of the round count, independent of interleaving.
+    // round's inserted key), a logically-no-op COMPACT, and (r14) a
+    // retention EXPIRE — content-neutral by contract, but it
+    // tombstones manifests and vacuums files WHILE the other verbs
+    // rebase, the exact interleaving the two-phase grace protects.
+    // The verbs touch DISJOINT keys within a round, so the final
+    // state is a pure function of the round count, independent of
+    // interleaving.
     Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
       .repartition(4, col("k")).createOrReplaceTempView("mg_srcX")
     spark.sql("""CREATE TABLE psql.tpcds.mgX TBLPROPERTIES('versioned'='true')
@@ -675,6 +679,9 @@ class MergeSpec extends SparkSpec {
         new Thread(() =>
           try GraftMerge.compact(spark, dir, smallBytes = 1L << 30,
             maxRetries = 50)
+          catch { case t: Throwable => errs.add(t) }),
+        new Thread(() =>
+          try GraftVersions.expire(dir, keepLast = 2)
           catch { case t: Throwable => errs.add(t) }))
       threads.foreach(_.start()); threads.foreach(_.join())
       assert(errs.isEmpty, s"round $r: a verb died: ${errs.peek()}")
@@ -683,6 +690,74 @@ class MergeSpec extends SparkSpec {
       Set((1, s"m$rounds"), (2, "b"), (3, "c"), (4, "d"),
         (1000 + rounds, s"new$rounds")),
       "mixed-verb interleaving corrupted the table")
+  }
+
+  test("rollback races expire: the restore wins readable or fails loudly — never corrupts") {
+    val root = freshRoot()
+    import spark.implicits._
+    // the r12 orphan-grace design point, now RACED (verdict r13 #5):
+    // each round publishes a bad overwrite, then a RESTORE of the
+    // good version runs against a concurrent EXPIRE whose retention
+    // cutoff covers that exact version. Under the protocol's grace
+    // window (expiry is two-phase: tombstone now, vacuum later) the
+    // legal outcomes are exactly two: the restore publishes and every
+    // restored file reads back (the grace kept them on disk even if
+    // the expire tombstoned the source version first), or the restore
+    // fails LOUDLY because the target was already tombstoned — never
+    // a published-but-unreadable snapshot. (A zero-grace expire
+    // deliberately voids this guarantee — that is what the grace IS;
+    // the deterministic lost-verification path, tombstone + chain-
+    // past, is TimeTravelSpec's abandoned-restore gate.) A current
+    // snapshot that fails to read — any round, either winner — is
+    // the corruption this gate exists to catch.
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartition(2, col("k")).createOrReplaceTempView("mg_srcR")
+    spark.sql("""CREATE TABLE psql.tpcds.mgR TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_srcR""".stripMargin)
+    val dir = s"$root/mgR.parquet"
+    val rounds = 10
+    var restoresWon = 0
+    (1 to rounds).foreach { r =>
+      val good = GraftVersions.current(dir)
+      val goodRows = kvRows("SELECT * FROM psql.tpcds.mgR")
+      spark.sql(s"INSERT OVERWRITE psql.tpcds.mgR VALUES ($r, 'bad$r')")
+      val restored = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val hardErr = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val restoreT = new Thread(() =>
+        try restored.set(GraftVersions.rollback(dir, good))
+        catch {
+          // both are the LOUD contract: target already expired, or
+          // the verification race lost past the grace window
+          case _: IllegalArgumentException => ()
+          case _: IllegalStateException => ()
+          case t: Throwable => hardErr.add(t)
+        })
+      val expireT = new Thread(() =>
+        try GraftVersions.expire(dir, keepLast = 1)
+        catch { case t: Throwable => hardErr.add(t) })
+      // alternate the start order so BOTH outcomes get airtime
+      val threads =
+        if (r % 2 == 0) Seq(restoreT, expireT) else Seq(expireT, restoreT)
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(hardErr.isEmpty, s"round $r: unexpected failure: ${hardErr.peek()}")
+      // the CURRENT snapshot must read completely, whoever won
+      val now = kvRows("SELECT * FROM psql.tpcds.mgR")
+      if (restored.get() >= 0) {
+        restoresWon += 1
+        assert(GraftVersions.current(dir) >= restored.get())
+        // if nothing overwrote it since, the restore's content is
+        // exactly the good version's rows
+        if (GraftVersions.current(dir) == restored.get())
+          assert(now == goodRows,
+            s"round $r: restore won but content diverged: $now vs $goodRows")
+      } else {
+        assert(now.nonEmpty, s"round $r: failed restore left table unreadable")
+      }
+    }
+    // the race must actually exercise the win path (zero-grace expire
+    // still defers vacuum of files a CONCURRENT restore can win; a
+    // suite where every restore loses gates nothing)
+    assert(restoresWon > 0, s"no restore ever won in $rounds rounds")
   }
 
   test("rewrites after ADD COLUMN read with the snapshot schema (no silent column loss)") {
