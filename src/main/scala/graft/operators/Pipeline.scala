@@ -1447,10 +1447,19 @@ object Pipeline {
       var batchId = 0L
       Seq(8, 9).foreach { residue =>
         val batch = docs.filter(col("doc_id") % 10 === residue)
+        // localCheckpoint AFTER the probe: the admitted set feeds the
+        // exactly-once sink TWICE (the crash-replay double-apply) and
+        // the index append — without it each consumer re-runs the
+        // whole shingle+minhash+probe pipeline (the r13 p25 floor was
+        // ~3 probe evaluations per batch). The probe's own DPP is
+        // unaffected: it fires inside the ONE evaluation that
+        // materializes the checkpoint (the no-checkpoint rule guards
+        // the probe's INTERNAL plan, not its consumers).
         val novel = Dedup.probeBandIndex(s, idx, docs, batch)
           .filter(col("novel"))
           .select(col("doc_id"))
           .join(docs, Seq("doc_id"))
+          .localCheckpoint()
         admit(novel, batchId); admit(novel, batchId) // crash replay
         Dedup.buildBandIndex(s, novel, idx, append = true)
         batchId += 1

@@ -32,6 +32,17 @@ class ConnectSpec extends SparkSpec {
     new java.net.URLClassLoader(urls, ClassLoader.getPlatformClassLoader)
   }
 
+  /** ONE Connect service per JVM (GraftConnectServer.start is
+    * idempotent and keeps its first binding port) — every test dials
+    * this URL; a per-test fresh port would never be bound. */
+  private lazy val serverUrl: String = {
+    val port = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    graft.sources.GraftConnectServer.start(spark, port)
+    s"jdbc:sc://localhost:$port"
+  }
+
   private def connect(url: String): java.sql.Connection = {
     val driver = clientLoader
       .loadClass("org.apache.spark.sql.connect.client.jdbc.SparkConnectDriver")
@@ -48,9 +59,7 @@ class ConnectSpec extends SparkSpec {
   } finally rs.close() // frees the client's Arrow result buffers
 
   test("a Connect client's result equals direct execution (gRPC + Arrow wire)") {
-    val port = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
-    graft.sources.GraftConnectServer.start(spark, port)
-    val conn = connect(s"jdbc:sc://localhost:$port")
+    val conn = connect(serverUrl)
     try {
       val st = conn.createStatement()
       // a Connect session is its own SparkSession: it inherits the
@@ -74,6 +83,55 @@ class ConnectSpec extends SparkSpec {
         Seq(Seq(1)))
       assert(!spark.catalog.tableExists("connect_only"),
         "a Connect session's temp view leaked into the server session")
+    } finally conn.close()
+  }
+
+  test("all DML + maintenance verbs run as Connect wire statements") {
+    // the gRPC mirror of SqlServerSpec's Thrift wire-DML gate
+    // (verdict r13 #7): a Connect session is its OWN SparkSession
+    // built from the same static conf, so the injected parser
+    // (OPTIMIZE/VACUUM/ANALYZE) and the DML routing rules must hold
+    // end to end over ExecutePlan — not just read parity.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_conn_dml")
+    val conn = connect(serverUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"SET spark.sql.graft.root=$scratch")
+      st.execute("DROP TABLE IF EXISTS psql.tpcds.conn_dml")
+      st.execute("CREATE TABLE psql.tpcds.conn_dml " +
+        "TBLPROPERTIES('versioned'='true') AS " +
+        "SELECT id AS k, CONCAT('v', CAST(id AS STRING)) AS v FROM RANGE(4)")
+      st.execute("INSERT INTO psql.tpcds.conn_dml VALUES (9, 'ins')")
+      st.execute("UPDATE psql.tpcds.conn_dml SET v = v || '!' WHERE k = 1")
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW conn_src AS " +
+        "SELECT 2 AS k, 'merged' AS v UNION ALL SELECT 100, 'new'")
+      st.execute("""MERGE INTO psql.tpcds.conn_dml t USING conn_src s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      st.execute("DELETE FROM psql.tpcds.conn_dml WHERE k = 3")
+      val rows = drain(st.executeQuery(
+        "SELECT k, v FROM psql.tpcds.conn_dml ORDER BY k"))
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).toString))
+      assert(rows == Seq(0L -> "v0", 1L -> "v1!", 2L -> "merged",
+        9L -> "ins", 100L -> "new"), rows.toString)
+      // pre-DML snapshots stay time-travelable over the wire
+      val v1 = drain(st.executeQuery(
+        "SELECT COUNT(*) FROM psql.tpcds.conn_dml VERSION AS OF 1"))
+      assert(v1.head.head.asInstanceOf[Number].longValue == 4L)
+      // maintenance + stats verbs through the injected parser
+      val metrics = drain(st.executeQuery("OPTIMIZE psql.tpcds.conn_dml"))
+        .map(r => r(0).toString -> r(1).asInstanceOf[Number].longValue).toMap
+      assert(metrics("files_compacted") >= 2, metrics.toString)
+      st.execute("VACUUM psql.tpcds.conn_dml RETAIN 1 VERSIONS")
+      val an = drain(st.executeQuery(
+        "ANALYZE TABLE psql.tpcds.conn_dml COMPUTE STATISTICS FOR ALL COLUMNS"))
+        .map(r => r(0).toString -> r(1).asInstanceOf[Number].longValue).toMap
+      assert(an("rows") == 5L && an("columns_analyzed") == 2L, an.toString)
+      val after = drain(st.executeQuery(
+        "SELECT k, v FROM psql.tpcds.conn_dml ORDER BY k"))
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).toString))
+      assert(after == rows, after.toString)
     } finally conn.close()
   }
 }
