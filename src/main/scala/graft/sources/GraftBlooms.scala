@@ -211,6 +211,12 @@ private[graft] object GraftBlooms {
       schema: => StructType): Seq[String] = {
     if (longPtsRaw.isEmpty && strPtsRaw.isEmpty) return files
     if (files.isEmpty) return files
+    // no sidecars AND no unsat candidate ⇒ nothing this channel can
+    // prune — skip the schema read entirely (the common bloom-less
+    // table pays zero here)
+    if (!bloomsDir(dir).isDirectory &&
+      !(longPtsRaw.values ++ strPtsRaw.values).exists(_.isEmpty))
+      return files
     val s = schema
     def typeOf(c: String) = s.fields.find(_.name == c).map(_.dataType)
     val longPts = longPtsRaw.filter { case (c, _) =>
