@@ -44,8 +44,14 @@ object GraftSession {
     .config("spark.sql.catalog.psql", "graft.sources.GraftParquetCatalog")
     .config("spark.sql.catalog.psql.tables",
       "region,nation,customer,supplier,part,lineitem")
-    .config("spark.sql.catalog.mongodb", "graft.sources.GraftParquetCatalog")
-    .config("spark.sql.catalog.mongodb.tables", "orders,events,embeddings")
+    // the mongodb role is a REAL wire connector: OP_MSG/BSON against
+    // an in-process server, `_schema`-collection schemas, _id-range
+    // partition splits, cursor-batched reads (GraftMongoSource;
+    // schema contract mirrors `mongodb.schema-collection=_schema`,
+    // values.yml.j2:62)
+    .config("spark.sql.catalog.mongodb", "graft.sources.GraftMongoCatalog")
+    .config("spark.sql.catalog.mongodb.batchSize", "1000")
+    .config("spark.sql.catalog.mongodb.partitions", "4")
     // the elastic role is a REAL wire connector: scroll-paged HTTP
     // against an in-process ES-API server, filter/projection pushdown
     // rendered into the request (GraftElasticSource; page size mirrors

@@ -688,9 +688,39 @@ object Loader {
     }
   }
 
+  /** CTAS INTO the document store over the mongo WIRE (l15) — the
+    * other half of the reference loader's second-store motion
+    * (loader.py:322,163-167: the mongo facts arrive by CTAS; Trino's
+    * connector registers the `_schema` document and bulk-inserts).
+    * `CREATE TABLE mongodb.tpcds.<t> AS SELECT …` creates the
+    * collection, writes its `_schema` document, and ships the rows as
+    * batched `insert` commands (one wire round-trip per 1000-row
+    * batch, the loader's own batched-bulk shape); the entry reads the
+    * exported collection BACK over the wire cursor and aggregates —
+    * the round trip proves the write landed typed and complete (a
+    * lossy export breaks the oracle hash). Like l11, this is the
+    * dimension/aggregate publish path at 100 TB, not a fact motion. */
+  val mongoCtasExport: QueryEntry = QueryEntry(
+    "l15_mongo_ctas_export",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      |FROM customer WHERE c_acctbal > 1000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    s.sql("DROP TABLE IF EXISTS mongodb.tpcds.customer_export")
+    s.sql("""CREATE TABLE mongodb.tpcds.customer_export AS
+            |SELECT c_custkey, c_mktsegment, c_acctbal
+            |FROM psql.tpcds.customer WHERE c_acctbal > 1000""".stripMargin)
+    s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+            |FROM mongodb.tpcds.customer_export
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
       schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
       updateWhereEntry, jdbcExport, bloomPointDelete, exactlyOnceIngest,
-      rowLevelCdf)
+      rowLevelCdf, mongoCtasExport)
 }

@@ -563,6 +563,79 @@ object Relational {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** FOUR-protocol single-statement federation (q83): every federation
+    * role over its real wire — the mongodb OP_MSG catalog (orders; the
+    * reference's second store, loader.py:322 puts the facts there), the
+    * Derby JDBC catalog (psql role), the elastic scroll-HTTP catalog
+    * (document corpus), and a parquet DSv2 catalog — joined in ONE SQL
+    * statement. Each store sees its own pushdown: `o_orderstatus='F'`
+    * rides the mongo find document (MongoSourceSpec pins the
+    * rendering), `lang='en'` the ES query DSL, and both fact sides
+    * pre-aggregate BEFORE the nation join, so only per-nation rows
+    * cross stores (the 100 TB shape: aggregate in place, federate
+    * summaries). Oracle: the same join over the parquet tables. */
+  lazy val mongoWireFederation: QueryEntry = QueryEntry(
+    "q83_mongo_wire_federation",
+    """SELECT n_name, n_orders, sales, n_docs FROM nation nat
+      |JOIN (SELECT c_nationkey, COUNT(*) AS n_orders,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+      |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |      WHERE o.o_orderstatus = 'F'
+      |      GROUP BY c_nationkey) s ON s.c_nationkey = nat.n_nationkey
+      |JOIN (SELECT MOD(doc_id, 25) AS nk, COUNT(*) AS n_docs
+      |      FROM documents WHERE lang = 'en'
+      |      GROUP BY MOD(doc_id, 25)) dd ON dd.nk = nat.n_nationkey
+      |ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val table = derbyNationTable(s, d)
+    s.conf.set("spark.sql.catalog.derbyfed",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.derbyfed.url", derbyFedUrl)
+    s.conf.set("spark.sql.catalog.derbyfed.pushDownAggregate", "true")
+    // BROADCAST(nat): the 25-row JDBC dim reports no size statistics;
+    // both aggregated store sides stay the streamed probe sides
+    s.sql(
+      s"""SELECT /*+ BROADCAST(nat) */
+         |       n_name AS n_name, n_orders, sales, n_docs
+         |FROM derbyfed.APP.$table nat
+         |JOIN (SELECT c_nationkey, COUNT(*) AS n_orders,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+         |      FROM mongodb.tpcds.orders o
+         |      JOIN psql.tpcds.customer c ON o.o_custkey = c.c_custkey
+         |      WHERE o.o_orderstatus = 'F'
+         |      GROUP BY c_nationkey) s ON s.c_nationkey = nat.n_nationkey
+         |JOIN (SELECT MOD(doc_id, 25) AS nk, COUNT(*) AS n_docs
+         |      FROM elastic.default.documents WHERE lang = 'en'
+         |      GROUP BY MOD(doc_id, 25)) dd ON dd.nk = nat.n_nationkey
+         |ORDER BY n_name""".stripMargin)
+  }
+
+  /** Range predicate over the mongo wire's epoch-micros timestamps
+    * (q84): BSON datetimes are millisecond-precision, so the events
+    * collection stores `ts` as int64 epoch-micros declared
+    * `timestamp(6)` in `_schema`; the pushed `ts >= …` renders as an
+    * int64 `$gte` in the find document (MongoSourceSpec pins it) and
+    * the grouped aggregate runs Spark-side over the cursor batches. */
+  lazy val mongoEventsRange: QueryEntry = QueryEntry(
+    "q84_mongo_events_range",
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    s.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM mongodb.tpcds.events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** CUBE grouping sets (completes the rollup/cube/grouping-sets
     * family, SURVEY.md §2.4 noted-absent). */
   val cubeAgg: QueryEntry = QueryEntry(
@@ -1370,7 +1443,8 @@ object Relational {
     rangeFrameWindow, approxPercentiles, distinctJoin, minMaxJoin,
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
     saltedSkewJoin, queryProfile, heterogeneousFederation,
-    recursiveAncestors, elasticFederation, cboStatsJoin)
+    recursiveAncestors, elasticFederation, cboStatsJoin,
+    mongoWireFederation, mongoEventsRange)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

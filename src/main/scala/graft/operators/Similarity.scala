@@ -1964,10 +1964,45 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** s01's brute-force cosine top-5 with the corpus AND queries read
+    * over the mongodb WIRE catalog (s25): float32 embeddings roundtrip
+    * BSON arrays bit-exactly (MongoSourceSpec), the codegen'd
+    * CosineSimilarity runs on the cursor-batched rows, and the rank
+    * output hashes against the SAME DuckDB oracle as s01 — vector
+    * search over a federated store, not just local parquet. */
+  val annWireMongo: QueryEntry = QueryEntry(
+    "s25_ann_wire_mongo",
+    """WITH n AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+      |c AS (SELECT qid, e.vec_id AS nid,
+      |             list_sum(list_transform(range(1, len(qe) + 1),
+      |                  i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (qn * e.nrm) AS cos
+      |      FROM n e, q WHERE e.vec_id >= 10)
+      |SELECT qid, nid, rank FROM (
+      |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM c)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val e = s.sql("SELECT vec_id, embedding FROM mongodb.tpcds.embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QueryEntry] =
     Seq(annBruteForce, annLsh, annIvf, embedDocSearch, semanticDedup,
       annPq, annIvfPq, annSq, annFiltered, annPersisted, annIvfPqPersisted,
       annFilteredProbe, annPersistedAppend, annIndexCompact, annIndexDrift,
       annMmr, annPersistedDelete, annIvfPqAppend, annRetrievalPipeline,
-      annRecallEval, hybridSearch, rangeSearch, indexStats)
+      annRecallEval, hybridSearch, rangeSearch, indexStats, annWireMongo)
 }

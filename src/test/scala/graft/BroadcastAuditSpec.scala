@@ -68,6 +68,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "q67_tpch_q22" -> (Fixed, "scalar avg-balance threshold, 1 row"),
     "q79_heterogeneous_federation" -> (Fixed, "Derby nation dim over JDBC: 25 rows at every SF (TPC-H nation is constant); the hint exists because a JDBC relation reports no size stats, so the planner would otherwise broadcast the parquet FACT side"),
     "q81_elastic_scroll_federation" -> (Fixed, "Derby nation dim (25 rows, JDBC reports no size stats) + region dim (5 rows): both SF-constant; the HTTP corpus side is never hinted — it must stay the streamed probe side. The stats-derived hint-free path is q82 (CboStatsSpec); JDBC relations stay hinted because the stock JDBCTableCatalog reports no statistics"),
+    "q83_mongo_wire_federation" -> (Fixed, "Derby nation dim (25 rows, JDBC reports no size stats); the mongo-wire and HTTP store sides pre-aggregate to ≤25 rows/nation BEFORE the join and are never hinted — each store streams its own cursor/scroll pages"),
     // --- text / pipeline: profiles, vocabularies, stat cells ---
     "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
     "t18_hashed_classifier" -> (Fixed, "hashed-feature weight table: exactly 256 rows (the bucket space) at every SF — model weights are corpus-independent by construction"),
@@ -84,6 +85,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "p17_curriculum" -> (Bounded, "score-histogram phase table: O(occupied buckets) cells, bounded by score range × currBucketScale (a few hundred for any word-length distribution), growing only with score DIVERSITY, not corpus rows"),
     // --- ANN / clustering: centroids, query sets, LUTs ---
     "s01_ann_bruteforce" -> (Fixed, "query set: 10 vectors"),
+    "s25_ann_wire_mongo" -> (Fixed, "query set: 10 vectors (read over the mongo wire; the corpus side streams its cursor batches un-broadcast)"),
     "s02_ann_lsh" -> (Fixed, "query band signatures (10×8) + query vectors (10)"),
     "s03_ann_ivf" -> (Fixed, "ivfK=8 centroids + ≤ 10·probes query-probe rows + k seed ids"),
     "s04_embed_doc_search" -> (Fixed, "query set: 5 vectors"),

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftMongoServer, GraftMongoWire, BDoc}
+
+/** The mongodb WIRE connector (GraftMongoSource/GraftMongoServer):
+  * OP_MSG command reads with filter/projection pushdown rendered into
+  * the `find` document, `_id`-range partition splits, and cursor
+  * batching — the reference's second federation store spoken over its
+  * actual protocol (`mongodb.schema-collection=_schema`,
+  * ansible/roles/trino/templates/values.yml.j2:59-62). */
+class MongoSourceSpec extends SparkSpec {
+
+  private def useRoot(dir: String): Unit =
+    spark.conf.set("spark.sql.graft.root", dir)
+
+  test("schema comes from _schema and hides _id") {
+    useRoot(sf1)
+    val wire = spark.sql("SELECT * FROM mongodb.tpcds.orders").schema
+    val direct = Tables.orders(spark, sf1).schema
+    assert(wire.fieldNames.toSeq == direct.fieldNames.toSeq)
+    assert(wire.fields.map(_.dataType).toSeq ==
+      direct.fields.map(_.dataType).toSeq)
+  }
+
+  test("wire reads equal the parquet corpus; parallelism is _id ranges") {
+    useRoot(sf1)
+    val wire = spark.sql("SELECT * FROM mongodb.tpcds.orders")
+      .collect().map(_.toSeq).toSet
+    val direct = Tables.orders(spark, sf1).collect().map(_.toSeq).toSet
+    assert(wire == direct, s"wire=${wire.size} direct=${direct.size}")
+    val parts = spark.sql("SELECT o_orderkey FROM mongodb.tpcds.orders")
+      .rdd.getNumPartitions
+    assert(parts == 4, s"expected 4 _id-range partitions, got $parts")
+  }
+
+  test("filters and projection push into the find document") {
+    useRoot(sf1)
+    val before = GraftMongoServer.findCount("orders")
+    val q = spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM mongodb.tpcds.orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0""".stripMargin)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMongoScan"), plan)
+    assert(plan.contains("EqualTo(o_orderstatus,F)") &&
+      plan.contains("GreaterThan(o_totalprice,100000.0)"), plan)
+    // the WIRE saw the rendered filter + pruned projection: 2 _id-edge
+    // probes + one find per range partition
+    assert(GraftMongoServer.findCount("orders") == before + 6)
+    val body = GraftMongoServer.lastFind("orders").get
+    assert(body.contains(""""o_orderstatus":"F""""), body)
+    assert(body.contains(""""o_totalprice":{"$gt":100000.0}"""), body)
+    assert(body.contains(""""projection":{"_id":0,"o_orderkey":1,"o_totalprice":1}"""),
+      body)
+    val expect = Tables.orders(spark, sf1)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice").collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == expect)
+  }
+
+  test("cursor paging is batchSize-bounded (getMore arithmetic)") {
+    useRoot(sf2) // 15000 orders; 4 ranges of 3750; batchSize 1000
+    spark.sql("SELECT o_orderkey FROM mongodb.tpcds.orders").count()
+    val findsBefore = GraftMongoServer.findCount("orders")
+    val batchesBefore = GraftMongoServer.batchCount("orders")
+    val n = spark.sql("SELECT o_orderkey FROM mongodb.tpcds.orders").count()
+    assert(n == 15000)
+    // 2 edge probes + 4 partition finds
+    assert(GraftMongoServer.findCount("orders") == findsBefore + 6)
+    // edge probes serve 1 batch each; each partition pages
+    // ceil(3750/1000) = 4 batches
+    assert(GraftMongoServer.batchCount("orders") == batchesBefore + 2 + 16)
+  }
+
+  test("sub-millisecond literal on a BSON-datetime column stays residual") {
+    useRoot(sf1)
+    // o_orderdate is timestamp(3) (BSON datetime): a micros literal is
+    // not representable on the wire — the conjunct must stay Spark-side
+    // (a wire probe would compare against a value the store cannot
+    // hold and silently drop rows on a range)
+    val q = spark.sql(
+      """SELECT o_orderkey FROM mongodb.tpcds.orders
+        |WHERE o_orderdate > TIMESTAMP_NTZ '1995-06-01 00:00:00.000123'""".stripMargin)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("GraftMongoScan"), desc)
+    // IsNotNull(o_orderdate) still pushes ($ne null); the range must not
+    assert(!desc.contains("GreaterThan(o_orderdate"), desc)
+    assert(!desc.contains("$gt"), desc)
+    val expect = Tables.orders(spark, sf1)
+      .filter(col("o_orderdate") >
+        lit(java.time.LocalDateTime.parse("1995-06-01T00:00:00.000123")))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet == expect)
+  }
+
+  test("epoch-micros timestamps roundtrip exactly and push as int64") {
+    useRoot(sf1)
+    val wire = spark.sql("SELECT event_id, ts FROM mongodb.tpcds.events")
+      .collect().map(_.toSeq).toSet
+    val direct = Tables.events(spark, sf1).select("event_id", "ts")
+      .collect().map(_.toSeq).toSet
+    assert(wire == direct, s"wire=${wire.size} direct=${direct.size}")
+    // a ts range renders as $gte over the stored epoch-micros long
+    val q = spark.sql(
+      """SELECT event_id FROM mongodb.tpcds.events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'""".stripMargin)
+    q.collect()
+    val body = GraftMongoServer.lastFind("events").get
+    val micros = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      .getEpochSecond * 1000000L
+    assert(body.contains(s""""ts":{"$$gte":$micros}"""), body)
+  }
+
+  test("float-array embeddings roundtrip bit-exactly over BSON") {
+    useRoot(sf1)
+    val wire = spark.sql(
+      "SELECT vec_id, embedding, label FROM mongodb.tpcds.embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSet
+    val direct = Tables.embeddings(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSet
+    assert(wire == direct)
+  }
+
+  test("LIMIT pushes into the find (partial, per cursor)") {
+    useRoot(sf1)
+    val q = spark.sql("SELECT o_orderkey FROM mongodb.tpcds.orders LIMIT 7")
+    assert(q.collect().length == 7)
+    val body = GraftMongoServer.lastFind("orders").get
+    assert(body.contains(""""limit":7"""), body)
+  }
+
+  test("scan reports wire statistics (filtered count)") {
+    useRoot(sf1)
+    val df = spark.sql(
+      "SELECT o_orderkey FROM mongodb.tpcds.orders WHERE o_orderstatus = 'F'")
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val expected = Tables.orders(spark, sf1)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(scan.computeStats().rowCount.contains(BigInt(expected)),
+      scan.computeStats().toString)
+  }
+
+  test("CTAS over the wire: create + _schema + batched inserts + read-back") {
+    useRoot(sf1)
+    spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.ctas_spec")
+    val before = GraftMongoServer.insertCount("ctas_spec")
+    spark.sql(
+      """CREATE TABLE mongodb.tpcds.ctas_spec AS
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM psql.tpcds.customer WHERE c_custkey <= 120""".stripMargin)
+    // the rows went over the wire as batched insert commands
+    assert(GraftMongoServer.insertCount("ctas_spec") > before)
+    // visible in listTables (dynamic, from _schema)
+    val listed = spark.sql("SHOW TABLES IN mongodb.tpcds")
+      .collect().map(_.getString(1))
+    assert(listed.contains("ctas_spec"), listed.mkString(","))
+    // read-back over the cursor equals the source rows, typed
+    val back = spark.sql("SELECT * FROM mongodb.tpcds.ctas_spec")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("c_custkey", org.apache.spark.sql.types.LongType),
+        ("c_name", org.apache.spark.sql.types.StringType),
+        ("c_acctbal", org.apache.spark.sql.types.DoubleType)))
+    val expect = Tables.customer(spark, sf1)
+      .filter(col("c_custkey") <= 120)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == expect)
+    // INSERT INTO appends over the same wire path
+    spark.sql(
+      """INSERT INTO mongodb.tpcds.ctas_spec
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM psql.tpcds.customer
+        |WHERE c_custkey > 120 AND c_custkey <= 130""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM mongodb.tpcds.ctas_spec")
+      .head.getLong(0) == expect.size + 10)
+    // duplicate CTAS fails loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE mongodb.tpcds.ctas_spec AS " +
+        "SELECT c_custkey FROM psql.tpcds.customer LIMIT 1")
+    }
+    // DROP removes the collection AND its _schema document
+    spark.sql("DROP TABLE mongodb.tpcds.ctas_spec")
+    val after = spark.sql("SHOW TABLES IN mongodb.tpcds")
+      .collect().map(_.getString(1))
+    assert(!after.contains("ctas_spec"), after.mkString(","))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mongodb.tpcds.ctas_spec").collect()
+    }
+  }
+
+  test("unknown commands and operators fail loudly, never match-all") {
+    useRoot(sf1)
+    val (host, port) = GraftMongoServer.address
+    GraftMongoServer.database(spark, sf1)
+    val wire = new GraftMongoWire(host, port)
+    try {
+      val e1 = intercept[java.io.IOException] {
+        wire.command("tpcds_" + sf1.replaceAll("[^a-zA-Z0-9]", "_"),
+          BDoc("aggregate" -> "orders"))
+      }
+      assert(e1.getMessage.contains("no such command"))
+      val e2 = intercept[java.io.IOException] {
+        wire.command("tpcds_" + sf1.replaceAll("[^a-zA-Z0-9]", "_"),
+          BDoc("find" -> "orders",
+            "filter" -> BDoc("o_orderkey" -> BDoc("$regex" -> "x"))))
+      }
+      assert(e2.getMessage.contains("unsupported operator"))
+    } finally wire.close()
+  }
+}
