@@ -718,9 +718,38 @@ object Loader {
             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Bulk-index INTO the search store over the ES WIRE (l16) — the
+    * loader's third-store motion made real (loader.py:113-152:
+    * `PUT /{index}` with settings only, ndjson `POST /_bulk` batches
+    * of `--batch-rows` docs serialized `default=str`, `_refresh`):
+    * each Spark task streams its partition as bulk batches from the
+    * executor (no driver collect), the index's mapping comes from
+    * dynamic inference on the first batch, and the entry reads the
+    * loaded index BACK over the scroll protocol and aggregates — the
+    * wire round trip proves the export landed typed and complete.
+    * At 100 TB this is the fact-export path: write parallelism = the
+    * upstream partitioning, task memory bounded at batch-rows docs. */
+  val esBulkExport: QueryEntry = QueryEntry(
+    "l16_es_bulk_export",
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val idx = "events_export_" + d.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    if (!graft.sources.GraftElasticServer.hasIndex(idx))
+      graft.sources.GraftElasticBulk.bulkIndex(Tables.events(s, d), idx)
+    s.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         |FROM elastic.default.$idx
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[QueryEntry] =
     Seq(bucketCounts, timeTravel, snapshotExpire, mergeUpsert, snapshotDiff,
       schemaEvolve, compactFiles, deleteWhere, restoreSnapshot,
       updateWhereEntry, jdbcExport, bloomPointDelete, exactlyOnceIngest,
-      rowLevelCdf, mongoCtasExport)
+      rowLevelCdf, mongoCtasExport, esBulkExport)
 }

@@ -125,7 +125,8 @@ case class GraftAnalyzeCommand(path: String, forColumns: Boolean)
         max = if (numeric && !r.isNullAt(r.fieldIndex(s"__max_${f.name}")))
           Some(r.getAs[Double](s"__max_${f.name}")) else None)
     }.toMap
-    GraftTableStats.write(path, GraftTableStats.TableStats(rows, bytes, cols))
+    GraftTableStats.write(path,
+      GraftTableStats.TableStats(rows, bytes, cols, version = v))
     Seq(Row("rows", rows), Row("bytes", bytes),
       Row("columns_analyzed", cols.size.toLong))
   }

@@ -57,7 +57,7 @@ class GraftDppScanBuilder(
   * The reference relies on the same mechanism server-side — Trino's
   * dynamicFilterAssignments over the partitioned store
   * (reference: results/q003/workers-1/explain.txt:53-54). */
-class GraftDppScan(private var delegate: ParquetScan)
+class GraftDppScan(protected var delegate: ParquetScan)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   private def partitionSchema: StructType = delegate.fileIndex.partitionSchema

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Executor-side Elasticsearch `_bulk` sink — the reference loader's
+  * actual ES ingest motion re-expressed Spark-side (reference:
+  * data-loader/loader.py:113-152): `ensure_index` = `PUT /{index}`
+  * with settings only (dynamic mapping), then ndjson `POST /_bulk`
+  * batches of `--batch-rows` documents serialized with `default=str`
+  * (non-JSON-native values — timestamps — become strings; numbers and
+  * booleans stay native, loader.py:144), and a final `_refresh`.
+  *
+  * Each Spark task streams ITS partition as bulk batches straight from
+  * the executor — no driver collect, the es-hadoop write shape: at
+  * 100 TB the write parallelism is the upstream partitioning and each
+  * batch bounds task memory at `batchRows` documents. */
+object GraftElasticBulk {
+
+  /** Create `index` if absent and bulk-load `df` into it. Returns the
+    * number of documents shipped. */
+  def bulkIndex(df: DataFrame, index: String,
+      batchRows: Int = 20000): Long = {
+    val url = GraftElasticServer.url
+    ensureIndex(url, index)
+    val schema = df.schema
+    val n = df.sparkSession.sparkContext
+      .longAccumulator(s"es-bulk-$index")
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.grouped(batchRows).foreach { batch =>
+        val body = new StringBuilder()
+        batch.foreach { r =>
+          body.append(s"""{"index":{"_index":"$index"}}""").append('\n')
+          body.append(renderDoc(schema, r)).append('\n')
+          n.add(1)
+        }
+        val resp = GraftElasticHttp.send(s"$url/_bulk", "POST",
+          body.toString)
+        // the loader raises on errors:true (loader.py:149-152)
+        if (resp.contains("\"errors\":true"))
+          throw new java.io.IOException(s"ES bulk had errors: $resp")
+      }
+    }
+    GraftElasticHttp.send(s"$url/$index/_refresh", "POST", "")
+    n.value
+  }
+
+  private def ensureIndex(url: String, index: String): Unit = {
+    val exists =
+      try { GraftElasticHttp.get(s"$url/$index"); true }
+      catch { case _: java.io.IOException => false }
+    if (!exists)
+      GraftElasticHttp.send(s"$url/$index", "PUT",
+        """{"settings":{"number_of_shards":1,"number_of_replicas":0,""" +
+          """"refresh_interval":"-1"}}""")
+  }
+
+  /** One row → one JSON source doc, `default=str` semantics: strings
+    * and timestamps render as JSON strings, numerics/booleans native,
+    * nulls null. Types outside the loader's surface fail loudly. */
+  private def renderDoc(schema: StructType,
+      r: org.apache.spark.sql.Row): String = {
+    def esc(s: String): String = {
+      val b = new StringBuilder(s.length + 2)
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
+    val b = new StringBuilder("{")
+    var first = true
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!first) b.append(',')
+      first = false
+      b.append('"').append(f.name).append("\":")
+      if (r.isNullAt(i)) b.append("null")
+      else f.dataType match {
+        case LongType => b.append(r.getLong(i))
+        case IntegerType => b.append(r.getInt(i))
+        case DoubleType => b.append(r.getDouble(i))
+        case BooleanType => b.append(r.getBoolean(i))
+        case StringType => b.append('"').append(esc(r.getString(i))).append('"')
+        case TimestampType | TimestampNTZType => // default=str
+          b.append('"').append(esc(r.get(i).toString)).append('"')
+        case other => throw new UnsupportedOperationException(
+          s"es bulk: unserializable column type $other at ${f.name}")
+      }
+    }
+    b.append('}').toString
+  }
+}

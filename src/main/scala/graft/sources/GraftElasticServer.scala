@@ -49,8 +49,14 @@ private[graft] object GraftElasticServer {
 
   private val mapper = new ObjectMapper()
 
-  private final case class EsIndex(name: String, schema: StructType,
-      rows: IndexedSeq[IndexedSeq[Any]])
+  /** One index. Mutable for the `_bulk` ingest path: `schema` starts
+    * null on a bare `PUT /{index}` (the loader creates with settings
+    * only — dynamic mapping, reference: loader.py:113-127) and is
+    * fixed by the first bulk batch; `rows` is copy-on-write under the
+    * index lock so open scrolls never see a torn batch. */
+  private final class EsIndex(val name: String,
+      @volatile var schema: StructType,
+      @volatile var rows: IndexedSeq[IndexedSeq[Any]])
 
   private final class ScrollState(val index: EsIndex,
       val rows: Iterator[IndexedSeq[Any]], val size: Int,
@@ -75,6 +81,19 @@ private[graft] object GraftElasticServer {
   def pageCount(index: String): Int = {
     val c = pagesServed.get(index); if (c == null) 0 else c.get
   }
+  private val bulksServed = new ConcurrentHashMap[String, AtomicInteger]()
+  def bulkCount(index: String): Int = {
+    val c = bulksServed.get(index); if (c == null) 0 else c.get
+  }
+
+  def hasIndex(name: String): Boolean = indexes.containsKey(name)
+  /** Catalog-listable indexes: bulk-created ones. The per-dir seeded
+    * corpus fixtures stay out — they surface as `documents` resolved
+    * against the session's corpus root, not under their internal
+    * names. */
+  private val seededNames = ConcurrentHashMap.newKeySet[String]()
+  def indexNames: Seq[String] = indexes.keySet().asScala.toSeq
+    .filterNot(seededNames.contains).sorted
 
   @volatile private var server: HttpServer = _
 
@@ -116,7 +135,8 @@ private[graft] object GraftElasticServer {
         val rows = df.collect().iterator.map { r =>
           (0 until schema.length).map(i => r.get(i)): IndexedSeq[Any]
         }.toIndexedSeq
-        indexes.put(name, EsIndex(name, schema, rows))
+        indexes.put(name, new EsIndex(name, schema, rows))
+        seededNames.add(name)
       }
     }
     url // make sure the server is up before anyone dials the index
@@ -137,12 +157,24 @@ private[graft] object GraftElasticServer {
         case ("DELETE", "_search" :: "scroll" :: Nil) =>
           val n = mapper.createObjectNode(); n.put("succeeded", true)
           respond(x, 200, n)
+        case ("POST", "_bulk" :: Nil) => bulk(x, body)
         case ("POST", index :: "_search" :: Nil) => search(x, index, body)
+        case ("POST", index :: "_refresh" :: Nil) =>
+          lookup(index) // rows are visible at bulk-ack; ack the refresh
+          respond(x, 200, mapper.createObjectNode())
         case ("GET", index :: "_mapping" :: Nil) => mapping(x, index)
         case ("GET", index :: "_count" :: Nil) =>
           val idx = lookup(index)
           val n = mapper.createObjectNode(); n.put("count", idx.rows.size)
           respond(x, 200, n)
+        case ("GET", index :: Nil) => // loader's index_exists probe
+          if (indexes.containsKey(index))
+            respond(x, 200, mapper.createObjectNode())
+          else error(x, 404, s"no such index: $index")
+        case ("PUT", index :: Nil) => createIndex(x, index)
+        case ("PUT", index :: "_settings" :: Nil) =>
+          lookup(index) // settings (refresh_interval) are a no-op here
+          respond(x, 200, mapper.createObjectNode())
         case (m, p) =>
           error(x, 400, s"unsupported route: $m /${p.mkString("/")}")
       }
@@ -157,8 +189,93 @@ private[graft] object GraftElasticServer {
     idx
   }
 
+  /** `PUT /{index}` — create with settings only, schema fixed by the
+    * first `_bulk` batch (dynamic mapping; the loader's ensure_index,
+    * reference: loader.py:113-127 sends shards/replicas/refresh). */
+  private def createIndex(x: HttpExchange, index: String): Unit = {
+    require(!index.startsWith("_"), s"invalid index name: $index")
+    val prev = indexes.putIfAbsent(index,
+      new EsIndex(index, null, IndexedSeq.empty))
+    require(prev == null, s"index already exists: $index")
+    val n = mapper.createObjectNode()
+    n.put("acknowledged", true); n.put("index", index)
+    respond(x, 200, n)
+  }
+
+  /** `POST /_bulk` — ndjson pairs of `{"index":{"_index":…}}` action +
+    * source doc (the loader's bulk_index shape, reference:
+    * loader.py:137-152). The first batch FIXES the index's mapping
+    * from its first document (long / double / boolean / keyword);
+    * later documents must carry exactly the mapped fields with
+    * conforming types — a drifting document fails the whole bulk
+    * LOUDLY (`errors:true` + raise) rather than silently coercing. */
+  private def bulk(x: HttpExchange, body: String): Unit = {
+    val lines = body.split("\n").iterator.filter(_.nonEmpty)
+    // group into (index, sourceJson) pairs, batching per target index
+    val byIndex = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[JsonNode]]
+    while (lines.hasNext) {
+      val action = mapper.readTree(lines.next())
+      require(action.has("index"),
+        s"unsupported bulk action: $action (only index)")
+      val target = action.get("index").get("_index").asText
+      require(lines.hasNext, "bulk: action line without source line")
+      byIndex.getOrElseUpdate(target,
+        scala.collection.mutable.ArrayBuffer.empty) += mapper.readTree(lines.next())
+    }
+    var total = 0
+    byIndex.foreach { case (target, docs) =>
+      val idx = lookup(target)
+      idx.synchronized {
+        if (idx.schema == null) {
+          require(docs.nonEmpty, "bulk: empty batch on unmapped index")
+          val first = docs.head
+          idx.schema = StructType(first.fieldNames().asScala.toSeq.map { f =>
+            StructField(f, first.get(f) match {
+              case v if v.isTextual => StringType
+              case v if v.isBoolean => BooleanType
+              case v if v.isIntegralNumber => LongType
+              case v if v.isFloatingPointNumber => DoubleType
+              case v => throw new IllegalArgumentException(
+                s"bulk: unmappable first-doc value $v at $f")
+            })
+          })
+        }
+        val schema = idx.schema
+        val fresh = docs.map { d =>
+          val names = d.fieldNames().asScala.toSet
+          require(names == schema.fieldNames.toSet,
+            s"bulk: document fields $names do not match mapping " +
+              s"${schema.fieldNames.mkString(",")}")
+          schema.fields.toIndexedSeq.map { f =>
+            val v = d.get(f.name)
+            if (v == null || v.isNull) null
+            else (f.dataType, v) match {
+              case (StringType, n) if n.isTextual => n.asText
+              case (BooleanType, n) if n.isBoolean => n.asBoolean: Any
+              case (LongType, n) if n.isIntegralNumber => n.asLong: Any
+              case (DoubleType, n) if n.isNumber => n.asDouble: Any
+              case (dt, n) => throw new IllegalArgumentException(
+                s"bulk: value $n does not conform to mapped $dt at ${f.name}")
+            }
+          }: IndexedSeq[Any]
+        }
+        idx.rows = idx.rows ++ fresh
+        total += fresh.size
+      }
+      bulksServed.computeIfAbsent(target, _ => new AtomicInteger())
+        .incrementAndGet()
+    }
+    val root = mapper.createObjectNode()
+    root.put("took", 0); root.put("errors", false); root.put("count", total)
+    root.set[ArrayNode]("items", mapper.createArrayNode())
+    respond(x, 200, root)
+  }
+
   private def mapping(x: HttpExchange, index: String): Unit = {
     val idx = lookup(index)
+    require(idx.schema != null,
+      s"index $index has no mapping yet (no documents bulk-indexed)")
     val props = mapper.createObjectNode()
     idx.schema.fields.foreach { f =>
       val t = mapper.createObjectNode()

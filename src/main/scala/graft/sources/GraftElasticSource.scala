@@ -63,18 +63,24 @@ class GraftElasticCatalog extends TableCatalog {
 
   override def listTables(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(namespace))
-      Array(Identifier.of(namespace, "documents"))
+      ("documents" +: GraftElasticServer.indexNames)
+        .distinct.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   override def loadTable(ident: Identifier): Table = {
-    if (!ident.namespace().sameElements(namespace) ||
-      ident.name() != "documents")
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+    def missing = new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ ident.name())
+    if (!ident.namespace().sameElements(namespace)) throw missing
     val spark = SparkSession.active
     val dir = spark.conf.get("spark.sql.graft.root")
-    // seed-on-first-use fixture; in production the index already exists
-    val index = GraftElasticServer.documentsIndex(spark, dir)
+    // `documents` is the seeded corpus fixture; any other name must be
+    // an index a bulk load created (in production both already exist)
+    val index =
+      if (ident.name() == "documents")
+        GraftElasticServer.documentsIndex(spark, dir)
+      else if (GraftElasticServer.hasIndex(ident.name())) ident.name()
+      else throw missing
     val url = GraftElasticServer.url
     new GraftElasticTable(url, index, GraftElasticHttp.mappingSchema(url, index),
       pageSize, slices)

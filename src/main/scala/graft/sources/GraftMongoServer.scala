@@ -210,10 +210,16 @@ private[graft] object GraftMongoServer {
       (new MCollection(name, rows), schemaDoc)
     }
 
+    // the store holds what the loader loaded: a root without a
+    // table's parquet simply has no such collection (CatalogSpec
+    // probes tableExists against roots holding other tables — that
+    // must answer "no", not fail the seed)
+    def has(t: String) = new java.io.File(dir, s"$t.parquet").exists()
     val seeded = Seq(
-      load("orders", graft.Tables.orders(spark, dir)),
-      load("events", graft.Tables.events(spark, dir)),
-      load("embeddings", graft.Tables.embeddings(spark, dir)))
+      "orders" -> (() => graft.Tables.orders(spark, dir)),
+      "events" -> (() => graft.Tables.events(spark, dir)),
+      "embeddings" -> (() => graft.Tables.embeddings(spark, dir)))
+      .collect { case (n, df) if has(n) => load(n, df()) }
     val schemaColl =
       new MCollection("_schema", seeded.map(_._2).toIndexedSeq)
     val m = new ConcurrentHashMap[String, MCollection]()

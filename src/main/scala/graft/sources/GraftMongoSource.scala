@@ -621,13 +621,23 @@ private[graft] class GraftMongoReaderFactory extends PartitionReaderFactory {
         batch.hasNext
       }
 
+      // column name → output slot (the projection returns exactly the
+      // requested fields, usually in order — one pass per doc instead
+      // of a per-column linear scan)
+      private val slotOf: Map[String, Int] =
+        p.cols.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+
       override def get(): InternalRow = {
         val doc = batch.next()
+        val raw = new Array[Any](p.cols.length)
+        doc.fields.foreach { case (name, v) =>
+          slotOf.get(name).foreach(i => raw(i) = v)
+        }
         val values = new Array[Any](p.cols.length)
         var i = 0
         while (i < p.cols.length) {
           val c = p.cols(i)
-          val v = doc.get(c.name).orNull
+          val v = raw(i)
           values(i) =
             if (v == null) null
             else c.enc match {

@@ -39,8 +39,12 @@ private[graft] object GraftTableStats {
 
   final case class ColStat(ndv: Long, nulls: Long,
       min: Option[Double], max: Option[Double])
+  /** `version` = the snapshot ANALYZE ran against: a record from an
+    * older snapshot is STALE and must not drive planning (a dimension
+    * analyzed small then grown 1000× would otherwise keep
+    * broadcasting — the one direction a wrong estimate is dangerous). */
   final case class TableStats(rows: Long, bytes: Long,
-      cols: Map[String, ColStat])
+      cols: Map[String, ColStat], version: Long)
 
   private val mapper = new ObjectMapper()
 
@@ -50,6 +54,7 @@ private[graft] object GraftTableStats {
     val root = mapper.createObjectNode()
     root.put("rows", st.rows)
     root.put("bytes", st.bytes)
+    root.put("version", st.version)
     val cols = mapper.createObjectNode()
     st.cols.foreach { case (c, cs) =>
       val n = mapper.createObjectNode()
@@ -76,7 +81,8 @@ private[graft] object GraftTableStats {
             Option(n.get("max")).map(_.asDouble))
         }.toMap
       }.getOrElse(Map.empty)
-      Some(TableStats(root.get("rows").asLong, root.get("bytes").asLong, cols))
+      Some(TableStats(root.get("rows").asLong, root.get("bytes").asLong,
+        cols, Option(root.get("version")).map(_.asLong).getOrElse(-1L)))
     } catch { case scala.util.control.NonFatal(_) => None } // stats advisory
   }
 
@@ -164,28 +170,28 @@ private[graft] class GraftStatsScanBuilder(delegate: ParquetScanBuilder,
   override def build(): Scan = {
     val scan = delegate.build()
     GraftTableStats.read(dir) match {
-      case Some(st) => new GraftStatsScan(scan, st)
-      case None => scan
+      // a record is live only for the snapshot it measured: any
+      // commit since ANALYZE (append/merge/compact/restore) makes it
+      // STALE and planning falls back to the file-size estimate
+      case Some(st) if st.version == GraftVersions.current(dir) =>
+        new GraftStatsScan(scan, st)
+      // no (live) ANALYZE record: still wrap for runtime filtering —
+      // a versioned fact must not lose DPP just because it is versioned
+      case _ => new GraftDppScan(scan)
     }
   }
 }
 
 /** Scan wrapper reporting ANALYZE-derived, selectivity-scaled
-  * statistics; execution delegates untouched. */
-private[graft] class GraftStatsScan(delegate: ParquetScan,
+  * statistics; execution AND runtime filtering (DPP) delegate to the
+  * [[GraftDppScan]] machinery — a stats record must never cost the
+  * scan its dynamic pruning. */
+private[graft] class GraftStatsScan(scan: ParquetScan,
     st: GraftTableStats.TableStats)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends GraftDppScan(scan) {
 
-  override def readSchema(): StructType = delegate.readSchema()
-  override def toBatch: Batch = this
-  override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    delegate.toBatch.planInputPartitions()
-  override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    delegate.toBatch.createReaderFactory()
   override def description(): String =
-    s"GraftStats(rows=${st.rows},bytes=${st.bytes})(${delegate.description()})"
+    s"GraftStats(rows=${st.rows},bytes=${st.bytes})(${super.description()})"
 
   override def estimateStatistics(): Statistics = {
     val sel = GraftTableStats.selectivity(st, delegate.dataFilters)

@@ -334,11 +334,21 @@ private class GraftCdfReaderFactory(schema: StructType,
       true
     }
 
+    // The key-join reconstruction is only sound when the merge key is
+    // UNIQUE within the rewrite commit: a duplicate would silently
+    // last-win in the removed map (losing a delete) or re-match one
+    // preimage twice on the added side (mislabeling an insert as an
+    // update). Fail loudly instead of emitting a wrong change feed.
+    def dupKey(k: Any): Nothing = throw new IllegalStateException(
+      s"graft-cdf: mergeKey ${p.mergeKey} is not unique within rewrite " +
+        s"commit v${p.version} (duplicate value $k); row-level CDF " +
+        "requires a unique key — consume the file-level feed instead")
     val removedByKey = new java.util.LinkedHashMap[Any, Array[Any]]()
     val nullKeyRemoved = scala.collection.mutable.ArrayBuffer[Array[Any]]()
     p.removed.foreach(f => fileValues(f).foreach { vals =>
       val k = vals(keyIdx)
-      if (k == null) nullKeyRemoved += vals else removedByKey.put(k, vals)
+      if (k == null) nullKeyRemoved += vals
+      else if (removedByKey.put(k, vals) != null) dupKey(k)
     })
     val touched = new java.util.HashSet[Any]()
 
@@ -346,9 +356,9 @@ private class GraftCdfReaderFactory(schema: StructType,
       p.added.iterator.flatMap(fileValues).flatMap { vals =>
         val k = vals(keyIdx)
         val old = if (k == null) null else removedByKey.get(k)
+        if (k != null && !touched.add(k) && old != null) dupKey(k)
         if (old == null) Iterator.single(mk(vals, "insert"))
         else {
-          touched.add(k)
           if (rowsEqual(old, vals)) Iterator.empty // carried: no change
           else Iterator(mk(old, "update_preimage"), mk(vals, "update_postimage"))
         }

@@ -116,4 +116,35 @@ class CboStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft versioned tables"), e.getMessage)
   }
+
+  test("a commit after ANALYZE makes the record STALE (no broadcast from old stats)") {
+    freshRoot()
+    import spark.implicits._
+    (1 to 500).map(i => (i.toLong, i.toDouble))
+      .toDF("k", "v").createOrReplaceTempView("cbo_stale_src")
+    spark.sql("""CREATE TABLE psql.tpcds.cbostale
+                |TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM cbo_stale_src""".stripMargin)
+    spark.sql(
+      "ANALYZE TABLE psql.tpcds.cbostale COMPUTE STATISTICS FOR ALL COLUMNS")
+    val live = spark.sql("SELECT k FROM psql.tpcds.cbostale WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(live.contains("GraftStats(rows="), live)
+    // grow the table: the old record must stop driving estimates —
+    // a dim analyzed small then appended large would otherwise keep
+    // broadcasting its stale kilobyte estimate
+    spark.sql("INSERT INTO psql.tpcds.cbostale SELECT * FROM cbo_stale_src")
+    val stale = spark.sql("SELECT k FROM psql.tpcds.cbostale WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(!stale.contains("GraftStats(rows="),
+      s"stale ANALYZE record still reporting:\n$stale")
+    // the fallback keeps the runtime-filtering wrapper: versioned
+    // scans never lose DPP to the stats seam
+    assert(stale.contains("GraftDpp("), stale)
+    // re-ANALYZE re-arms the record at the new snapshot
+    spark.sql("ANALYZE TABLE psql.tpcds.cbostale COMPUTE STATISTICS")
+    val rearmed = spark.sql("SELECT k FROM psql.tpcds.cbostale WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(rearmed.contains("GraftStats(rows=1000"), rearmed)
+  }
 }

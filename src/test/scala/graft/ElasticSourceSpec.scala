@@ -113,18 +113,64 @@ class ElasticSourceSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
-  test("the catalog is read-only and lists only the corpus table") {
+  test("the catalog is DDL-immutable and never leaks per-dir corpus names") {
     useRoot(sf1)
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     val cat = spark.sessionState.catalogManager.catalog("elastic")
       .asInstanceOf[TableCatalog]
     val tables = cat.listTables(Array("default")).map(_.name()).toSeq
-    assert(tables == Seq("documents"))
+    // the corpus fixture appears ONLY as `documents`; bulk-created
+    // indexes may also be listed, internal seeded names never
+    assert(tables.contains("documents"))
+    assert(!tables.exists(_.startsWith("documents_")), tables.mkString(","))
     assert(!cat.dropTable(Identifier.of(Array("default"), "documents")))
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM elastic.default.nosuch").collect()
     }
     assert(e.getMessage.contains("nosuch") ||
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
+  test("_bulk sink: PUT + ndjson batches + dynamic mapping + scroll read-back") {
+    useRoot(sf1)
+    val idx = "bulk_spec_idx"
+    val src = Tables.events(spark, sf1)
+      .select("event_id", "event_type", "value", "ts")
+      .filter(col("event_id") <= 200)
+    val before = GraftElasticServer.bulkCount(idx)
+    val total = src.count()
+    val shipped = graft.sources.GraftElasticBulk
+      .bulkIndex(src.repartition(2), idx, batchRows = 50)
+    assert(shipped == total && total > 0)
+    // round-robin repartition(2) splits n into halves differing by ≤1
+    val (a, b) = ((total / 2).toInt, (total - total / 2).toInt)
+    val expectBulks = (a + 49) / 50 + (b + 49) / 50
+    assert(GraftElasticServer.bulkCount(idx) == before + expectBulks)
+    // mapping was inferred from the first document: numerics native,
+    // the timestamp rendered default=str → keyword
+    val back = spark.sql(s"SELECT * FROM elastic.default.$idx")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("event_id", org.apache.spark.sql.types.LongType),
+        ("event_type", org.apache.spark.sql.types.StringType),
+        ("value", org.apache.spark.sql.types.DoubleType),
+        ("ts", org.apache.spark.sql.types.StringType)))
+    val expect = src
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ts").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == expect)
+    // duplicate create fails loudly
+    val e = intercept[java.io.IOException] {
+      graft.sources.GraftElasticHttp.send(
+        GraftElasticServer.url + s"/$idx", "PUT", "{}")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // a document drifting from the fixed mapping fails the whole bulk
+    val drift = intercept[java.io.IOException] {
+      graft.sources.GraftElasticHttp.send(
+        GraftElasticServer.url + "/_bulk", "POST",
+        s"""{"index":{"_index":"$idx"}}\n{"event_id":"not-a-long","event_type":"x","value":1.0,"ts":"t"}\n""")
+    }
+    assert(drift.getMessage.contains("does not conform"), drift.getMessage)
   }
 }
