@@ -37,7 +37,13 @@ object ScaleCurve {
   val curveQueries: Seq[String] = Seq(
     "q01_agg_pushdown_sum", "q02_scan_group_agg", "q03_join_agg_topn",
     "q04_left_join_case_agg", "q05_except_chain_count",
-    "d23_incremental_minhash", "s11_ann_persisted")
+    "d23_incremental_minhash", "s11_ann_persisted",
+    // wire connectors under REAL multi-process execution: the cursor/
+    // scroll readers run in separate executor JVMs dialing the
+    // stores over loopback TCP — the bit-identity gate proves the
+    // protocol path (pushdown rendering, batch paging, typed decode)
+    // is process-topology-invariant, not a single-JVM artifact
+    "q84_mongo_events_range", "s25_ann_wire_mongo")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

@@ -62,7 +62,16 @@ object Fixtures {
       |WHERE value > 50 AND user_id % 10 = 3
       |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
   ) { (s, d) =>
-    Tables.eventsStringly(s, d)
+    // the stringly corpus now lives in a REAL index: bulk-loaded over
+    // the ES wire once per dir (all-keyword dynamic mapping — the
+    // loader's default=str ingest shape made protocol-true) and read
+    // back through the scroll connector; every cast below runs
+    // against wire-read strings
+    s.conf.set("spark.sql.graft.root", d)
+    val idx = "events_stringly_" + d.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    if (!graft.sources.GraftElasticServer.hasIndex(idx))
+      graft.sources.GraftElasticBulk.bulkIndex(Tables.eventsStringly(s, d), idx)
+    s.sql(s"SELECT * FROM elastic.default.$idx")
       .filter(col("value").cast("double") > 50 &&
         col("user_id").cast("bigint") % 10 === 3)
       .withColumn("day", date_trunc("day", col("ts").cast("timestamp")))

@@ -496,6 +496,18 @@ object GraftMerge {
     val cols = added.columns.toSeq
     require(cols.contains(key),
       s"$dir: rowLevelDiff key $key not in ${cols.mkString(", ")}")
+    // the key-join reconstruction is only sound for a UNIQUE key: a
+    // duplicate would cartesian the matched pairs and emit phantom
+    // update rows — fail loudly (mirrors the streaming reader's gate;
+    // null keys are exempt on both sides: they never join)
+    Seq("removed" -> removed, "added" -> added).foreach { case (side, df) =>
+      val dup = df.filter(col(key).isNotNull).groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"$dir: rowLevelDiff key $key is not unique in the $side rows " +
+          s"of v$v1→v$v2 (duplicate value ${dup.head.get(0)}); row-level " +
+          "CDF requires a unique key — consume the file-level feed instead")
+    }
     val pre = removed.select(struct(cols.map(col): _*).as("pre"))
     val post = added.select(struct(cols.map(col): _*).as("post"))
     val joined = pre.join(post,

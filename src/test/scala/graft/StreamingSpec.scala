@@ -748,4 +748,43 @@ class StreamingSpec extends SparkSpec {
       assert(batchRows == streamRows, s"v$v→${v + 1}: $batchRows vs $streamRows")
     }
   }
+
+  test("row-level CDF rejects a non-unique merge key loudly (batch + stream)") {
+    import spark.implicits._
+    import graft.sources.{GraftMerge, GraftVersions}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cdf9").toString + "/tbl"
+    new java.io.File(dir).mkdirs()
+    // k=2 appears TWICE: the key-join reconstruction would cartesian
+    // (batch) or last-win (stream) — both must refuse instead of
+    // emitting a wrong change feed
+    GraftVersions.commit(dir,
+      Seq((1, "a"), (2, "b"), (2, "b2"), (3, "c")).toDF("k", "v")
+        .coalesce(1), overwrite = false)
+    GraftMerge.updateWhere(spark, dir, col("k") === 3,
+      Seq("v" -> org.apache.spark.sql.functions.lit("C!")))
+    val eBatch = intercept[Exception] {
+      GraftMerge.rowLevelDiff(spark, dir, 1, 2, "k").collect()
+    }
+    assert(eBatch.getMessage.contains("not unique"), eBatch.getMessage)
+    val q = spark.readStream
+      .format("graft.streaming.GraftCdfProvider")
+      .option("path", dir)
+      .option("rowLevel", "true").option("mergeKey", "k")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect(); ()
+      }.start()
+    val eStream = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val b = new StringBuilder()
+      while (c != null) { b.append(c.getMessage).append(" | "); c = c.getCause }
+      b.toString
+    }
+    assert(rootMsg(eStream).contains("not unique"), rootMsg(eStream))
+  }
 }
