@@ -492,31 +492,98 @@ private[graft] class GraftMongoScanBuilder(host: String, port: Int,
     case _ => None
   }
 
-  /** The find command's filter document for the accepted conjuncts. */
-  private def filterDoc: Option[BDoc] = {
-    val rendered = pushed.flatMap(render).toSeq
+  /** The find command's filter document: accepted pushed conjuncts
+    * plus any runtime (dynamic-filtering) conjuncts. */
+  private def filterDoc(runtime: Seq[BDoc]): Option[BDoc] = {
+    val rendered = pushed.flatMap(render).toSeq ++ runtime
     if (rendered.isEmpty) None
     else if (rendered.size == 1) Some(rendered.head)
     else Some(BDoc("$and" -> (rendered: Seq[Any])))
   }
 
+  /** Catalyst-INTERNAL literal (from a V2 runtime predicate) → wire
+    * value, typed-strict per the column's storage encoding (strings
+    * arrive as UTF8String, timestamps as epoch-micros longs). */
+  private def runtimeLit(c: MongoCol, v: Any): Option[Any] =
+    (c.enc, v) match {
+      case (_, null) => None
+      case ("long", n: Long) => Some(n)
+      case ("long", n: Int) => Some(n.toLong)
+      case ("int", n: Int) => Some(n)
+      case ("double", d: Double) => Some(d)
+      case ("string", s: UTF8String) => Some(s.toString)
+      case ("string", s: String) => Some(s)
+      case ("bool", b: Boolean) => Some(b)
+      case ("date_ms", us: Long) if us % 1000 == 0 =>
+        Some(BsonDate(Math.floorDiv(us, 1000L)))
+      case ("epoch_us", us: Long) => Some(us)
+      case _ => None
+    }
+
   override def build(): Scan = new Scan with Batch
-      with SupportsReportStatistics {
+      with SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     private val requiredCols =
       required.fields.map(f => byName(f.name)).toSeq
+
+    // Runtime dynamic-filtering conjuncts — the reference's q003
+    // mongo scan carries exactly this shape (`ScanFilter[table =
+    // mongodb:tpcds.catalog_sales constraint on [cs_sold_date_sk]]`,
+    // Trino's dynamicFilterAssignments): the evaluated DPP subquery's
+    // IN-set folds into the find document, so pruned rows never cross
+    // the wire. Arrival invalidates the memoized partition plan.
+    @volatile private var runtime: Seq[BDoc] = Seq.empty
+    @volatile private var planned: Array[InputPartition] = _
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      cols.filter(c => c.enc != "farr" && c.enc != "darr")
+        .map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.column(c.name)).toArray
+
+    /** Runtime filters arrive as V2 `IN(col, v1..vn)` predicates (the
+      * evaluated DPP subquery). Accepted only when every literal is
+      * typed-exact for the column; unknown shapes are ignored —
+      * runtime filtering is an optimization, never a correctness
+      * gate. */
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val rendered = predicates.toSeq.flatMap { p =>
+        if (p.name() != "IN" || p.children().isEmpty) None
+        else p.children().head match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames().length == 1 =>
+            byName.get(ref.fieldNames().head).flatMap { c =>
+              val lits = p.children().tail.toSeq.map {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  runtimeLit(c, l.value)
+                case _ => None
+              }
+              if (lits.nonEmpty && lits.forall(_.isDefined))
+                Some(BDoc(c.name -> BDoc("$in" -> (lits.flatten: Seq[Any]))))
+              else None
+            }
+          case _ => None
+        }
+      }
+      if (rendered.nonEmpty) {
+        runtime = runtime ++ rendered
+        planned = null // re-plan with the narrowed filter
+      }
+    }
 
     override def readSchema(): StructType = required
     override def description(): String =
       s"GraftMongoScan coll=$coll PushedFilters=[" +
         pushed.mkString(", ") + "] filter=" +
-        filterDoc.map(_.render).getOrElse("{}") +
+        filterDoc(Seq.empty).map(_.render).getOrElse("{}") +
         limit.map(n => s" limit=$n").getOrElse("")
     override def toBatch: Batch = this
 
     // memoized: Spark calls planInputPartitions more than once per
     // query (planning + execution) and the _id-edge probes must not
-    // re-dial the store each time
-    private lazy val planned: Array[InputPartition] = {
+    // re-dial the store each time; a runtime filter resets the memo
+    private def replan(): Array[InputPartition] = {
       // _id-range splits: min/max over the wire, N disjoint ranges
       val wire = new GraftMongoWire(host, port)
       val bounds =
@@ -540,12 +607,17 @@ private[graft] class GraftMongoScanBuilder(host: String, port: Int,
           (0 until n).map { i =>
             GraftMongoPartition(host, port, db, coll,
               lo + i * width, math.min(lo + (i + 1) * width, hi + 1),
-              filterDoc, requiredCols, batchSize, limit): InputPartition
+              filterDoc(runtime), requiredCols, batchSize, limit)
+              : InputPartition
           }.toArray
       }
     }
 
-    override def planInputPartitions(): Array[InputPartition] = planned
+    override def planInputPartitions(): Array[InputPartition] =
+      synchronized {
+        if (planned == null) planned = replan()
+        planned
+      }
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftMongoReaderFactory()
@@ -554,7 +626,7 @@ private[graft] class GraftMongoScanBuilder(host: String, port: Int,
       val wire = new GraftMongoWire(host, port)
       try {
         val cmd = BDoc(Vector[(String, Any)]("count" -> coll) ++
-          filterDoc.map(fd => "query" -> (fd: Any)).toVector)
+          filterDoc(runtime).map(fd => "query" -> (fd: Any)).toVector)
         val n = wire.command(db, cmd).getNum("n").get
         val rowBytes = requiredCols.map(c => c.sparkType.defaultSize + 8).sum
         new Statistics {
