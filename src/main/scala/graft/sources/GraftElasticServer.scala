@@ -66,20 +66,30 @@ private[graft] object GraftElasticServer {
   private val scrolls = new ConcurrentHashMap[String, ScrollState]()
   private val scrollIds = new AtomicLong(0)
 
-  /** Per-index request log (spec observability). */
+  /** Per-index request log (spec observability). Capped at the last
+    * [[SearchLogCap]] bodies per index; counts survive the trim via
+    * [[searchesSeen]]. */
+  private val SearchLogCap = 256
   private val searchBodies =
     new ConcurrentHashMap[String, java.util.List[String]]()
+  private val searchesSeen = new ConcurrentHashMap[String, AtomicInteger]()
   private val pagesServed = new ConcurrentHashMap[String, AtomicInteger]()
+  private val hitsServed = new ConcurrentHashMap[String, AtomicInteger]()
 
   def lastSearchBody(index: String): Option[String] = {
     val l = searchBodies.get(index)
     if (l == null || l.isEmpty) None else Some(l.get(l.size - 1))
   }
   def searchCount(index: String): Int = {
-    val l = searchBodies.get(index); if (l == null) 0 else l.size
+    val c = searchesSeen.get(index); if (c == null) 0 else c.get
   }
   def pageCount(index: String): Int = {
     val c = pagesServed.get(index); if (c == null) 0 else c.get
+  }
+  /** Hits that actually crossed the wire for `index` — the number the
+    * runtime-filter specs watch shrink. */
+  def hitCount(index: String): Int = {
+    val c = hitsServed.get(index); if (c == null) 0 else c.get
   }
   private val bulksServed = new ConcurrentHashMap[String, AtomicInteger]()
   def bulkCount(index: String): Int = {
@@ -302,9 +312,15 @@ private[graft] object GraftElasticServer {
 
   private def search(x: HttpExchange, index: String, body: String): Unit = {
     val idx = lookup(index)
-    searchBodies.computeIfAbsent(index,
+    val log = searchBodies.computeIfAbsent(index,
       _ => java.util.Collections.synchronizedList(
-        new java.util.ArrayList[String]())).add(body)
+        new java.util.ArrayList[String]()))
+    log.synchronized {
+      log.add(body)
+      while (log.size > SearchLogCap) log.remove(0)
+    }
+    searchesSeen.computeIfAbsent(index, _ => new AtomicInteger())
+      .incrementAndGet()
     val req = mapper.readTree(if (body.isEmpty) "{}" else body)
     val size = if (req.has("size")) req.get("size").asInt else 10
     require(size > 0, "size must be positive")
@@ -369,6 +385,8 @@ private[graft] object GraftElasticServer {
     }
     pagesServed.computeIfAbsent(st.index.name, _ => new AtomicInteger())
       .incrementAndGet()
+    hitsServed.computeIfAbsent(st.index.name, _ => new AtomicInteger())
+      .addAndGet(hits.size())
     val total = mapper.createObjectNode()
     total.put("value", st.index.rows.size); total.put("relation", "eq")
     val hitsObj = mapper.createObjectNode()

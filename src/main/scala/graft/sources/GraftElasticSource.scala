@@ -272,8 +272,9 @@ private[graft] class GraftElasticScanBuilder(url: String, index: String,
   }
 
   /** The request body's `query` node for the accepted conjuncts. */
-  private def queryJson: String = {
-    val clauses = pushed.flatMap(render)
+  private def queryJson: String = queryJson(Seq.empty)
+  private def queryJson(extra: Seq[ObjectNode]): String = {
+    val clauses = pushed.flatMap(render).toSeq ++ extra
     if (clauses.isEmpty) """{"match_all":{}}"""
     else {
       val arr = mapper.createArrayNode()
@@ -291,7 +292,75 @@ private[graft] class GraftElasticScanBuilder(url: String, index: String,
     }
   }
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+    // Runtime dynamic-filtering conjuncts — the reference applies
+    // dynamic filters inside the ES scan too (`constraint on
+    // [ws_sold_date_sk]`, results/q005/workers-1/explain.txt:212-219):
+    // the evaluated build-side IN-set folds into the request body as a
+    // `terms` clause in `bool.filter`, so pruned docs never ride the
+    // scroll pages.
+    @volatile private var runtime: Seq[ObjectNode] = Seq.empty
+
+    // Scoped to the PRUNED read schema (PartitionPruning resolves
+    // these refs against the scan's output), renderable scalars only.
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      required.fields.filter(f => f.dataType match {
+        case StringType | LongType | IntegerType | DoubleType => true
+        case _ => false
+      }).map(f => org.apache.spark.sql.connector.expressions
+        .Expressions.column(f.name))
+
+    /** Runtime filters arrive as V2 `IN(col, v1..vn)` predicates (the
+      * evaluated DPP subquery). Accepted only when every literal is
+      * typed-exact for the column; unknown shapes are ignored —
+      * runtime filtering is an optimization, never a correctness
+      * gate. */
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val rendered = predicates.toSeq.flatMap { p =>
+        if (p.name() != "IN" || p.children().isEmpty) None
+        else p.children().head match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames().length == 1 =>
+            val colName = ref.fieldNames().head
+            full.fields.find(_.name == colName).flatMap { fd =>
+              val lits: Seq[Option[Any]] = p.children().tail.toSeq.map {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  (fd.dataType, l.value) match {
+                    case (StringType, s: UTF8String) => Some(s.toString)
+                    case (LongType, n: Long) => Some(n)
+                    case (LongType, n: Int) => Some(n.toLong)
+                    case (IntegerType, n: Int) => Some(n)
+                    case (DoubleType, d: Double) => Some(d)
+                    case _ => None
+                  }
+                case _ => None
+              }
+              if (lits.nonEmpty && lits.forall(_.isDefined)) Some {
+                val arr = mapper.createArrayNode()
+                lits.flatten.foreach {
+                  case s: String => arr.add(s)
+                  case l: Long => arr.add(l)
+                  case i: Int => arr.add(i)
+                  case d: Double => arr.add(d)
+                  case _ => ()
+                }
+                val inner = mapper.createObjectNode()
+                inner.set[ArrayNode](colName, arr)
+                val outer = mapper.createObjectNode()
+                outer.set[ObjectNode]("terms", inner)
+                outer
+              } else None
+            }
+          case _ => None
+        }
+      }
+      if (rendered.nonEmpty) runtime = runtime ++ rendered
+    }
+
     override def readSchema(): StructType = required
     override def description(): String =
       s"GraftElasticScan index=$index PushedFilters=[" +
@@ -299,7 +368,8 @@ private[graft] class GraftElasticScanBuilder(url: String, index: String,
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       (0 until slices).map(i => GraftElasticPartition(url, index, i, slices,
-        pageSize, queryJson, required.fieldNames.toSeq): InputPartition).toArray
+        pageSize, queryJson(runtime),
+        required.fieldNames.toSeq): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftElasticReaderFactory(required)
   }

@@ -56,30 +56,61 @@ private[graft] object GraftMongoServer {
   private final class MCollection(val name: String,
       @volatile var rows: IndexedSeq[BDoc]) {
     val nextId = new AtomicLong(rows.size.toLong)
+    /** `_id` uniqueness index — O(1) duplicate-key detection, the
+      * property idempotent client retries (unordered insert + E11000
+      * skip) rely on. */
+    val ids: java.util.Set[Any] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Any]()
+    rows.foreach(d => d.get("_id").foreach(ids.add))
   }
 
   private final class MCursor(val ns: String, val coll: String,
-      val rows: Iterator[BDoc], val batchSize: Int, val cols: Option[Seq[String]])
+      val rows: Iterator[BDoc], val batchSize: Int, val cols: Option[Seq[String]]) {
+    @volatile var lastUsed: Long = System.nanoTime()
+  }
 
   private val dbs =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, MCollection]]()
   private val cursors = new ConcurrentHashMap[Long, MCursor]()
   private val cursorIds = new AtomicLong(1000)
 
-  /** Per-collection request log (spec observability). */
+  /** Per-collection request log (spec observability). Capped at the
+    * last [[FindLogCap]] bodies per collection so a long bench run
+    * can't grow the log without bound; counts survive the trim via
+    * [[findsSeen]]. */
+  private val FindLogCap = 256
   private val findBodies =
     new ConcurrentHashMap[String, java.util.List[String]]()
+  private val findsSeen = new ConcurrentHashMap[String, AtomicInteger]()
   private val batchesServed = new ConcurrentHashMap[String, AtomicInteger]()
+  private val docsServed = new ConcurrentHashMap[String, AtomicInteger]()
 
   def lastFind(coll: String): Option[String] = {
     val l = findBodies.get(coll)
     if (l == null || l.isEmpty) None else Some(l.get(l.size - 1))
   }
   def findCount(coll: String): Int = {
-    val l = findBodies.get(coll); if (l == null) 0 else l.size
+    val c = findsSeen.get(coll); if (c == null) 0 else c.get
   }
   def batchCount(coll: String): Int = {
     val c = batchesServed.get(coll); if (c == null) 0 else c.get
+  }
+  /** Documents that actually crossed the wire for `coll` — the number
+    * the runtime-filter specs watch shrink. */
+  def docCount(coll: String): Int = {
+    val c = docsServed.get(coll); if (c == null) 0 else c.get
+  }
+
+  /** Cursors abandoned by clients that never getMore/killCursors are
+    * reaped after [[CursorIdleNanos]] of inactivity (clients page well
+    * inside it; this bounds memory on long bench runs). */
+  private val CursorIdleNanos = 120L * 1000 * 1000 * 1000
+  private def reapIdleCursors(): Unit = {
+    val now = System.nanoTime()
+    val it = cursors.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue.lastUsed > CursorIdleNanos) it.remove()
+    }
   }
   private val insertsServed = new ConcurrentHashMap[String, AtomicInteger]()
   def insertCount(coll: String): Int = {
@@ -339,6 +370,7 @@ private[graft] object GraftMongoServer {
       require(prev == null, s"Collection already exists: $db.$name")
       BDoc("ok" -> 1.0)
     case "insert" => insert(cmd)
+    case "findAndModify" | "findandmodify" => findAndModify(cmd)
     case "drop" =>
       val db = dbName(cmd)
       val name = cmd.getString("drop").get
@@ -394,9 +426,16 @@ private[graft] object GraftMongoServer {
     val db = dbName(cmd)
     val collName = cmd.getString("find").get
     val coll = lookup(db, collName)
-    findBodies.computeIfAbsent(collName,
+    val log = findBodies.computeIfAbsent(collName,
       _ => java.util.Collections.synchronizedList(
-        new java.util.ArrayList[String]())).add(cmd.render)
+        new java.util.ArrayList[String]()))
+    log.synchronized {
+      log.add(cmd.render)
+      while (log.size > FindLogCap) log.remove(0)
+    }
+    findsSeen.computeIfAbsent(collName, _ => new AtomicInteger())
+      .incrementAndGet()
+    reapIdleCursors()
     val pred = cmd.getDoc("filter").map(filterPred)
       .getOrElse((_: BDoc) => true)
     var matched: Iterator[BDoc] = coll.rows.iterator.filter(pred)
@@ -469,22 +508,80 @@ private[graft] object GraftMongoServer {
       case _ => throw new IllegalArgumentException(
         "insert: documents array required")
     }
-    coll.synchronized {
-      val withIds = docs.map { d =>
-        if (d.has("_id")) d
-        else BDoc(("_id" -> (coll.nextId.getAndIncrement(): Any)) +: d.fields)
+    val ordered = !cmd.get("ordered").contains(false)
+    val reply = coll.synchronized {
+      val accepted = Vector.newBuilder[BDoc]
+      val writeErrors = Vector.newBuilder[Any]
+      docs.zipWithIndex.foreach { case (d, i) =>
+        val doc =
+          if (d.has("_id")) d
+          else BDoc(("_id" -> (coll.nextId.getAndIncrement(): Any)) +: d.fields)
+        val id = doc.get("_id").get
+        if (!coll.ids.add(id)) {
+          // duplicate key (E11000): an ordered insert aborts the batch
+          // like the real store; an unordered one skips the doc and
+          // reports it — the contract idempotent retries ride on
+          if (ordered) throw new IllegalArgumentException(
+            s"E11000 duplicate key error: _id $id")
+          writeErrors += (BDoc("index" -> i, "code" -> 11000,
+            "errmsg" -> s"E11000 duplicate key error: _id $id"): Any)
+        } else accepted += doc
       }
-      coll.rows = coll.rows ++ withIds
+      val acc = accepted.result()
+      coll.rows = coll.rows ++ acc
+      val errs = writeErrors.result()
+      if (errs.isEmpty) BDoc("n" -> acc.size, "ok" -> 1.0)
+      else BDoc("n" -> acc.size, "writeErrors" -> (errs: Seq[Any]),
+        "ok" -> 1.0)
     }
     insertsServed.computeIfAbsent(collName, _ => new AtomicInteger())
       .incrementAndGet()
-    BDoc("n" -> docs.size, "ok" -> 1.0)
+    reply
+  }
+
+  /** `findAndModify` with `$inc` + upsert — the canonical Mongo
+    * counter-block pattern (clients reserve monotonic id blocks with
+    * exactly this command); only that shape is implemented, anything
+    * else fails loudly. */
+  private def findAndModify(cmd: BDoc): BDoc = {
+    val db = dbName(cmd)
+    val name = cmd.getString("findAndModify").get
+    val coll = collections(db)
+      .computeIfAbsent(name, n => new MCollection(n, Vector.empty))
+    val query = cmd.getDoc("query").getOrElse(
+      throw new IllegalArgumentException("findAndModify: query required"))
+    val upsert = cmd.get("upsert").contains(true)
+    val returnNew = cmd.get("new").contains(true)
+    val inc = cmd.getDoc("update")
+      .flatMap(_.getDoc("$inc"))
+      .getOrElse(throw new IllegalArgumentException(
+        "findAndModify: only {$inc: {...}} updates are supported"))
+    coll.synchronized {
+      val pred = filterPred(query)
+      val idx = coll.rows.indexWhere(pred)
+      if (idx >= 0) {
+        val old = coll.rows(idx)
+        val updated = BDoc(old.fields.map {
+          case (k, v) if inc.has(k) => k -> (numOf(v) + numOf(inc.get(k).get))
+          case kv => kv
+        })
+        coll.rows = coll.rows.updated(idx, updated)
+        BDoc("value" -> (if (returnNew) updated else old), "ok" -> 1.0)
+      } else if (upsert) {
+        val fresh = BDoc(query.fields ++
+          inc.fields.map { case (k, v) => k -> (numOf(v): Any) })
+        fresh.get("_id").foreach(coll.ids.add)
+        coll.rows = coll.rows :+ fresh
+        BDoc("value" -> (if (returnNew) fresh else (null: Any)), "ok" -> 1.0)
+      } else BDoc("value" -> (null: Any), "ok" -> 1.0)
+    }
   }
 
   private def takeBatch(c: MCursor): Seq[Any] = {
     val out = Vector.newBuilder[Any]
+    var n = 0
     c.synchronized {
-      var n = 0
+      c.lastUsed = System.nanoTime()
       while (n < c.batchSize && c.rows.hasNext) {
         val row = c.rows.next()
         out += (c.cols match {
@@ -497,6 +594,8 @@ private[graft] object GraftMongoServer {
     }
     batchesServed.computeIfAbsent(c.coll, _ => new AtomicInteger())
       .incrementAndGet()
+    docsServed.computeIfAbsent(c.coll, _ => new AtomicInteger())
+      .addAndGet(n)
     out.result()
   }
 

@@ -324,43 +324,78 @@ private[graft] class GraftMongoTable(host: String, port: Int, db: String,
 /** Batched `insert` write (the CTAS data path): each task buffers
   * `batchSize` rows, ships them as one insert command, and flushes the
   * tail on commit — the loader's own batched bulk shape
-  * (loader.py:306 `--batch-rows`). Appends are non-atomic across
-  * tasks, like the real store without multi-document transactions:
-  * CTAS visibility is create-then-load, and Spark's CTAS error path
-  * drops the half-written table. */
+  * (loader.py:306 `--batch-rows`).
+  *
+  * IDEMPOTENT under task retry: the job reserves a monotonic id block
+  * once (driver-side, via the canonical `findAndModify` `$inc` counter
+  * pattern on `_graft_counters`) and every row gets a deterministic
+  * `_id = block<<40 | partition<<24 | rowIndex`. A retried or
+  * speculative attempt re-produces the SAME ids; inserts go over the
+  * wire `ordered:false`, so the store skips the already-present docs
+  * with per-doc E11000 writeErrors instead of duplicating rows — the
+  * standard at-least-once → effectively-once recipe on a store without
+  * multi-document transactions. Job-level visibility is unchanged:
+  * CTAS drops the half-written table on failure; a failed INSERT INTO
+  * leaves the rows its committed tasks wrote, like the real store. */
 private[graft] class GraftMongoWrite(host: String, port: Int, db: String,
     coll: String, cols: Seq[MongoCol], insertBatch: Int)
   extends org.apache.spark.sql.connector.write.Write {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = new BatchWrite {
+    private val idBlock: Long = {
+      val wire = new GraftMongoWire(host, port)
+      try {
+        val reply = wire.command(db, BDoc(
+          "findAndModify" -> "_graft_counters",
+          "query" -> BDoc("_id" -> s"$db.$coll"),
+          "update" -> BDoc("$inc" -> BDoc("seq" -> 1L)),
+          "upsert" -> true, "new" -> true))
+        val seq = reply.getDoc("value").get.getNum("seq").get
+        require(seq < (1L << 22), s"id-block counter exhausted: $seq")
+        seq
+      } finally wire.close()
+    }
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      GraftMongoWriterFactory(host, port, db, coll, cols, insertBatch)
+      GraftMongoWriterFactory(host, port, db, coll, cols, insertBatch,
+        idBlock)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
 private[graft] case class GraftMongoWriterFactory(host: String, port: Int,
-    db: String, coll: String, cols: Seq[MongoCol], insertBatch: Int)
+    db: String, coll: String, cols: Seq[MongoCol], insertBatch: Int,
+    idBlock: Long)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftMongoDataWriter(host, port, db, coll, cols, insertBatch)
+    new GraftMongoDataWriter(host, port, db, coll, cols, insertBatch,
+      idBlock, partitionId)
 }
 
 private[graft] class GraftMongoDataWriter(host: String, port: Int,
-    db: String, coll: String, cols: Seq[MongoCol], insertBatch: Int)
+    db: String, coll: String, cols: Seq[MongoCol], insertBatch: Int,
+    idBlock: Long, partitionId: Int)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
   private var wire: GraftMongoWire = _
   private val buffer = Vector.newBuilder[Any]
   private var buffered = 0
+  private var rowIndex = 0L
 
   override def write(row: InternalRow): Unit = {
+    require(rowIndex < (1L << 24),
+      s"mongodb write: partition $partitionId exceeds 2^24 rows — " +
+        "repartition the input")
+    require(partitionId < (1 << 16),
+      s"mongodb write: partition id $partitionId exceeds 2^16")
     val fields = Vector.newBuilder[(String, Any)]
+    fields += "_id" ->
+      ((idBlock << 40) | (partitionId.toLong << 24) | rowIndex)
+    rowIndex += 1
     var i = 0
     while (i < cols.length) {
       val c = cols(i)
@@ -389,8 +424,21 @@ private[graft] class GraftMongoDataWriter(host: String, port: Int,
 
   private def flush(): Unit = if (buffered > 0) {
     if (wire == null) wire = new GraftMongoWire(host, port)
-    wire.command(db, BDoc("insert" -> coll,
-      "documents" -> (buffer.result(): Seq[Any])))
+    // unordered: a retried attempt's duplicate _ids come back as
+    // per-doc E11000 writeErrors (ok:1) and are skipped by the store —
+    // exactly the idempotent-retry contract; any NON-duplicate write
+    // error still fails the task loudly
+    val reply = wire.command(db, BDoc("insert" -> coll,
+      "documents" -> (buffer.result(): Seq[Any]), "ordered" -> false))
+    reply.get("writeErrors").foreach {
+      case errs: Seq[_] => errs.foreach {
+        case e: BDoc if e.getNum("code").contains(11000L) => ()
+        case e => throw new java.io.IOException(
+          s"mongodb insert failed: $e")
+      }
+      case other => throw new java.io.IOException(
+        s"mongodb insert failed: $other")
+    }
     buffer.clear()
     buffered = 0
   }
@@ -400,7 +448,10 @@ private[graft] class GraftMongoDataWriter(host: String, port: Int,
     new WriterCommitMessage {}
   }
 
-  override def abort(): Unit = () // appended batches stay; CTAS drops
+  // a failed attempt's flushed batches stay, but the deterministic
+  // _ids make the successful retry overwrite-free (duplicates are
+  // skipped store-side); CTAS additionally drops the table on job abort
+  override def abort(): Unit = ()
   override def close(): Unit = if (wire != null) wire.close()
 }
 
@@ -535,9 +586,14 @@ private[graft] class GraftMongoScanBuilder(host: String, port: Int,
     @volatile private var runtime: Seq[BDoc] = Seq.empty
     @volatile private var planned: Array[InputPartition] = _
 
+    // Scoped to the PRUNED read schema, never the full table: Spark's
+    // PartitionPruning resolves these refs against the scan's output
+    // (V2ExpressionUtils.resolveRefs), so advertising a column the
+    // projection dropped fails analysis. Mirrors GraftDppScan, which
+    // scopes to the partition schema for the same reason.
     override def filterAttributes()
         : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      cols.filter(c => c.enc != "farr" && c.enc != "darr")
+      requiredCols.filter(c => c.enc != "farr" && c.enc != "darr")
         .map(c => org.apache.spark.sql.connector.expressions
           .Expressions.column(c.name)).toArray
 

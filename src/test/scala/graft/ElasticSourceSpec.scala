@@ -113,6 +113,50 @@ class ElasticSourceSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  /** Runtime dynamic filtering into the scroll scan — the reference
+    * applies dynamic filters inside the ES scan
+    * (results/q005/workers-1/explain.txt:212-219). Pruned-column scan
+    * (no `text`), so filterAttributes must stay within the pruned
+    * read schema; the evaluated build-side keys render as a `terms`
+    * clause in `bool.filter` and fewer hits ride the scroll pages. */
+  test("runtime dynamic filter folds build-side keys into bool.filter terms") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    val root = java.nio.file.Files.createTempDirectory("graft-es-rtf").toString
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val keys = Seq(2L, 5L, 8L)
+      Tables.documents(spark, sf1).select(col("doc_id").as("dkey"))
+        .withColumn("pick", when(col("dkey").isin(keys: _*), 1).otherwise(0))
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim").filter(col("pick") === 1)
+      val fact = spark.table("elastic.default.documents")
+        .select("doc_id", "n_chars")
+      val hitsBefore = GraftElasticServer.hitCount(idx)
+      val q = fact.join(dim, col("doc_id") === col("dkey"))
+        .agg(sum(col("n_chars")).as("s"))
+      val rows = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no runtime filter planned into the elastic scan:\n$plan")
+      // the evaluated IN-set rendered as a terms clause
+      val body = GraftElasticServer.lastSearchBody(idx).get
+      assert(body.contains(""""terms":{"doc_id":"""), body)
+      keys.foreach(k => assert(body.contains(k.toString), s"key $k absent: $body"))
+      // fewer hits crossed the wire than the index holds
+      val total = Tables.documents(spark, sf1).count()
+      val crossed = GraftElasticServer.hitCount(idx) - hitsBefore
+      assert(crossed < total,
+        s"runtime filter did not reduce wire hits: $crossed vs index $total")
+      val expect = Tables.documents(spark, sf1)
+        .filter(col("doc_id").isin(keys: _*))
+        .agg(sum(col("n_chars"))).head.getLong(0)
+      assert(rows.length == 1 && rows(0).getLong(0) == expect,
+        s"got ${rows.mkString}, expected $expect")
+    } finally conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("the catalog is DDL-immutable and never leaks per-dir corpus names") {
     useRoot(sf1)
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}

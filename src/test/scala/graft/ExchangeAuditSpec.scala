@@ -88,11 +88,20 @@ class ExchangeAuditSpec extends SparkSpec {
   }
 
   test("no query plans a non-whitelisted SinglePartition exchange") {
+    // failure-isolated (verdict r14 #4): an entry that throws at
+    // planning is reported as its OWN violation instead of aborting
+    // the suite-wide audit and blinding it to the other 200+ entries
     val violations = SparkEntry.allEntries.flatMap { e =>
-      val plan = e.build(spark, sf1).queryExecution.executedPlan
-      val off = offenders(plan)
-      if (off.isEmpty || whitelist.contains(e.name)) None
-      else Some(s"${e.name}: SinglePartition → ${off.mkString(", ")}")
+      try {
+        val plan = e.build(spark, sf1).queryExecution.executedPlan
+        val off = offenders(plan)
+        if (off.isEmpty || whitelist.contains(e.name)) None
+        else Some(s"${e.name}: SinglePartition → ${off.mkString(", ")}")
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          Some(s"${e.name}: PLANNING FAILED — ${t.getClass.getSimpleName}: " +
+            t.getMessage.linesIterator.take(2).mkString(" "))
+      }
     }
     assert(violations.isEmpty,
       "non-whitelisted SinglePartition exchanges:\n" + violations.mkString("\n"))
@@ -101,7 +110,12 @@ class ExchangeAuditSpec extends SparkSpec {
   test("whitelist carries no stale entries") {
     val stale = whitelist.keys.filter { name =>
       val e = SparkEntry.allEntries.find(_.name == name)
-      e.isEmpty || offenders(e.get.build(spark, sf1).queryExecution.executedPlan).isEmpty
+      e.isEmpty || (try {
+        offenders(e.get.build(spark, sf1).queryExecution.executedPlan).isEmpty
+      } catch {
+        // a planning failure is the first test's finding, not staleness
+        case scala.util.control.NonFatal(_) => false
+      })
     }
     assert(stale.isEmpty, s"whitelisted but clean (remove): ${stale.mkString(", ")}")
   }

@@ -194,6 +194,112 @@ class MongoSourceSpec extends SparkSpec {
     }
   }
 
+  /** Write idempotency under task retry (ADVICE r14 #1): rows carry
+    * deterministic `_id`s from a per-job findAndModify-reserved block,
+    * inserts go `ordered:false`, and the store skips duplicate `_id`s
+    * with E11000 writeErrors — so a replayed attempt adds NOTHING. */
+  test("write retries are idempotent: deterministic _ids, E11000 skip") {
+    useRoot(sf1)
+    spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.idem_spec")
+    spark.sql(
+      """CREATE TABLE mongodb.tpcds.idem_spec AS
+        |SELECT c_custkey, c_name FROM psql.tpcds.customer
+        |WHERE c_custkey <= 40""".stripMargin)
+    try {
+      val n0 = spark.sql("SELECT COUNT(*) FROM mongodb.tpcds.idem_spec")
+        .head.getLong(0)
+      val oracle0 = Tables.customer(spark, sf1)
+        .filter(col("c_custkey") <= 40).count()
+      assert(n0 == oracle0, s"ctas wrote $n0, oracle $oracle0")
+      // simulate a retried attempt: replay the SAME job's flush — an
+      // unordered insert whose _ids the store already holds
+      val db = GraftMongoServer.database(spark, sf1)
+      val (host, port) = GraftMongoServer.address
+      val wire = new GraftMongoWire(host, port)
+      try {
+        // the job that wrote above reserved block 1 for this coll;
+        // replaying its partition-0 first rows = same _ids
+        val replay = (0 until 5).map { i =>
+          BDoc("_id" -> ((1L << 40) | i.toLong),
+            "c_custkey" -> (i + 1).toLong, "c_name" -> s"dup$i"): Any
+        }
+        val reply = wire.command(db, BDoc("insert" -> "idem_spec",
+          "documents" -> (replay: Seq[Any]), "ordered" -> false))
+        // all five were duplicates: n=0, five E11000 writeErrors, ok:1
+        assert(reply.getNum("n").contains(0L), reply.render)
+        val errs = reply.get("writeErrors").get.asInstanceOf[Seq[Any]]
+        assert(errs.size == 5 && errs.forall(
+          _.asInstanceOf[BDoc].getNum("code").contains(11000L)), reply.render)
+        // an ORDERED duplicate insert still fails loudly (real-store
+        // semantics; nothing silently match-alls)
+        val e = intercept[java.io.IOException] {
+          wire.command(db, BDoc("insert" -> "idem_spec",
+            "documents" -> (replay.take(1): Seq[Any])))
+        }
+        assert(e.getMessage.contains("E11000"), e.getMessage)
+      } finally wire.close()
+      // row count unchanged — the replay added nothing
+      assert(spark.sql("SELECT COUNT(*) FROM mongodb.tpcds.idem_spec")
+        .head.getLong(0) == n0)
+      // a second job (INSERT INTO) reserves a NEW block: no collision
+      spark.sql(
+        """INSERT INTO mongodb.tpcds.idem_spec
+          |SELECT c_custkey, c_name FROM psql.tpcds.customer
+          |WHERE c_custkey > 40 AND c_custkey <= 55""".stripMargin)
+      val oracle1 = Tables.customer(spark, sf1)
+        .filter(col("c_custkey") <= 55).count()
+      assert(spark.sql("SELECT COUNT(*) FROM mongodb.tpcds.idem_spec")
+        .head.getLong(0) == oracle1)
+    } finally spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.idem_spec")
+  }
+
+  /** Runtime dynamic filtering into the wire scan — the reference's
+    * q003 mongo scan carries exactly this (`constraint on
+    * [cs_sold_date_sk]`, results/q003/workers-1/explain.txt:53-54).
+    * Pins the r14 regression shape too: the scan prunes columns (no
+    * o_orderkey), so filterAttributes MUST stay within the pruned read
+    * schema or planning dies in PartitionPruning. */
+  test("runtime dynamic filter folds build-side keys into the find document") {
+    useRoot(sf1)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mongo-rtf").toString
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // selective on-disk dim: 3 of 150 custkeys survive `pick = 1`
+      val keys = Seq(3L, 7L, 11L)
+      Tables.customer(spark, sf1).select(col("c_custkey").as("ckey"))
+        .withColumn("pick", when(col("ckey").isin(keys: _*), 1).otherwise(0))
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim").filter(col("pick") === 1)
+      // pruned-column wire scan: only (o_custkey, o_totalprice) read
+      val fact = spark.table("mongodb.tpcds.orders")
+        .select("o_custkey", "o_totalprice")
+      val docsBefore = GraftMongoServer.docCount("orders")
+      val q = fact.join(dim, col("o_custkey") === col("ckey"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      val rows = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no runtime filter planned into the mongo scan:\n$plan")
+      // (b) the evaluated IN-set rendered into the find document
+      val body = GraftMongoServer.lastFind("orders").get
+      assert(body.contains("$in"), body)
+      keys.foreach(k => assert(body.contains(k.toString), s"key $k absent: $body"))
+      // (c) fewer rows crossed the wire than the collection holds
+      val total = Tables.orders(spark, sf1).count()
+      val crossed = GraftMongoServer.docCount("orders") - docsBefore
+      assert(crossed < total,
+        s"runtime filter did not reduce wire rows: $crossed vs table $total")
+      // correctness: equals the parquet-side oracle
+      val expect = Tables.orders(spark, sf1)
+        .filter(col("o_custkey").isin(keys: _*))
+        .agg(sum(col("o_totalprice"))).head.getDouble(0)
+      assert(rows.length == 1 && math.abs(rows(0).getDouble(0) - expect) < 1e-6,
+        s"got ${rows.mkString}, expected $expect")
+    } finally conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("unknown commands and operators fail loudly, never match-all") {
     useRoot(sf1)
     val (host, port) = GraftMongoServer.address
