@@ -18,34 +18,58 @@ import org.apache.spark.sql.types._
 object GraftElasticBulk {
 
   /** Create `index` if absent and bulk-load `df` into it. Returns the
-    * number of documents shipped. */
+    * number of documents shipped.
+    *
+    * IDEMPOTENT under task retry: every doc carries a deterministic
+    * `_id = jobToken-partition-row` (the driver-fixed token rides the
+    * task closure, so a retried or speculative attempt re-produces the
+    * SAME ids and the store's `index`-action upsert overwrites instead
+    * of duplicating — the es-hadoop `mapping.id` recipe). FAILURE-
+    * ATOMIC when this call created the index: any load error deletes
+    * it before rethrowing, so a guarded `hasIndex → load` caller can
+    * never be satisfied by a half-loaded index (ADVICE r14 #2). */
   def bulkIndex(df: DataFrame, index: String,
       batchRows: Int = 20000): Long = {
     val url = GraftElasticServer.url
-    ensureIndex(url, index)
-    val schema = df.schema
-    val n = df.sparkSession.sparkContext
-      .longAccumulator(s"es-bulk-$index")
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      rows.grouped(batchRows).foreach { batch =>
-        val body = new StringBuilder()
-        batch.foreach { r =>
-          body.append(s"""{"index":{"_index":"$index"}}""").append('\n')
-          body.append(renderDoc(schema, r)).append('\n')
-          n.add(1)
+    val created = ensureIndex(url, index)
+    try {
+      val schema = df.schema
+      val job = java.util.UUID.randomUUID.toString.take(8) // driver-fixed
+      val n = df.sparkSession.sparkContext
+        .longAccumulator(s"es-bulk-$index")
+      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rowIdx = 0L
+        rows.grouped(batchRows).foreach { batch =>
+          val body = new StringBuilder()
+          batch.foreach { r =>
+            body.append(s"""{"index":{"_index":"$index",""" +
+              s""""_id":"$job-$pid-$rowIdx"}}""").append('\n')
+            body.append(renderDoc(schema, r)).append('\n')
+            rowIdx += 1
+            n.add(1)
+          }
+          val resp = GraftElasticHttp.send(s"$url/_bulk", "POST",
+            body.toString)
+          // the loader raises on errors:true (loader.py:149-152)
+          if (resp.contains("\"errors\":true"))
+            throw new java.io.IOException(s"ES bulk had errors: $resp")
         }
-        val resp = GraftElasticHttp.send(s"$url/_bulk", "POST",
-          body.toString)
-        // the loader raises on errors:true (loader.py:149-152)
-        if (resp.contains("\"errors\":true"))
-          throw new java.io.IOException(s"ES bulk had errors: $resp")
       }
+      GraftElasticHttp.send(s"$url/$index/_refresh", "POST", "")
+      n.value
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (created)
+          try GraftElasticHttp.send(s"$url/$index", "DELETE", "")
+          catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
-    GraftElasticHttp.send(s"$url/$index/_refresh", "POST", "")
-    n.value
   }
 
-  private def ensureIndex(url: String, index: String): Unit = {
+  /** @return true when THIS call created the index (it then owns
+    *         cleanup on load failure). */
+  private def ensureIndex(url: String, index: String): Boolean = {
     val exists =
       try { GraftElasticHttp.get(s"$url/$index"); true }
       catch { case _: java.io.IOException => false }
@@ -53,6 +77,7 @@ object GraftElasticBulk {
       GraftElasticHttp.send(s"$url/$index", "PUT",
         """{"settings":{"number_of_shards":1,"number_of_replicas":0,""" +
           """"refresh_interval":"-1"}}""")
+    !exists
   }
 
   /** One row → one JSON source doc, `default=str` semantics: strings

@@ -56,7 +56,12 @@ private[graft] object GraftElasticServer {
     * index lock so open scrolls never see a torn batch. */
   private final class EsIndex(val name: String,
       @volatile var schema: StructType,
-      @volatile var rows: IndexedSeq[IndexedSeq[Any]])
+      @volatile var rows: IndexedSeq[IndexedSeq[Any]]) {
+    /** `_id` → row position, for `index`-action replace semantics: a
+      * re-sent `_id` overwrites its doc in place (what makes a retried
+      * bulk batch with deterministic ids idempotent). */
+    val docIds = new ConcurrentHashMap[String, Integer]()
+  }
 
   private final class ScrollState(val index: EsIndex,
       val rows: Iterator[IndexedSeq[Any]], val size: Int,
@@ -182,6 +187,11 @@ private[graft] object GraftElasticServer {
             respond(x, 200, mapper.createObjectNode())
           else error(x, 404, s"no such index: $index")
         case ("PUT", index :: Nil) => createIndex(x, index)
+        case ("DELETE", index :: Nil) =>
+          require(!index.startsWith("_"), s"invalid index name: $index")
+          require(indexes.remove(index) != null, s"no such index: $index")
+          val n = mapper.createObjectNode(); n.put("acknowledged", true)
+          respond(x, 200, n)
         case ("PUT", index :: "_settings" :: Nil) =>
           lookup(index) // settings (refresh_interval) are a no-op here
           respond(x, 200, mapper.createObjectNode())
@@ -221,17 +231,19 @@ private[graft] object GraftElasticServer {
     * LOUDLY (`errors:true` + raise) rather than silently coercing. */
   private def bulk(x: HttpExchange, body: String): Unit = {
     val lines = body.split("\n").iterator.filter(_.nonEmpty)
-    // group into (index, sourceJson) pairs, batching per target index
+    // group into (optional _id, sourceJson) pairs per target index
     val byIndex = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[JsonNode]]
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Option[String], JsonNode)]]
     while (lines.hasNext) {
       val action = mapper.readTree(lines.next())
       require(action.has("index"),
         s"unsupported bulk action: $action (only index)")
       val target = action.get("index").get("_index").asText
+      val id = Option(action.get("index").get("_id")).map(_.asText)
       require(lines.hasNext, "bulk: action line without source line")
       byIndex.getOrElseUpdate(target,
-        scala.collection.mutable.ArrayBuffer.empty) += mapper.readTree(lines.next())
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((id, mapper.readTree(lines.next())))
     }
     var total = 0
     byIndex.foreach { case (target, docs) =>
@@ -239,7 +251,7 @@ private[graft] object GraftElasticServer {
       idx.synchronized {
         if (idx.schema == null) {
           require(docs.nonEmpty, "bulk: empty batch on unmapped index")
-          val first = docs.head
+          val first = docs.head._2
           idx.schema = StructType(first.fieldNames().asScala.toSeq.map { f =>
             StructField(f, first.get(f) match {
               case v if v.isTextual => StringType
@@ -252,12 +264,13 @@ private[graft] object GraftElasticServer {
           })
         }
         val schema = idx.schema
-        val fresh = docs.map { d =>
+        var rows = idx.rows
+        docs.foreach { case (idOpt, d) =>
           val names = d.fieldNames().asScala.toSet
           require(names == schema.fieldNames.toSet,
             s"bulk: document fields $names do not match mapping " +
               s"${schema.fieldNames.mkString(",")}")
-          schema.fields.toIndexedSeq.map { f =>
+          val vals: IndexedSeq[Any] = schema.fields.toIndexedSeq.map { f =>
             val v = d.get(f.name)
             if (v == null || v.isNull) null
             else (f.dataType, v) match {
@@ -268,10 +281,23 @@ private[graft] object GraftElasticServer {
               case (dt, n) => throw new IllegalArgumentException(
                 s"bulk: value $n does not conform to mapped $dt at ${f.name}")
             }
-          }: IndexedSeq[Any]
+          }
+          idOpt match {
+            case Some(id) =>
+              // `index` action with an explicit _id is an upsert: a
+              // re-sent id overwrites its doc in place — what makes a
+              // retried batch with deterministic ids idempotent
+              val pos = idx.docIds.get(id)
+              if (pos != null) rows = rows.updated(pos, vals)
+              else {
+                idx.docIds.put(id, rows.size)
+                rows = rows :+ vals
+              }
+            case None => rows = rows :+ vals
+          }
         }
-        idx.rows = idx.rows ++ fresh
-        total += fresh.size
+        idx.rows = rows
+        total += docs.size
       }
       bulksServed.computeIfAbsent(target, _ => new AtomicInteger())
         .incrementAndGet()

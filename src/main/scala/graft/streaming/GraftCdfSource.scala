@@ -356,7 +356,10 @@ private class GraftCdfReaderFactory(schema: StructType,
       p.added.iterator.flatMap(fileValues).flatMap { vals =>
         val k = vals(keyIdx)
         val old = if (k == null) null else removedByKey.get(k)
-        if (k != null && !touched.add(k) && old != null) dupKey(k)
+        // ANY duplicate non-null added-side key is rejected — the same
+        // contract as the batch gate (GraftMerge.rowLevelDiff), so batch
+        // and stream feeds agree on every commit
+        if (k != null && !touched.add(k)) dupKey(k)
         if (old == null) Iterator.single(mk(vals, "insert"))
         else {
           if (rowsEqual(old, vals)) Iterator.empty // carried: no change

@@ -86,6 +86,39 @@ class ConnectSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("wire catalogs federate through a Connect session (verdict r14 #8)") {
+    // the federation surface on the second client face: a Connect
+    // session (its OWN SparkSession from the shared static conf) joins
+    // the mongodb OP_MSG catalog and the elastic scroll catalog to
+    // parquet over jdbc:sc:// — both stores are dialed from the
+    // Connect session's planner, not the suite session's
+    val conn = connect(serverUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"SET spark.sql.graft.root=$sf1")
+      val q = """SELECT c_mktsegment, COUNT(*) AS n
+                |FROM mongodb.tpcds.orders o
+                |JOIN psql.tpcds.customer c ON o.o_custkey = c.c_custkey
+                |WHERE o.o_orderstatus = 'F'
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      val wire = drain(st.executeQuery(q))
+        .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+      spark.conf.set("spark.sql.graft.root", sf1)
+      val local = spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(wire == local && wire.nonEmpty, s"wire $wire != local $local")
+      val qe = """SELECT lang, COUNT(*) AS n
+                 |FROM elastic.default.documents
+                 |GROUP BY lang ORDER BY lang""".stripMargin
+      val wireEs = drain(st.executeQuery(qe))
+        .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+      val localEs = spark.sql(qe).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(wireEs == localEs && wireEs.nonEmpty,
+        s"wire $wireEs != local $localEs")
+    } finally conn.close()
+  }
+
   test("all DML + maintenance verbs run as Connect wire statements") {
     // the gRPC mirror of SqlServerSpec's Thrift wire-DML gate
     // (verdict r13 #7): a Connect session is its OWN SparkSession

@@ -113,6 +113,62 @@ class ElasticSourceSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  /** Bulk-load failure atomicity + retry idempotency (ADVICE r14 #2):
+    * a load that dies after creating its index must delete it (so the
+    * guarded `hasIndex → load` callers re-load instead of aggregating
+    * a half-loaded index), and a replayed batch with the same
+    * deterministic `_id`s must overwrite, not duplicate. */
+  test("bulk load is failure-atomic; replayed batches upsert by _id") {
+    useRoot(sf1)
+    import org.apache.spark.sql.functions.udf
+    val idx = "atomic_spec_idx"
+    assert(!GraftElasticServer.hasIndex(idx))
+    // a source that explodes mid-load
+    val boom = udf((id: Long) =>
+      if (id == 150L) throw new RuntimeException("mid-load failure")
+      else id)
+    val bad = Tables.events(spark, sf1)
+      .select(boom(col("event_id")).as("event_id"), col("event_type"))
+      .filter(col("event_id") <= 200)
+    intercept[Exception] {
+      graft.sources.GraftElasticBulk.bulkIndex(bad, idx, batchRows = 50)
+    }
+    // the half-written index did NOT survive
+    assert(!GraftElasticServer.hasIndex(idx),
+      "failed bulk load left a partially loaded index behind")
+    // a clean load now fully loads (the hasIndex guard can't skip it)
+    val good = Tables.events(spark, sf1)
+      .select("event_id", "event_type").filter(col("event_id") <= 200)
+    val shipped = graft.sources.GraftElasticBulk.bulkIndex(good, idx)
+    val expect = good.count()
+    assert(shipped == expect)
+    def countNow(): Long = {
+      val resp = graft.sources.GraftElasticHttp
+        .get(s"${GraftElasticServer.url}/$idx/_count")
+      """"count":(\d+)""".r.findFirstMatchIn(resp).get.group(1).toLong
+    }
+    assert(countNow() == expect)
+    // replay: re-send a batch with already-present _ids — upsert, not
+    // append (what a retried task attempt does)
+    val body = new StringBuilder()
+    (0 until 5).foreach { i =>
+      // the job token is random per load; probe replace semantics with
+      // explicitly chosen ids instead: first insert, then overwrite
+      body.append(s"""{"index":{"_index":"$idx","_id":"probe-$i"}}""")
+        .append('\n')
+        .append(s"""{"event_id":${900000 + i},"event_type":"probe"}""")
+        .append('\n')
+    }
+    graft.sources.GraftElasticHttp.send(
+      s"${GraftElasticServer.url}/_bulk", "POST", body.toString)
+    val afterFirst = countNow()
+    assert(afterFirst == expect + 5)
+    graft.sources.GraftElasticHttp.send(
+      s"${GraftElasticServer.url}/_bulk", "POST", body.toString)
+    assert(countNow() == afterFirst,
+      "replayed bulk batch with identical _ids duplicated documents")
+  }
+
   /** Runtime dynamic filtering into the scroll scan — the reference
     * applies dynamic filters inside the ES scan
     * (results/q005/workers-1/explain.txt:212-219). Pruned-column scan
