@@ -1,0 +1,295 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's EXACT client face: Trino's HTTP statement protocol
+  * (reference: data-loader/loader.py:25-62, README.md:92-98 curl
+  * examples) — `POST /v1/statement` with the SQL as the body and
+  * `X-Trino-User` / optional `X-Trino-Catalog` / `X-Trino-Schema`
+  * headers, then `GET nextUri` pages until the cursor drains. Each
+  * page carries `columns` (Trino type names), a `data` array of row
+  * arrays, `stats.state`, and either `nextUri` or, on failure, an
+  * `error` object — the shapes loader.py's `execute`/`query_iter`
+  * loops consume.
+  *
+  * Execution is the session's own SQL surface, so the federated
+  * catalogs (psql / mongodb / elastic), DML/maintenance verbs, and
+  * registered functions are all reachable over this face too. Result
+  * paging rides `toLocalIterator` — one partition materialized at a
+  * time (the PagedResultsSpec memory posture), never a full driver
+  * collect; `DELETE /v1/statement/{id}/{token}` cancels and frees the
+  * cursor. A stale or replayed `nextUri` token answers 410 Gone like
+  * the real coordinator.
+  *
+  * Catalog/schema headers apply per statement: analysis runs under the
+  * requested current catalog/namespace (restored after planning —
+  * the resolved plan no longer depends on them while paging). */
+object GraftStatementServer {
+
+  private final class QueryState(val id: String,
+      val columns: Seq[StructField], val rows: Iterator[Row],
+      val pageSize: Int) {
+    var token: Long = 1L // next valid fetch token
+    @volatile var lastUsed: Long = System.nanoTime()
+  }
+
+  private val queries = new ConcurrentHashMap[String, QueryState]()
+  private val nextId = new AtomicLong(0)
+  @volatile private var server: HttpServer = _
+  @volatile private var session: SparkSession = _
+  private val PageRows = 1000
+  private val QueryIdleNanos = 600L * 1000 * 1000 * 1000
+
+  /** Start (idempotently) and return the base URL. */
+  def start(spark: SparkSession, port: Int = 0): String = synchronized {
+    session = spark
+    if (server == null) {
+      val s = HttpServer.create(
+        new InetSocketAddress("127.0.0.1", port), 64)
+      s.createContext("/v1/statement", (x: HttpExchange) => route(x))
+      s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-statement"); t.setDaemon(true); t
+        }))
+      s.start()
+      server = s
+    }
+    url
+  }
+
+  def url: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def route(x: HttpExchange): Unit =
+    try {
+      val path = x.getRequestURI.getPath
+      val body = new String(x.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      (x.getRequestMethod, path.stripPrefix("/").split("/").toList) match {
+        case ("POST", "v1" :: "statement" :: Nil) => submit(x, body)
+        case ("GET", "v1" :: "statement" :: id :: token :: Nil) =>
+          fetch(x, id, token.toLong)
+        case ("DELETE", "v1" :: "statement" :: id :: _ :: Nil) =>
+          queries.remove(id)
+          respond(x, 204, "")
+        case (m, p) =>
+          respond(x, 404, errorJson(s"unsupported route: $m /$path"))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(x, 500, errorJson(Option(e.getMessage).getOrElse(e.toString)))
+    }
+
+  private def submit(x: HttpExchange, sql: String): Unit = {
+    // X-Trino-User is mandatory on the real coordinator
+    if (x.getRequestHeaders.getFirst("X-Trino-User") == null) {
+      respond(x, 400, errorJson("missing required header X-Trino-User"))
+      return
+    }
+    val spark = session
+    require(spark != null, "statement server not started")
+    val id = f"graft_${nextId.incrementAndGet()}%08d"
+    try {
+      val df = analyzeWithDefaults(spark, sql,
+        Option(x.getRequestHeaders.getFirst("X-Trino-Catalog")),
+        Option(x.getRequestHeaders.getFirst("X-Trino-Schema")))
+      val st = new QueryState(id, df.schema.fields.toSeq,
+        df.toLocalIterator().asScala, PageRows)
+      reapIdle()
+      queries.put(id, st)
+      // first response carries no data (the real coordinator's QUEUED
+      // page); the client follows nextUri — loader.py handles both
+      respond(x, 200, pageJson(st, firstPage = true))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(x, 200, failedJson(id,
+          Option(e.getMessage).getOrElse(e.toString)))
+    }
+  }
+
+  private def fetch(x: HttpExchange, id: String, token: Long): Unit = {
+    val st = queries.get(id)
+    if (st == null) {
+      respond(x, 410, errorJson(s"query $id not found or expired"))
+      return
+    }
+    st.synchronized {
+      if (token != st.token) {
+        // replayed or skipped token — the coordinator's 410 Gone
+        respond(x, 410, errorJson(
+          s"invalid fetch token $token for query $id (expected ${st.token})"))
+        return
+      }
+      st.lastUsed = System.nanoTime()
+      st.token += 1
+      try {
+        val out = pageJson(st, firstPage = false)
+        if (!st.rows.hasNext) queries.remove(id)
+        respond(x, 200, out)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          queries.remove(id)
+          respond(x, 200, failedJson(id,
+            Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
+  }
+
+  /** Analysis under the statement's catalog/schema defaults; restored
+    * before returning (the resolved plan carries its own references).
+    * Serialized: current catalog/namespace are session-global. */
+  private def analyzeWithDefaults(spark: SparkSession, sql: String,
+      catalog: Option[String], schema: Option[String]): DataFrame =
+    synchronized {
+      val cm = spark.sessionState.catalogManager
+      val prevCat = cm.currentCatalog.name()
+      val prevNs = cm.currentNamespace
+      try {
+        catalog.foreach(c => spark.sql(s"USE `$c`"))
+        schema.foreach(s => spark.sql(s"USE NAMESPACE `$s`"))
+        val df = spark.sql(sql)
+        df.schema // force analysis under the statement's defaults
+        df
+      } finally {
+        spark.sql(s"USE `$prevCat`")
+        if (prevNs.nonEmpty)
+          spark.sql(s"USE NAMESPACE ${prevNs.map(n => s"`$n`").mkString(".")}")
+      }
+    }
+
+  // ---------------------------------------------------------------- //
+  //  JSON rendering (no jackson dependency needed for the envelope)   //
+  // ---------------------------------------------------------------- //
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Spark type → the Trino type name the reference's plans print
+    * (SURVEY.md §1.2 mapping, inverted). */
+  private def trinoType(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "integer"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case DoubleType => "double"
+    case FloatType => "real"
+    case StringType => "varchar"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamp(6) with time zone"
+    case TimestampNTZType => "timestamp(6)"
+    case BinaryType => "varbinary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"array(${trinoType(e)})"
+    case other => throw new UnsupportedOperationException(
+      s"statement server: unmapped type $other")
+  }
+
+  private def renderValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + esc(s) + "\""
+    case b: Boolean => b.toString
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) "\"" + f.toString + "\"" else f.toString
+    case d: java.math.BigDecimal => "\"" + d.toPlainString + "\""
+    case d: scala.math.BigDecimal => "\"" + d.bigDecimal.toPlainString + "\""
+    case d: java.sql.Date => "\"" + d.toString + "\""
+    case t: java.sql.Timestamp => "\"" + t.toString + "\""
+    case i: java.time.Instant => "\"" + i.toString + "\""
+    case l: java.time.LocalDateTime => "\"" + l.toString + "\""
+    case l: java.time.LocalDate => "\"" + l.toString + "\""
+    case b: Array[Byte] =>
+      "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case seq: scala.collection.Seq[_] =>
+      seq.map(renderValue).mkString("[", ",", "]")
+    case other => throw new UnsupportedOperationException(
+      s"statement server: unrenderable value class ${other.getClass}")
+  }
+
+  private def columnsJson(cols: Seq[StructField]): String =
+    cols.map { f =>
+      val t = trinoType(f.dataType)
+      s"""{"name":"${esc(f.name)}","type":"${esc(t)}"}"""
+    }.mkString("[", ",", "]")
+
+  private def pageJson(st: QueryState, firstPage: Boolean): String = {
+    val b = new StringBuilder()
+    b.append(s"""{"id":"${st.id}","infoUri":"$url/ui/query/${st.id}"""")
+    b.append(""","columns":""").append(columnsJson(st.columns))
+    if (!firstPage) {
+      val rows = Vector.newBuilder[Row]
+      var n = 0
+      while (n < st.pageSize && st.rows.hasNext) {
+        rows += st.rows.next(); n += 1
+      }
+      val data = rows.result()
+      if (data.nonEmpty) {
+        b.append(""","data":[""")
+        var first = true
+        data.foreach { r =>
+          if (!first) b.append(',')
+          first = false
+          b.append((0 until r.length).map(i => renderValue(r.get(i)))
+            .mkString("[", ",", "]"))
+        }
+        b.append(']')
+      }
+    }
+    val more = st.rows.hasNext || firstPage
+    if (more)
+      b.append(s""","nextUri":"$url/v1/statement/${st.id}/${st.token}"""")
+    val state =
+      if (firstPage) "QUEUED" else if (more) "RUNNING" else "FINISHED"
+    b.append(s""","stats":{"state":"$state"}}""")
+    b.toString
+  }
+
+  private def failedJson(id: String, msg: String): String =
+    s"""{"id":"$id","infoUri":"$url/ui/query/$id",""" +
+      s""""error":{"message":"${esc(msg)}","errorCode":1,""" +
+      s""""errorName":"GENERIC_USER_ERROR"},""" +
+      s""""stats":{"state":"FAILED"}}"""
+
+  private def errorJson(msg: String): String =
+    s"""{"error":{"message":"${esc(msg)}"}}"""
+
+  private def reapIdle(): Unit = {
+    val now = System.nanoTime()
+    val it = queries.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue.lastUsed > QueryIdleNanos) it.remove()
+    }
+  }
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+    x.close()
+  }
+}

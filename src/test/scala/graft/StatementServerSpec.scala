@@ -1,0 +1,178 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.sources.GraftStatementServer
+
+/** The reference's EXACT client face over HTTP: `POST /v1/statement`
+  * + `nextUri` paging (reference: data-loader/loader.py:25-62,
+  * README.md:92-98). The test client IS loader.py's `execute` /
+  * `query_iter` loop re-expressed in Scala: post the SQL body with
+  * `X-Trino-User`, follow `nextUri` until it disappears, concatenate
+  * `data` pages, fail on `error`. */
+class StatementServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private lazy val base: String = GraftStatementServer.start(spark)
+
+  private def http(method: String, url: String, body: Option[String],
+      headers: Map[String, String] = Map.empty): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val out = if (in == null) "" else
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  /** loader.py's query_iter: post, follow nextUri, collect data. */
+  private def runSql(sql: String,
+      headers: Map[String, String] = Map("X-Trino-User" -> "spec"))
+      : (Seq[String], Seq[Seq[JsonNode]]) = {
+    val (code, first) = http("POST", s"$base/v1/statement", Some(sql), headers)
+    assert(code == 200, s"POST: $code $first")
+    var j = mapper.readTree(first)
+    val data = Seq.newBuilder[Seq[JsonNode]]
+    var cols: Seq[String] = Seq.empty
+    var guard = 0
+    while (j.has("nextUri")) {
+      guard += 1; assert(guard < 10000, "nextUri never drained")
+      if (j.has("error"))
+        throw new RuntimeException(j.get("error").get("message").asText)
+      val (c2, page) = http("GET", j.get("nextUri").asText, None)
+      assert(c2 == 200, s"GET: $c2 $page")
+      j = mapper.readTree(page)
+      if (j.has("columns"))
+        cols = j.get("columns").elements().asScala
+          .map(_.get("name").asText).toSeq
+      if (j.has("data"))
+        j.get("data").elements().asScala.foreach(row =>
+          data += row.elements().asScala.toSeq)
+    }
+    if (j.has("error"))
+      throw new RuntimeException(j.get("error").get("message").asText)
+    assert(j.get("stats").get("state").asText == "FINISHED")
+    (cols, data.result())
+  }
+
+  test("POST /v1/statement + nextUri paging equals direct execution") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val sql = """SELECT n_regionkey, COUNT(*) AS n
+                |FROM psql.tpcds.nation GROUP BY n_regionkey
+                |ORDER BY n_regionkey""".stripMargin
+    val (cols, data) = runSql(sql)
+    assert(cols == Seq("n_regionkey", "n"))
+    val wire = data.map(r => (r(0).asLong, r(1).asLong))
+    val local = spark.sql(sql).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSeq
+    assert(wire == local && wire.nonEmpty, s"wire $wire != local $local")
+  }
+
+  test("columns carry Trino type names; multi-page results drain") {
+    spark.conf.set("spark.sql.graft.root", sf2)
+    // 15000 orders → 15 pages of 1000: the nextUri loop does real work
+    val (code, first) = http("POST", s"$base/v1/statement",
+      Some("SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM mongodb.tpcds.orders"),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, first)
+    val j = mapper.readTree(first)
+    val types = j.get("columns").elements().asScala
+      .map(c => c.get("name").asText -> c.get("type").asText).toMap
+    assert(types("o_orderkey") == "bigint", types.toString)
+    assert(types("o_totalprice") == "double", types.toString)
+    assert(types("o_orderstatus") == "varchar", types.toString)
+    var pages = 0
+    var rows = 0L
+    var node = j
+    while (node.has("nextUri")) {
+      val (_, page) = http("GET", node.get("nextUri").asText, None)
+      node = mapper.readTree(page)
+      if (node.has("data")) {
+        pages += 1
+        rows += node.get("data").size()
+      }
+    }
+    assert(rows == 15000, s"drained $rows rows")
+    assert(pages >= 15, s"only $pages data pages — paging not bounded")
+  }
+
+  test("X-Trino-Catalog/Schema headers set the statement's defaults") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    // unqualified table name resolves via the headers, like the
+    // loader's session properties (loader.py:15-23)
+    val (_, data) = runSql("SELECT COUNT(*) AS n FROM nation",
+      Map("X-Trino-User" -> "spec", "X-Trino-Catalog" -> "psql",
+        "X-Trino-Schema" -> "tpcds"))
+    assert(data.head.head.asLong == 25L)
+    // the suite session's current catalog was restored
+    assert(spark.sessionState.catalogManager.currentCatalog.name() ==
+      "spark_catalog")
+  }
+
+  test("failures return the error envelope; missing user is rejected") {
+    val (code, body) = http("POST", s"$base/v1/statement",
+      Some("SELECT * FROM psql.tpcds.no_such_table"),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, body) // protocol-level OK, query-level FAILED
+    val j = mapper.readTree(body)
+    assert(j.get("stats").get("state").asText == "FAILED")
+    assert(j.get("error").get("message").asText.toLowerCase
+      .contains("no_such_table"), body)
+    assert(!j.has("nextUri"))
+    // the coordinator requires X-Trino-User
+    val (noUser, _) = http("POST", s"$base/v1/statement",
+      Some("SELECT 1"), Map.empty)
+    assert(noUser == 400)
+  }
+
+  test("stale nextUri tokens answer 410 Gone; DELETE cancels") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val (_, first) = http("POST", s"$base/v1/statement",
+      Some("SELECT n_nationkey FROM psql.tpcds.nation"),
+      Map("X-Trino-User" -> "spec"))
+    val next = mapper.readTree(first).get("nextUri").asText
+    val (ok, _) = http("GET", next, None)
+    assert(ok == 200)
+    // replaying the consumed token is 410
+    val (gone, _) = http("GET", next, None)
+    assert(gone == 410)
+    // cancel: DELETE frees the cursor, later fetches are 410
+    val (_, f2) = http("POST", s"$base/v1/statement",
+      Some("SELECT n_nationkey FROM psql.tpcds.nation"),
+      Map("X-Trino-User" -> "spec"))
+    val next2 = mapper.readTree(f2).get("nextUri").asText
+    val (del, _) = http("DELETE", next2, None)
+    assert(del == 204)
+    val (after, _) = http("GET", next2, None)
+    assert(after == 410)
+  }
+
+  test("DML runs over the statement face (the loader's CTAS motion)") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stmt")
+    spark.conf.set("spark.sql.graft.root", scratch.toString)
+    try {
+      runSql("CREATE TABLE psql.tpcds.stmt_ctas AS " +
+        "SELECT id AS k, CAST(id AS STRING) AS v FROM RANGE(7)")
+      val (_, data) = runSql(
+        "SELECT COUNT(*) AS n FROM psql.tpcds.stmt_ctas")
+      assert(data.head.head.asLong == 7L)
+      runSql("DROP TABLE psql.tpcds.stmt_ctas")
+    } finally spark.conf.set("spark.sql.graft.root", sf1)
+  }
+}
