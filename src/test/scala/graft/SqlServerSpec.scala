@@ -117,8 +117,12 @@ class SqlServerSpec extends SparkSpec {
     try {
       val st = conn.createStatement()
       // a statement heavy enough to outlive the cancel round-trip:
-      // ~20B hash evaluations (minutes at local[32] if left alone)
-      val slow = "SELECT sum(xxhash64(concat(cast(id AS string), 'x'))) " +
+      // ~20B hash evaluations (minutes at local[32] if left alone).
+      // The summand is BOUNDED (% 1001): summing raw 64-bit hashes is
+      // a random walk that ANSI-overflows within the first few rows,
+      // making the statement fail fast instead of running long — a
+      // latent race this gate lost under full-suite load.
+      val slow = "SELECT sum(xxhash64(concat(cast(id AS string), 'x')) % 1001) " +
         "FROM range(20000000000)"
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val runner = new Thread(() =>
