@@ -454,8 +454,30 @@ private[graft] object GraftElasticServer {
       row => row(i) != null && cmp(row(i), v) == 0
     } else if (c.has("terms")) {
       val (i, arr) = field(c.get("terms"))
-      val vs = arr.elements().asScala.toSeq
-      row => row(i) != null && vs.exists(v => cmp(row(i), v) == 0)
+      // HASH-SET membership, not a linear exists(): a terms clause
+      // from a runtime dynamic filter can carry tens of thousands of
+      // keys, and the real store answers it via its inverted index —
+      // O(1) per doc. Typed per the stored value, cmp()'s brackets.
+      val strings = new java.util.HashSet[String]()
+      val longs = new java.util.HashSet[java.lang.Long]()
+      val doubles = new java.util.HashSet[java.lang.Double]()
+      val bools = new java.util.HashSet[java.lang.Boolean]()
+      arr.elements().asScala.foreach { v =>
+        if (v.isTextual) strings.add(v.asText)
+        else { longs.add(v.asLong); doubles.add(v.asDouble) }
+        if (v.isBoolean) bools.add(v.asBoolean)
+      }
+      row => row(i) match {
+        case null => false
+        case s: String => strings.contains(s)
+        case l: Long => longs.contains(l)
+        case i2: Int => longs.contains(i2.toLong)
+        case d: Double => doubles.contains(d)
+        case f: Float => doubles.contains(f.toDouble)
+        case b: Boolean => bools.contains(b)
+        case other =>
+          throw new IllegalArgumentException(s"uncomparable value $other")
+      }
     } else if (c.has("range")) {
       val (i, spec) = field(c.get("range"))
       val checks = Seq(
