@@ -611,6 +611,34 @@ object Relational {
          |ORDER BY n_name""".stripMargin)
   }
 
+  /** Runtime dynamic filtering INSIDE the elastic wire scan (q85) —
+    * the reference's q005 shape: a selectively-filtered dimension
+    * drives a dynamic filter applied inside the ES scan itself
+    * (results/q005/workers-1/explain.txt:212-219). Here the broadcast
+    * customer build side's evaluated key set folds into the scroll
+    * request as a `terms` clause in `bool.filter`
+    * (SupportsRuntimeV2Filtering on GraftElasticScan; ElasticSourceSpec
+    * pins the rendered body and the wire-hit reduction), so pruned
+    * docs never ride the scroll pages — at 100 TB the corpus-side
+    * read is O(matching docs), not O(index). */
+  lazy val elasticRuntimeFilter: QueryEntry = QueryEntry(
+    "q85_elastic_runtime_filter",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents d JOIN customer c ON d.doc_id = c.c_custkey
+      |WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    s.sql(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM elastic.default.documents d JOIN psql.tpcds.customer c
+        |  ON d.doc_id = c.c_custkey
+        |WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Range predicate over the mongo wire's epoch-micros timestamps
     * (q84): BSON datetimes are millisecond-precision, so the events
     * collection stores `ts` as int64 epoch-micros declared
@@ -1444,7 +1472,7 @@ object Relational {
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
     saltedSkewJoin, queryProfile, heterogeneousFederation,
     recursiveAncestors, elasticFederation, cboStatsJoin,
-    mongoWireFederation, mongoEventsRange)
+    mongoWireFederation, mongoEventsRange, elasticRuntimeFilter)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

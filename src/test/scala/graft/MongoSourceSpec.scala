@@ -253,6 +253,64 @@ class MongoSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.idem_spec")
   }
 
+  /** The retry contract at the WRITER level: a task attempt that dies
+    * after a partial mid-task flush is re-run from scratch (Spark's
+    * task retry), and the store must end with exactly one copy of
+    * every row. Drives the real DataWriter + wire, simulating the
+    * attempt lifecycle the scheduler would. */
+  test("a replayed writer attempt after a partial flush adds no duplicates") {
+    useRoot(sf1)
+    val db = GraftMongoServer.database(spark, sf1)
+    val (host, port) = GraftMongoServer.address
+    val wire = new GraftMongoWire(host, port)
+    try {
+      wire.command(db, BDoc("create" -> "retry_spec"))
+      // the writer's column contract comes from the catalog's _schema
+      // machinery; build it directly for the fixture collection
+      val cols = Seq(
+        graft.sources.MongoCol("k",
+          org.apache.spark.sql.types.LongType, "long"),
+        graft.sources.MongoCol("v",
+          org.apache.spark.sql.types.StringType, "string"))
+      val write = new graft.sources.GraftMongoWrite(
+        host, port, db, "retry_spec", cols, insertBatch = 100)
+      val batchWrite = write.toBatch
+      val factory = batchWrite.createBatchWriterFactory(null)
+      def internalRow(k: Long): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(
+          k, org.apache.spark.unsafe.types.UTF8String.fromString(s"v$k"))
+      // attempt 0: writes 250 rows (two full flushes + 50 buffered),
+      // then DIES before commit — the 200 flushed rows are in the store
+      val attempt0 = factory.createWriter(0, 0L)
+      (0L until 250L).foreach(k => attempt0.write(internalRow(k)))
+      attempt0.abort(); attempt0.close()
+      val countAfterFailure = wire.command(db,
+        BDoc("count" -> "retry_spec")).getNum("n").get
+      assert(countAfterFailure == 200,
+        s"expected the two flushed batches, got $countAfterFailure")
+      // attempt 1 (the retry): same partition, same rows, full run
+      val attempt1 = factory.createWriter(0, 1L)
+      (0L until 250L).foreach(k => attempt1.write(internalRow(k)))
+      attempt1.commit(); attempt1.close()
+      // exactly one copy of each row — the 200 replayed ones deduped
+      assert(wire.command(db, BDoc("count" -> "retry_spec"))
+        .getNum("n").get == 250)
+      // and a SECOND job (new id block) appends without collision
+      val write2 = new graft.sources.GraftMongoWrite(
+        host, port, db, "retry_spec", cols, insertBatch = 100)
+      val w2 = write2.toBatch.createBatchWriterFactory(null)
+        .createWriter(0, 2L)
+      (250L until 300L).foreach(k => w2.write(internalRow(k)))
+      w2.commit(); w2.close()
+      assert(wire.command(db, BDoc("count" -> "retry_spec"))
+        .getNum("n").get == 300)
+    } finally {
+      try wire.command(db, BDoc("drop" -> "retry_spec"))
+      catch { case _: Exception => () }
+      wire.close()
+    }
+  }
+
   /** Runtime dynamic filtering into the wire scan — the reference's
     * q003 mongo scan carries exactly this (`constraint on
     * [cs_sold_date_sk]`, results/q003/workers-1/explain.txt:53-54).
