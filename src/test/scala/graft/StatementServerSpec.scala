@@ -7,6 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
+import org.apache.spark.sql.functions._
+
 import graft.sources.GraftStatementServer
 
 /** The reference's EXACT client face over HTTP: `POST /v1/statement`
@@ -161,6 +163,30 @@ class StatementServerSpec extends SparkSpec {
     assert(del == 204)
     val (after, _) = http("GET", next2, None)
     assert(after == 410)
+  }
+
+  test("concurrent clients page independent statements without interference") {
+    spark.conf.set("spark.sql.graft.root", sf2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = (0 until 3).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            // each client drains its own multi-page cursor (15 pages)
+            val (_, data) = runSql(
+              s"SELECT o_orderkey FROM mongodb.tpcds.orders WHERE o_orderkey % 3 = $i")
+            data.map(_.head.asLong).sum
+          }
+        })
+      }
+      val sums = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val expect = (0 until 3).map { i =>
+        Tables.orders(spark, sf2)
+          .filter(col("o_orderkey") % 3 === i)
+          .agg(sum(col("o_orderkey"))).head.getLong(0)
+      }
+      assert(sums == expect, s"wire $sums != local $expect")
+    } finally pool.shutdownNow()
   }
 
   test("DML runs over the statement face (the loader's CTAS motion)") {
