@@ -315,13 +315,19 @@ private[graft] class GraftElasticScanBuilder(url: String, index: String,
 
     /** Runtime filters arrive as V2 `IN(col, v1..vn)` predicates (the
       * evaluated DPP subquery). Accepted only when every literal is
-      * typed-exact for the column; unknown shapes are ignored —
+      * typed-exact for the column AND the key set is within
+      * [[GraftWireConf.runtimeFilterMaxKeys]] — past that the terms
+      * clause stops being selective enough to pay its request bytes
+      * (ES additionally hard-caps terms at 65k; Trino sizes its
+      * dynamic filters the same way). Unknown shapes are ignored —
       * runtime filtering is an optimization, never a correctness
       * gate. */
     override def filter(predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val maxKeys = GraftWireConf.runtimeFilterMaxKeys
       val rendered = predicates.toSeq.flatMap { p =>
-        if (p.name() != "IN" || p.children().isEmpty) None
+        if (p.name() != "IN" || p.children().isEmpty ||
+          p.children().length - 1 > maxKeys) None
         else p.children().head match {
           case ref: org.apache.spark.sql.connector.expressions.NamedReference
               if ref.fieldNames().length == 1 =>

@@ -358,6 +358,43 @@ class MongoSourceSpec extends SparkSpec {
     } finally conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  /** The runtime-filter SIZE guard: past
+    * `spark.sql.graft.wire.runtimeFilterMaxKeys` literals the IN-set
+    * stops being selective enough to pay its wire bytes, so the scan
+    * must NOT fold it into the find document — and the join must stay
+    * correct Spark-side (runtime filtering is an optimization). */
+  test("an oversized runtime IN-set is not sent over the wire") {
+    useRoot(sf1)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mongo-cap").toString
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    conf.set("spark.sql.graft.wire.runtimeFilterMaxKeys", "2")
+    try {
+      val keys = Seq(3L, 7L, 11L) // 3 keys > cap of 2
+      Tables.customer(spark, sf1).select(col("c_custkey").as("ckey"))
+        .withColumn("pick", when(col("ckey").isin(keys: _*), 1).otherwise(0))
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim").filter(col("pick") === 1)
+      val fact = spark.table("mongodb.tpcds.orders")
+        .select("o_custkey", "o_totalprice")
+      val q = fact.join(dim, col("o_custkey") === col("ckey"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      val rows = q.collect()
+      val body = GraftMongoServer.lastFind("orders").get
+      assert(!body.contains("$in"),
+        s"oversized runtime IN-set crossed the wire: $body")
+      val expect = Tables.orders(spark, sf1)
+        .filter(col("o_custkey").isin(keys: _*))
+        .agg(sum(col("o_totalprice"))).head.getDouble(0)
+      assert(rows.length == 1 && math.abs(rows(0).getDouble(0) - expect) < 1e-6,
+        s"got ${rows.mkString}, expected $expect")
+    } finally {
+      conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      conf.unset("spark.sql.graft.wire.runtimeFilterMaxKeys")
+    }
+  }
+
   test("unknown commands and operators fail loudly, never match-all") {
     useRoot(sf1)
     val (host, port) = GraftMongoServer.address
