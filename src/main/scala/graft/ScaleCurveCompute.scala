@@ -31,7 +31,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   "ratio_n4":…}`; exits nonzero on divergence. */
 object ScaleCurveCompute {
 
-  val probes: Seq[String] = Seq("d17_paragraph_neardup", "t11_bigram_coverage")
+  // t11 first: measured after d17's heap churn it reads 2-3× its own
+  // cost (the copies-30 N=4 artifact in BENCH.md) — light probe before
+  // heavy keeps each measurement on a settled heap
+  val probes: Seq[String] = Seq("t11_bigram_coverage", "d17_paragraph_neardup")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

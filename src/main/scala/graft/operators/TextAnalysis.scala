@@ -358,6 +358,13 @@ object TextAnalysis {
         "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), " +
           "(a, b) -> concat(a, '_', b))")).as("b"))
     val cf = bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    // no join hint ON PURPOSE: cf is corpus-derived, so its join
+    // distribution must stay AQE's runtime-size-gated call — at mid
+    // sizes the measured post-shuffle bytes dip under the broadcast
+    // threshold and BHJ wins (0.60 s at sf0.1 vs 1.3-1.4 s forced
+    // SMJ/SHJ); past the threshold AQE keeps the shuffle join this
+    // scaladoc describes. The local-cluster[4] broadcast stall this
+    // exposed is adjudicated in BENCH.md (SCALECURVE compute leg).
     bg.join(cf, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
