@@ -44,7 +44,13 @@ object ClusterCheck {
     // r13: the band-index probe (custom TypedImperativeAggregate
     // signatures + DPP across processes) and the bloom point DELETE
     // (sidecar build is a distributed aggregate; probe is driver-side)
-    "d23_incremental_minhash", "l12_bloom_point_delete")
+    "d23_incremental_minhash", "l12_bloom_point_delete",
+    // r15: runtime dynamic filtering into WIRE scans across processes —
+    // the DPP subquery evaluates driver-side, scan.filter() narrows the
+    // partition plan, and executor JVMs dial the store with the
+    // narrowed request (mongo $in via q82's stats-driven join; ES
+    // terms via q85's q005 shape)
+    "q82_cbo_stats_join", "q85_elastic_runtime_filter")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

@@ -515,11 +515,15 @@ object Relational {
   private val cboRoot = "/dev/shm/graftcbo"
 
   private def cboDimTable(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): String = {
+    // catalog registration is PER SESSION, outside the memo: the build
+    // below is once-per-JVM, but a second session in the same JVM
+    // (ClusterCheck's second topology, a Connect session) still needs
+    // the catalog conf or `cbocat` resolves as a spark_catalog namespace
+    s.conf.set("spark.sql.catalog.cbocat",
+      "graft.sources.GraftParquetCatalog")
+    s.conf.set("spark.sql.catalog.cbocat.pinnedRoot", cboRoot)
     cboDimTables.computeIfAbsent(d, _ => {
-      s.conf.set("spark.sql.catalog.cbocat",
-        "graft.sources.GraftParquetCatalog")
-      s.conf.set("spark.sql.catalog.cbocat.pinnedRoot", cboRoot)
       val t = "cbo_customer_" + d.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
       new java.io.File(cboRoot).mkdirs()
       val dir = new java.io.File(cboRoot, s"$t.parquet")
@@ -535,6 +539,7 @@ object Relational {
       s.sql(s"ANALYZE TABLE cbocat.tpcds.$t COMPUTE STATISTICS FOR ALL COLUMNS")
       t
     })
+  }
 
   /** Stats-driven (CBO) join distribution (q82) — Trino picks
     * REPLICATED vs PARTITIONED from per-node `Estimates:` (reference:
