@@ -37,7 +37,16 @@ object GraftElasticBulk {
       val job = java.util.UUID.randomUUID.toString.take(8) // driver-fixed
       val n = df.sparkSession.sparkContext
         .longAccumulator(s"es-bulk-$index")
-      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // Position-stable ids under retry AND speculation (r15 ADVICE):
+      // a positional `_id` is only idempotent if row index i holds the
+      // same row on every attempt, and Spark fixes the partition
+      // MULTISET but not its order when the upstream shuffled. Sorting
+      // within the partition over all written columns makes the
+      // `_id → content` mapping a pure function of that multiset, so a
+      // concurrent speculative attempt upserts byte-identical docs.
+      val ordered = df.sortWithinPartitions(
+        df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var rowIdx = 0L
         rows.grouped(batchRows).foreach { batch =>

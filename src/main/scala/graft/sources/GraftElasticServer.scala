@@ -65,11 +65,36 @@ private[graft] object GraftElasticServer {
 
   private final class ScrollState(val index: EsIndex,
       val rows: Iterator[IndexedSeq[Any]], val size: Int,
-      val cols: Seq[String])
+      val cols: Seq[String]) {
+    @volatile var lastUsed: Long = System.nanoTime()
+  }
 
   private val indexes = new ConcurrentHashMap[String, EsIndex]()
   private val scrolls = new ConcurrentHashMap[String, ScrollState]()
   private val scrollIds = new AtomicLong(0)
+
+  /** Scroll cursors abandoned by clients that never page or DELETE
+    * are reaped after [[GraftWireConf.cursorIdleNanos]] of inactivity
+    * (the Mongo server's reapIdleCursors pattern — r15 verdict #3: a
+    * crashed reader must not pin its matched-row iterator for the
+    * JVM's life). Swept on scroll OPEN, and only once the live
+    * population clears [[GraftWireConf.CursorReapMinPopulation]] so a
+    * few slow readers can never be evicted by an eager clock. */
+  private def reapIdleScrolls(): Unit =
+    if (scrolls.size > GraftWireConf.CursorReapMinPopulation) {
+      val now = System.nanoTime()
+      val idle = GraftWireConf.cursorIdleNanos
+      val it = scrolls.entrySet().iterator()
+      while (it.hasNext) {
+        if (now - it.next().getValue.lastUsed > idle) it.remove()
+      }
+    }
+
+  /** Test hook: back-date every live scroll's last-touch by `nanos`
+    * so a spec can drive the idle sweep without a real 600 s wait. */
+  private[graft] def ageScrollsForTest(nanos: Long): Unit =
+    scrolls.values().asScala.foreach(s => s.lastUsed -= nanos)
+  private[graft] def liveScrollCount: Int = scrolls.size
 
   /** Per-index request log (spec observability). Capped at the last
     * [[SearchLogCap]] bodies per index; counts survive the trim via
@@ -83,7 +108,12 @@ private[graft] object GraftElasticServer {
 
   def lastSearchBody(index: String): Option[String] = {
     val l = searchBodies.get(index)
-    if (l == null || l.isEmpty) None else Some(l.get(l.size - 1))
+    // size-then-get under the trim's monitor: a concurrent SearchLogCap
+    // trim between the two calls would shift indices underneath us
+    if (l == null) None
+    else l.synchronized {
+      if (l.isEmpty) None else Some(l.get(l.size - 1))
+    }
   }
   def searchCount(index: String): Int = {
     val c = searchesSeen.get(index); if (c == null) 0 else c.get
@@ -337,6 +367,7 @@ private[graft] object GraftElasticServer {
   }
 
   private def search(x: HttpExchange, index: String, body: String): Unit = {
+    reapIdleScrolls()
     val idx = lookup(index)
     val log = searchBodies.computeIfAbsent(index,
       _ => java.util.Collections.synchronizedList(
@@ -378,6 +409,7 @@ private[graft] object GraftElasticServer {
     val sid = req.get("scroll_id").asText
     val st = scrolls.get(sid)
     require(st != null, s"unknown or expired scroll_id: $sid")
+    st.lastUsed = System.nanoTime()
     respond(x, 200, page(sid, st))
   }
 
@@ -458,14 +490,36 @@ private[graft] object GraftElasticServer {
       // from a runtime dynamic filter can carry tens of thousands of
       // keys, and the real store answers it via its inverted index —
       // O(1) per doc. Typed per the stored value, cmp()'s brackets.
+      // Explicit dispatch on NODE type (mirrors the Mongo $in
+      // bracketing — r15 ADVICE): booleans and nulls never leak into
+      // the numeric sets (true is not 1, null is not 0), integral
+      // values match across int/long/integral-double, a fractional
+      // double only within doubles, and a TEXTUAL term that parses as
+      // a number also enters the numeric sets — real ES coerces "5"→5
+      // against a numeric-mapped field.
       val strings = new java.util.HashSet[String]()
       val longs = new java.util.HashSet[java.lang.Long]()
       val doubles = new java.util.HashSet[java.lang.Double]()
       val bools = new java.util.HashSet[java.lang.Boolean]()
+      def addNumeric(d: Double): Unit = {
+        doubles.add(d)
+        if (!d.isNaN && !d.isInfinite && d == Math.rint(d) &&
+          math.abs(d) < 9.223372036854776e18) longs.add(d.toLong)
+        ()
+      }
       arr.elements().asScala.foreach { v =>
-        if (v.isTextual) strings.add(v.asText)
-        else { longs.add(v.asLong); doubles.add(v.asDouble) }
-        if (v.isBoolean) bools.add(v.asBoolean)
+        if (v.isNull) () // ES `terms` ignores null values
+        else if (v.isBoolean) bools.add(v.asBoolean)
+        else if (v.isIntegralNumber) {
+          longs.add(v.asLong); doubles.add(v.asLong.toDouble)
+        }
+        else if (v.isNumber) addNumeric(v.asDouble)
+        else if (v.isTextual) {
+          strings.add(v.asText)
+          try addNumeric(java.lang.Double.parseDouble(v.asText))
+          catch { case _: NumberFormatException => () }
+        }
+        else throw new IllegalArgumentException(s"unsupported term $v")
       }
       row => row(i) match {
         case null => false

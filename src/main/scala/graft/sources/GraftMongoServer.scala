@@ -87,7 +87,12 @@ private[graft] object GraftMongoServer {
 
   def lastFind(coll: String): Option[String] = {
     val l = findBodies.get(coll)
-    if (l == null || l.isEmpty) None else Some(l.get(l.size - 1))
+    // size-then-get under the trim's monitor: a concurrent FindLogCap
+    // trim between the two calls would shift indices underneath us
+    if (l == null) None
+    else l.synchronized {
+      if (l.isEmpty) None else Some(l.get(l.size - 1))
+    }
   }
   def findCount(coll: String): Int = {
     val c = findsSeen.get(coll); if (c == null) 0 else c.get
@@ -102,16 +107,26 @@ private[graft] object GraftMongoServer {
   }
 
   /** Cursors abandoned by clients that never getMore/killCursors are
-    * reaped after [[CursorIdleNanos]] of inactivity (clients page well
-    * inside it; this bounds memory on long bench runs). */
-  private val CursorIdleNanos = 120L * 1000 * 1000 * 1000
-  private def reapIdleCursors(): Unit = {
-    val now = System.nanoTime()
-    val it = cursors.entrySet().iterator()
-    while (it.hasNext) {
-      if (now - it.next().getValue.lastUsed > CursorIdleNanos) it.remove()
+    * reaped after [[GraftWireConf.cursorIdleNanos]] of inactivity
+    * (bounds memory on long bench runs). 600 s default and gated on a
+    * minimum live population — the r15-ADVICE fix for the old flat
+    * 120 s window, which could kill a live cursor whose reader stalls
+    * past it (GC pause, skewed task, full-suite contention). */
+  private def reapIdleCursors(): Unit =
+    if (cursors.size > GraftWireConf.CursorReapMinPopulation) {
+      val now = System.nanoTime()
+      val idle = GraftWireConf.cursorIdleNanos
+      val it = cursors.entrySet().iterator()
+      while (it.hasNext) {
+        if (now - it.next().getValue.lastUsed > idle) it.remove()
+      }
     }
-  }
+
+  /** Test hook: back-date every live cursor's last-touch by `nanos`
+    * so a spec can drive the idle sweep without a real 600 s wait. */
+  private[graft] def ageCursorsForTest(nanos: Long): Unit =
+    cursors.values().asScala.foreach(c => c.lastUsed -= nanos)
+  private[graft] def liveCursorCount: Int = cursors.size
   private val insertsServed = new ConcurrentHashMap[String, AtomicInteger]()
   def insertCount(coll: String): Int = {
     val c = insertsServed.get(coll); if (c == null) 0 else c.get

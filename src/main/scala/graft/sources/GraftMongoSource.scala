@@ -334,13 +334,37 @@ private[graft] class GraftMongoTable(host: String, port: Int, db: String,
   * wire `ordered:false`, so the store skips the already-present docs
   * with per-doc E11000 writeErrors instead of duplicating rows — the
   * standard at-least-once → effectively-once recipe on a store without
-  * multi-document transactions. Job-level visibility is unchanged:
-  * CTAS drops the half-written table on failure; a failed INSERT INTO
-  * leaves the rows its committed tasks wrote, like the real store. */
+  * multi-document transactions.
+  *
+  * POSITION-stable under retry (r15 ADVICE): a positional `_id` is
+  * only idempotent if row index i holds the SAME row on every attempt.
+  * Spark guarantees each task re-reads the same partition MULTISET,
+  * but not the same intra-partition ORDER when the upstream contains a
+  * shuffle — so this write declares a required per-partition ordering
+  * over ALL written columns ([[RequiresDistributionAndOrdering]];
+  * Spark plans the local sort before the writer). Identical rows are
+  * interchangeable, so the `_id → row content` mapping is then a pure
+  * function of the partition multiset: a retry (or a concurrent
+  * speculative attempt) re-produces byte-identical documents and the
+  * E11000 skip can never trade one row's content for another's.
+  * Job-level visibility is unchanged: CTAS drops the half-written
+  * table on failure; a failed INSERT INTO leaves the rows its
+  * committed tasks wrote, like the real store. */
 private[graft] class GraftMongoWrite(host: String, port: Int, db: String,
     coll: String, cols: Seq[MongoCol], insertBatch: Int)
-  extends org.apache.spark.sql.connector.write.Write {
+  extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  // any distribution is fine — only the intra-partition order matters
+  // for `_id` stability (see the class doc)
+  override def requiredDistribution(): Distribution =
+    Distributions.unspecified()
+  override def requiredOrdering(): Array[SortOrder] =
+    cols.map(c => Expressions.sort(
+      Expressions.column(c.name), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val idBlock: Long = {

@@ -213,6 +213,68 @@ class ElasticSourceSpec extends SparkSpec {
     } finally conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  /** Idle-scroll reaping (r15 verdict #3): a crashed client that never
+    * pages or DELETEs its scroll must not pin the matched-row iterator
+    * for the JVM's life. The sweep runs on scroll OPEN, only past the
+    * minimum live population, and only evicts cursors idle past the
+    * 600 s window (back-dated via the test hook). */
+  test("abandoned scrolls are reaped after the idle window") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    def openScroll(): String = {
+      val resp = graft.sources.GraftElasticHttp.send(
+        s"${GraftElasticServer.url}/$idx/_search?scroll=1m", "POST",
+        """{"size":1,"query":{"match_all":{}}}""")
+      """"_scroll_id":"([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+    }
+    def getMore(sid: String): String =
+      graft.sources.GraftElasticHttp.send(
+        s"${GraftElasticServer.url}/_search/scroll", "POST",
+        s"""{"scroll":"1m","scroll_id":"$sid"}""")
+    val first = openScroll()
+    // a paging client's touch refreshes lastUsed
+    getMore(first)
+    // push the live population past the reap gate (33 more cursors)
+    val herd = (0 until 33).map(_ => openScroll())
+    // below the idle window nothing is evicted even above the gate
+    openScroll()
+    assert(getMore(first).contains("_scroll_id"))
+    // age EVERY cursor past 600 s; the next scroll open sweeps them
+    GraftElasticServer.ageScrollsForTest(700L * 1000 * 1000 * 1000)
+    val survivor = openScroll()
+    val e = intercept[java.io.IOException] { getMore(first) }
+    assert(e.getMessage.contains("unknown or expired"), e.getMessage)
+    val e2 = intercept[java.io.IOException] { getMore(herd.head) }
+    assert(e2.getMessage.contains("unknown or expired"), e2.getMessage)
+    // the freshly opened cursor itself survives the sweep that ran
+    // at its own open
+    assert(getMore(survivor).contains("_scroll_id"))
+    // clean up the survivor
+    graft.sources.GraftElasticHttp.send(
+      s"${GraftElasticServer.url}/_search/scroll", "DELETE",
+      s"""{"scroll_id":["$survivor"]}""")
+  }
+
+  /** `terms` type bracketing (r15 ADVICE): booleans and nulls must not
+    * leak into the numeric sets (true≠1, null≠0), while a TEXTUAL term
+    * that parses as a number matches numeric rows — real ES coerces
+    * "5"→5 against a numeric-mapped field. */
+  test("terms clause brackets types: bool/null never match numerics, text coerces") {
+    useRoot(sf1)
+    val idx = index(sf1)
+    def search(terms: String): Set[Long] = {
+      val resp = graft.sources.GraftElasticHttp.send(
+        s"${GraftElasticServer.url}/$idx/_search?scroll=1m", "POST",
+        s"""{"size":10000,"_source":["doc_id"],"query":{"bool":{"filter":[
+           |{"terms":{"doc_id":$terms}}]}}}""".stripMargin)
+      """"doc_id":(\d+)""".r.findAllMatchIn(resp).map(_.group(1).toLong).toSet
+    }
+    // true→1 and null→0 coercions must NOT happen; "5" and 7 match
+    assert(search("""[true,null,"5",7]""") == Set(5L, 7L))
+    // integral double matches the long row; fractional does not
+    assert(search("""[3.0,4.5]""") == Set(3L))
+  }
+
   test("the catalog is DDL-immutable and never leaks per-dir corpus names") {
     useRoot(sf1)
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
