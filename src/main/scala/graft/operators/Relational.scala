@@ -422,6 +422,109 @@ object Relational {
       table
     })
 
+  /** One `ORDERS_<dirkey>` FACT table per sf dir in the shared Derby
+    * database — the relational store's fact side for the q86 dynamic-
+    * filter shape (the reference's store_sales-in-psql role,
+    * loader.py:313). Seeded once per JVM per dir over batched JDBC
+    * inserts (test scaffolding: at 100 TB the relational store already
+    * holds the facts), WITH an index on the join key — Derby answers a
+    * multi-key `IN` by index probes, the access path a dynamic filter
+    * actually pays for (the q82 lesson: an unindexed store makes a
+    * runtime IN-set O(rows × keys)). */
+  private val derbyOrdersTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def derbyOrdersTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    derbyOrdersTables.computeIfAbsent(d, _ => {
+      val table = "ORDERS_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
+      val conn = java.sql.DriverManager.getConnection(derbyFedUrl)
+      try {
+        val st = conn.createStatement()
+        st.execute(s"CREATE TABLE $table (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_orderstatus VARCHAR(1), " +
+          "o_totalprice DOUBLE)")
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $table VALUES (?, ?, ?, ?)")
+        var n = 0
+        // toLocalIterator: the seed streams one partition at a time —
+        // never a full collect of the fact table on the driver
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .toLocalIterator().forEachRemaining { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.setString(3, r.getString(2)); ps.setDouble(4, r.getDouble(3))
+            ps.addBatch()
+            n += 1
+            if (n % 2000 == 0) { ps.executeBatch(); () }
+          }
+        ps.executeBatch()
+        st.execute(s"CREATE INDEX ${table}_CK ON $table (o_custkey)")
+      } finally conn.close()
+      table
+    })
+
+  /** Runtime dynamic filtering inside ALL THREE federation connectors
+    * in one statement (q86) — the reference's q005: an EXCEPT-distinct
+    * chain whose every branch joins the same selectively-filtered
+    * customer dimension, and the dim's evaluated key set is applied
+    * INSIDE each store's scan — `dynamicFilters = {… = #df_2066}` in
+    * the pushed psql scan (results/q005/workers-1/explain.txt:125-129),
+    * the mongo scan, and the ES scan (explain.txt:212-219). Here the
+    * relational branch reads through [[graft.sources.GraftJdbcCatalog]]
+    * (the DSv2 JDBC scan with the SupportsRuntimeV2Filtering seam —
+    * stock JDBCTableCatalog plans a V1Scan the runtime-filter machinery
+    * never reaches), the mongo branch folds the keys into its `$in`
+    * find clause, and the ES branch into its `terms` bool.filter: each
+    * store prunes its own fact read to the dim's keys, so at 100 TB
+    * every branch is O(matching rows), not O(store). Oracle: the same
+    * EXCEPT chain over the parquet tables. */
+  lazy val jdbcRuntimeFilter: QueryEntry = QueryEntry(
+    "q86_jdbc_runtime_filter",
+    """SELECT c_custkey FROM (
+      |  (SELECT DISTINCT c.c_custkey FROM orders o JOIN customer c
+      |     ON o.o_custkey = c.c_custkey
+      |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+      |     AND o.o_orderstatus = 'F')
+      |  EXCEPT
+      |  (SELECT DISTINCT c.c_custkey FROM orders o JOIN customer c
+      |     ON o.o_custkey = c.c_custkey
+      |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+      |     AND o.o_orderstatus = 'O')
+      |  EXCEPT
+      |  (SELECT DISTINCT c.c_custkey FROM documents d JOIN customer c
+      |     ON d.doc_id = c.c_custkey
+      |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+      |     AND d.lang = 'en')
+      |) t ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    s.conf.set("spark.sql.graft.root", d)
+    val table = derbyOrdersTable(s, d)
+    s.conf.set("spark.sql.catalog.derbyrt", "graft.sources.GraftJdbcCatalog")
+    s.conf.set("spark.sql.catalog.derbyrt.url", derbyFedUrl)
+    // hash-mod read slices on the join key: fact parallelism without a
+    // min/max pre-query (4 disjoint MOD(o_custkey, 4) = i scans)
+    s.conf.set("spark.sql.catalog.derbyrt.partitionColumn", "O_CUSTKEY")
+    s.conf.set("spark.sql.catalog.derbyrt.numPartitions", "4")
+    s.sql(
+      s"""SELECT c_custkey FROM (
+         |  (SELECT DISTINCT c.c_custkey FROM derbyrt.APP.$table o
+         |     JOIN psql.tpcds.customer c ON o.o_custkey = c.c_custkey
+         |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+         |     AND o.o_orderstatus = 'F')
+         |  EXCEPT
+         |  (SELECT DISTINCT c.c_custkey FROM mongodb.tpcds.orders o
+         |     JOIN psql.tpcds.customer c ON o.o_custkey = c.c_custkey
+         |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+         |     AND o.o_orderstatus = 'O')
+         |  EXCEPT
+         |  (SELECT DISTINCT c.c_custkey FROM elastic.default.documents d
+         |     JOIN psql.tpcds.customer c ON d.doc_id = c.c_custkey
+         |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+         |     AND d.lang = 'en')
+         |) t ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Heterogeneous single-statement federation (q79) — the reference's
     * q003 cross-STORE-TYPE shape (results/q003/workers-1/
     * explain.txt:49-67 joins `mongodb.tpcds.catalog_sales` against
@@ -1477,7 +1580,8 @@ object Relational {
     unpivotMetrics, runtimeNodes, bucketedJoin, lateralTopN, cmsTopK,
     saltedSkewJoin, queryProfile, heterogeneousFederation,
     recursiveAncestors, elasticFederation, cboStatsJoin,
-    mongoWireFederation, mongoEventsRange, elasticRuntimeFilter)
+    mongoWireFederation, mongoEventsRange, elasticRuntimeFilter,
+    jdbcRuntimeFilter)
 
   /** RANGE-frame window (value-based bounds, distinct from ROWS
     * frames): per-customer sum over orders whose key lies within the

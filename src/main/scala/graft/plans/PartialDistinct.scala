@@ -110,24 +110,51 @@ object PushPartialDistinctBelowJoin extends Rule[LogicalPlan] {
       (above ++ j.condition.toSeq).forall(_.deterministic) &&
       !alreadyDeduped(j.left) && !alreadyDeduped(j.right)
 
-  /** A side whose subtree scans a PARTITIONED file relation with a
-    * partition column among the join-condition references — the
-    * dynamic-partition-pruning shape. Inserting a PartialDistinct here
-    * would sit between the scan and the DPP filter PartitionPruning
-    * lays above the side: Spark's filter pushdown cannot commute a
-    * predicate through a node it does not know, the un-pushed filter
-    * is cleaned up, and the scan loses its pruning — a far bigger loss
-    * at scale than the exchange-free dedup is worth (a pruned scan
-    * reads O(touched partitions); the dedup saves only join-input
+  /** A side whose subtree scans a relation that dynamic filtering can
+    * prune on a join-condition column — a PARTITIONED file relation
+    * with a partition column among the references, or a DSv2 scan with
+    * the [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * seam (the mongo `$in` / elastic `terms` / jdbc `WHERE IN` wire
+    * scans) whose filterAttributes cover a referenced column. Inserting
+    * a PartialDistinct here would sit between the scan and the dynamic
+    * filter PartitionPruning lays above the side: the rule's scan
+    * traversal cannot see through a node it does not know, and the
+    * side loses its pruning — a far bigger loss at scale than the
+    * exchange-free dedup is worth (a runtime-filtered scan reads
+    * O(matching rows) at the store; the dedup saves only join-input
     * width). Leave such sides untouched. */
   private def dppEligible(side: LogicalPlan, cond: Seq[Expression]): Boolean = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     val condRefs = AttributeSet(cond.flatMap(_.references))
     side.exists {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation if fs.partitionSchema.nonEmpty =>
           val partCols = fs.partitionSchema.map(_.name).toSet
           lr.output.exists(a => partCols.contains(a.name) && condRefs.contains(a))
+        case _ => false
+      }
+      // this rule runs BEFORE scan pushdown, so the wire connectors
+      // still sit as pre-scan DataSourceV2Relations — their scans all
+      // implement SupportsRuntimeV2Filtering over every scalar column,
+      // so any join-key reference into one is a runtime-filter seam
+      case r: DataSourceV2Relation => (r.table match {
+        case _: graft.sources.GraftMongoTable => true
+        case _: graft.sources.GraftElasticTable => true
+        case _: graft.sources.GraftJdbcTable => true
+        case _ => false
+      }) && r.output.exists(condRefs.contains)
+      // post-pushdown shape (defensive: a second fixpoint pass can see
+      // the rewritten plan): ask the built scan directly
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case f: SupportsRuntimeV2Filtering =>
+          // name-matched case-insensitively: runtime refs carry the
+          // query's spelling, scans report their schema's
+          val filterable = f.filterAttributes()
+            .flatMap(_.fieldNames().lastOption).map(_.toLowerCase).toSet
+          r.output.exists(a =>
+            filterable.contains(a.name.toLowerCase) && condRefs.contains(a))
         case _ => false
       }
       case _ => false
