@@ -38,9 +38,13 @@ object GraftStatementServer {
 
   private final class QueryState(val id: String,
       val columns: Seq[StructField], val rows: Iterator[Row],
-      val pageSize: Int) {
+      val pageSize: Int, val df: DataFrame) {
     var token: Long = 1L // next valid fetch token
     @volatile var lastUsed: Long = System.nanoTime()
+    val submitNanos: Long = System.nanoTime()
+    /** Fixed when the first data page is served — the analogue of the
+      * coordinator's QUEUED→RUNNING transition. */
+    @volatile var queuedMillis: Long = -1L
   }
 
   private val queries = new ConcurrentHashMap[String, QueryState]()
@@ -104,7 +108,7 @@ object GraftStatementServer {
         Option(x.getRequestHeaders.getFirst("X-Trino-Catalog")),
         Option(x.getRequestHeaders.getFirst("X-Trino-Schema")))
       val st = new QueryState(id, df.schema.fields.toSeq,
-        df.toLocalIterator().asScala, PageRows)
+        df.toLocalIterator().asScala, PageRows, df)
       reapIdle()
       queries.put(id, st)
       // first response carries no data (the real coordinator's QUEUED
@@ -145,27 +149,34 @@ object GraftStatementServer {
     }
   }
 
-  /** Analysis under the statement's catalog/schema defaults; restored
-    * before returning (the resolved plan carries its own references).
-    * Serialized: current catalog/namespace are session-global. */
+  /** Analysis under the statement's catalog/schema defaults, applied
+    * to a PER-STATEMENT session clone (shared SparkContext and
+    * SharedState, own SessionState/CatalogManager) — the `USE` calls
+    * mutate only the clone, so concurrent statements under different
+    * `X-Trino-*` headers analyze in parallel with no global lock, and
+    * direct users of the shared session can never observe a
+    * statement's temporary defaults (the real coordinator's per-query
+    * session context; r15 verdict #2 + the empty-namespace restore
+    * hazard both resolved by construction — nothing is restored
+    * because nothing shared is touched). */
   private def analyzeWithDefaults(spark: SparkSession, sql: String,
-      catalog: Option[String], schema: Option[String]): DataFrame =
-    synchronized {
-      val cm = spark.sessionState.catalogManager
-      val prevCat = cm.currentCatalog.name()
-      val prevNs = cm.currentNamespace
-      try {
-        catalog.foreach(c => spark.sql(s"USE `$c`"))
-        schema.foreach(s => spark.sql(s"USE NAMESPACE `$s`"))
-        val df = spark.sql(sql)
-        df.schema // force analysis under the statement's defaults
-        df
-      } finally {
-        spark.sql(s"USE `$prevCat`")
-        if (prevNs.nonEmpty)
-          spark.sql(s"USE NAMESPACE ${prevNs.map(n => s"`$n`").mkString(".")}")
-      }
+      catalog: Option[String], schema: Option[String]): DataFrame = {
+    val sess = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    // catalogs resolve SparkSession.active during loadTable — pin the
+    // clone for the span of this handler thread's analysis
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    try {
+      catalog.foreach(c => sess.sql(s"USE `$c`"))
+      schema.foreach(s => sess.sql(s"USE NAMESPACE `$s`"))
+      val df = sess.sql(sql)
+      df.schema // force analysis under the statement's defaults
+      df
+    } finally prevActive match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
     }
+  }
 
   // ---------------------------------------------------------------- //
   //  JSON rendering (no jackson dependency needed for the envelope)   //
@@ -264,8 +275,49 @@ object GraftStatementServer {
       b.append(s""","nextUri":"$url/v1/statement/${st.id}/${st.token}"""")
     val state =
       if (firstPage) "QUEUED" else if (more) "RUNNING" else "FINISHED"
-    b.append(s""","stats":{"state":"$state"}}""")
+    if (!firstPage && st.queuedMillis < 0)
+      st.queuedMillis = (System.nanoTime() - st.submitNanos) / 1000000L
+    val elapsed = (System.nanoTime() - st.submitNanos) / 1000000L
+    val (inRows, inBytes) = inputMetrics(st.df)
+    b.append(s""","stats":{"state":"$state"""")
+    // the progress fields the reference's captured query.json records
+    // (results/q00N/*/query.json): processedRows/Bytes are the INPUT
+    // side — live leaf-scan accumulators (the q78 profile walk), not
+    // emitted result rows, so they grow as toLocalIterator pulls
+    // partitions through the scans. Bytes are estimated from the leaf
+    // read schema's fixed-width row size (task-level byte counters are
+    // not attributable per query on a shared context).
+    b.append(s""","processedRows":$inRows,"processedBytes":$inBytes""")
+    b.append(s""","elapsedTimeMillis":$elapsed""")
+    b.append(s""","queuedTimeMillis":${math.max(st.queuedMillis, 0L)}}}""")
     b.toString
+  }
+
+  /** Live input-side progress: sum of leaf-scan `numOutputRows`
+    * accumulators (descending through AQE wrappers, the q78 walk) and
+    * a schema-width byte estimate per scanned row. Monotone: SQL
+    * metric accumulators only grow while the cursor drains. */
+  private def inputMetrics(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    var rows = 0L
+    var bytes = 0L
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case leaf if leaf.children.isEmpty =>
+        leaf.metrics.get("numOutputRows").foreach { m =>
+          val n = m.value
+          if (n > 0) {
+            rows += n
+            bytes += n * math.max(leaf.schema.defaultSize.toLong, 1L)
+          }
+        }
+      case other => other.children.foreach(walk)
+    }
+    try walk(df.queryExecution.executedPlan)
+    catch { case scala.util.control.NonFatal(_) => () }
+    (rows, bytes)
   }
 
   private def failedJson(id: String, msg: String): String =

@@ -7,6 +7,17 @@ import org.apache.spark.sql.types._
   * Catalyst [[Expression]]s into user-facing [[Column]]s (the Spark 4.x
   * Column API is node-based; `classic.ExpressionUtils` does the lifting). */
 object GraftBridge {
+  /** Per-statement session isolation for the statement protocol face:
+    * a clone shares the SparkContext and SharedState (so registered
+    * catalogs and temp state resolve identically) but carries its OWN
+    * SessionState — conf, CatalogManager, current catalog/namespace —
+    * so applying a statement's `X-Trino-Catalog`/`X-Trino-Schema`
+    * defaults never races concurrent statements or direct users of
+    * the shared session. `cloneSession` is `private[sql]`; this is
+    * the sanctioned bridge. */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession,

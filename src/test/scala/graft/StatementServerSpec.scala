@@ -189,6 +189,78 @@ class StatementServerSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  /** Per-statement session isolation (r15 verdict #4): analysis under
+    * the `X-Trino-*` headers runs on a session CLONE, so statements
+    * submitted simultaneously under DIFFERENT default catalogs both
+    * resolve correctly — no global analysis lock, no header bleed. */
+  test("concurrent submits under different X-Trino-Catalog headers both resolve") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val docCount = Tables.documents(spark, sf1).count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            if (i % 2 == 0)
+              // unqualified `nation` only resolves under psql.tpcds
+              runSql("SELECT COUNT(*) AS n FROM nation",
+                Map("X-Trino-User" -> "spec", "X-Trino-Catalog" -> "psql",
+                  "X-Trino-Schema" -> "tpcds"))._2.head.head.asLong
+            else
+              // unqualified `documents` only resolves under elastic.default
+              runSql("SELECT COUNT(*) AS n FROM documents",
+                Map("X-Trino-User" -> "spec", "X-Trino-Catalog" -> "elastic",
+                  "X-Trino-Schema" -> "default"))._2.head.head.asLong
+        })
+      }
+      val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      (0 until 8).foreach { i =>
+        val expect = if (i % 2 == 0) 25L else docCount
+        assert(got(i) == expect, s"client $i got ${got(i)}, expected $expect")
+      }
+      // the shared session's defaults were never touched
+      assert(spark.sessionState.catalogManager.currentCatalog.name() ==
+        "spark_catalog")
+    } finally pool.shutdownNow()
+  }
+
+  /** The stats envelope's progress fields (r15 verdict #5): each page
+    * carries processedRows/processedBytes (live input-side scan
+    * accumulators), elapsedTimeMillis, and queuedTimeMillis — the
+    * fields the reference's captured query.json records. Monotone
+    * across a multi-page drain. */
+  test("stats envelope: processedRows/bytes/elapsed are monotone across pages") {
+    spark.conf.set("spark.sql.graft.root", sf2)
+    val (code, first) = http("POST", s"$base/v1/statement",
+      Some("SELECT o_orderkey FROM mongodb.tpcds.orders"),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, first)
+    var node = mapper.readTree(first)
+    var lastRows = -1L
+    var lastBytes = -1L
+    var lastElapsed = -1L
+    var queued = -1L
+    var pages = 0
+    def stat(n: JsonNode, f: String): Long = n.get("stats").get(f).asLong
+    while (node.has("nextUri")) {
+      val (_, page) = http("GET", node.get("nextUri").asText, None)
+      node = mapper.readTree(page)
+      pages += 1
+      val rows = stat(node, "processedRows")
+      val bytes = stat(node, "processedBytes")
+      val elapsed = stat(node, "elapsedTimeMillis")
+      assert(rows >= lastRows, s"processedRows regressed: $rows < $lastRows")
+      assert(bytes >= lastBytes, s"processedBytes regressed: $bytes < $lastBytes")
+      assert(elapsed >= lastElapsed, s"elapsed regressed: $elapsed < $lastElapsed")
+      lastRows = rows; lastBytes = bytes; lastElapsed = elapsed
+      queued = stat(node, "queuedTimeMillis")
+    }
+    assert(pages >= 15, s"only $pages pages")
+    // by FINISHED the scans have processed the whole collection
+    assert(lastRows >= 15000L, s"final processedRows $lastRows")
+    assert(lastBytes > 0L && queued >= 0L && lastElapsed >= 0L)
+  }
+
   test("DML runs over the statement face (the loader's CTAS motion)") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_stmt")
     spark.conf.set("spark.sql.graft.root", scratch.toString)
