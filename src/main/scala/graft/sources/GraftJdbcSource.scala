@@ -278,8 +278,12 @@ private[graft] class GraftJdbcScanBuilder(url: String, fqn: String,
       val cols = required.fieldNames.toSeq
       val base = whereClauses
       (0 until numPartitions).map { i =>
-        val slice = partitionColumn.filter(_ => numPartitions > 1).map {
-          c => s"MOD(${dialect.quoteIdentifier(c)}, $numPartitions) = $i"
+        val slice = partitionColumn.filter(_ => numPartitions > 1).map { c =>
+          // double-MOD keeps the residue in [0, n): SQL MOD takes the
+          // DIVIDEND's sign, so a bare `MOD(col, n) = i` would silently
+          // drop every negative-key row from all slices
+          val q = dialect.quoteIdentifier(c)
+          s"MOD(MOD($q, $numPartitions) + $numPartitions, $numPartitions) = $i"
         }
         val where = base ++ slice.toSeq
         val sql = s"SELECT ${cols.map(dialect.quoteIdentifier).mkString(", ")} " +

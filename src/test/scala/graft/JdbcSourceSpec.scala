@@ -30,6 +30,11 @@ class JdbcSourceSpec extends SparkSpec {
         pc.addBatch()
       }
     pc.executeBatch()
+    // negative surrogate keys for the slice-completeness gate below
+    st.execute("CREATE TABLE negk (k BIGINT)")
+    val pn = conn.prepareStatement("INSERT INTO negk VALUES (?)")
+    (-5L to 5L).foreach { k => pn.setLong(1, k); pn.addBatch() }
+    pn.executeBatch()
     conn.close()
     u
   }
@@ -74,21 +79,25 @@ class JdbcSourceSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.sources.GraftJdbcSource
     val conf = spark.conf
-    conf.set("spark.sql.catalog.derbyrt", "graft.sources.GraftJdbcCatalog")
-    conf.set("spark.sql.catalog.derbyrt.url", url)
-    conf.set("spark.sql.catalog.derbyrt.partitionColumn", "O_CUSTKEY")
-    conf.set("spark.sql.catalog.derbyrt.numPartitions", "2")
+    // dedicated catalog name: CatalogManager caches instances by NAME,
+    // and q86 registers `derbyrt` over its own federation db — sharing
+    // the name would pin whichever URL instantiated first (the q79
+    // derbyfed lesson; this bit an in-suite run as APP.ORD-not-found)
+    conf.set("spark.sql.catalog.derbyspec", "graft.sources.GraftJdbcCatalog")
+    conf.set("spark.sql.catalog.derbyspec.url", url)
+    conf.set("spark.sql.catalog.derbyspec.partitionColumn", "O_CUSTKEY")
+    conf.set("spark.sql.catalog.derbyspec.numPartitions", "2")
     conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
     val root = java.nio.file.Files.createTempDirectory("graft-jdbc-rtf")
     try {
-      val fact = spark.table("derbyrt.APP.ORD")
+      val fact = spark.table("derbyspec.APP.ORD")
       // hash-mod slicing: two disjoint partitions covering the table
       assert(fact.rdd.getNumPartitions == 2)
       assert(fact.count() == 500)
       // a compile-time predicate rides the dialect into the WHERE
       val filtered = fact.filter(col("o_orderkey") < 100)
       filtered.collect()
-      val pushedSql = GraftJdbcSource.lastQuery("derbyrt.APP.ORD").get
+      val pushedSql = GraftJdbcSource.lastQuery("derbyspec.APP.ORD").get
       assert(pushedSql.contains("\"O_ORDERKEY\" < 100"), pushedSql)
       // build a parquet dim with a SELECTIVE predicate (PartitionPruning
       // only assigns a runtime filter when the build side filters)
@@ -98,7 +107,7 @@ class JdbcSourceSpec extends SparkSpec {
         .withColumn("pick", when(col("dkey").isin(keys: _*), 1).otherwise(0))
         .write.mode("overwrite").parquet(s"$root/dim")
       val dim = spark.read.parquet(s"$root/dim").filter(col("pick") === 1)
-      val rowsBefore = GraftJdbcSource.rowCount("derbyrt.APP.ORD")
+      val rowsBefore = GraftJdbcSource.rowCount("derbyspec.APP.ORD")
       val q = fact.join(dim, col("o_custkey") === col("dkey"))
         .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("n"))
       val got = q.collect()
@@ -106,11 +115,11 @@ class JdbcSourceSpec extends SparkSpec {
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"no runtime filter planned into the jdbc scan:\n$plan")
       // the evaluated IN-set rendered into the executed SQL
-      val sql = GraftJdbcSource.lastQuery("derbyrt.APP.ORD").get
+      val sql = GraftJdbcSource.lastQuery("derbyspec.APP.ORD").get
       assert(sql.contains("\"O_CUSTKEY\" IN ("), sql)
       keys.foreach(k => assert(sql.contains(k.toString), s"key $k absent: $sql"))
       // the STORE did the pruning: far fewer rows crossed the connection
-      val crossed = GraftJdbcSource.rowCount("derbyrt.APP.ORD") - rowsBefore
+      val crossed = GraftJdbcSource.rowCount("derbyspec.APP.ORD") - rowsBefore
       assert(crossed < 500, s"runtime filter did not reduce fetched rows: $crossed")
       // row-identical to the Spark-side join
       val expect = jdbcOrders.filter(col("o_custkey").isin(keys: _*))
@@ -122,20 +131,41 @@ class JdbcSourceSpec extends SparkSpec {
       // OVERSIZED IN-set guard: with the cap below the key count the
       // filter is dropped (full fetch), the join stays correct
       conf.set("spark.sql.graft.wire.runtimeFilterMaxKeys", "2")
-      val before2 = GraftJdbcSource.rowCount("derbyrt.APP.ORD")
+      val before2 = GraftJdbcSource.rowCount("derbyspec.APP.ORD")
       val q2 = fact.join(dim, col("o_custkey") === col("dkey"))
         .agg(count(lit(1)).as("n"))
       assert(q2.head().getLong(0) == expect.getLong(1))
-      val sql2 = GraftJdbcSource.lastQuery("derbyrt.APP.ORD").get
+      val sql2 = GraftJdbcSource.lastQuery("derbyspec.APP.ORD").get
       assert(!sql2.contains(" IN ("), s"oversized IN-set was sent: $sql2")
-      assert(GraftJdbcSource.rowCount("derbyrt.APP.ORD") - before2 >= 500)
+      assert(GraftJdbcSource.rowCount("derbyspec.APP.ORD") - before2 >= 500)
     } finally {
       conf.unset("spark.sql.graft.wire.runtimeFilterMaxKeys")
       conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
-      Seq("spark.sql.catalog.derbyrt", "spark.sql.catalog.derbyrt.url",
-        "spark.sql.catalog.derbyrt.partitionColumn",
-        "spark.sql.catalog.derbyrt.numPartitions").foreach(conf.unset)
+      Seq("spark.sql.catalog.derbyspec", "spark.sql.catalog.derbyspec.url",
+        "spark.sql.catalog.derbyspec.partitionColumn",
+        "spark.sql.catalog.derbyspec.numPartitions").foreach(conf.unset)
     }
+  }
+
+  test("hash-mod partition slices keep negative keys") {
+    import graft.sources.GraftJdbcSource
+    val conf = spark.conf
+    conf.set("spark.sql.catalog.derbyneg", "graft.sources.GraftJdbcCatalog")
+    conf.set("spark.sql.catalog.derbyneg.url", url)
+    conf.set("spark.sql.catalog.derbyneg.partitionColumn", "K")
+    conf.set("spark.sql.catalog.derbyneg.numPartitions", "2")
+    try {
+      val t = spark.table("derbyneg.APP.NEGK")
+      assert(t.rdd.getNumPartitions == 2)
+      // SQL MOD keeps the dividend's sign: a bare `MOD(k, 2) = i`
+      // slice would drop every negative key from BOTH partitions
+      assert(t.count() == 11, "slices lost rows (negative-key residues)")
+      val sql = GraftJdbcSource.lastQuery("derbyneg.APP.NEGK").get
+      assert(sql.contains("MOD(MOD("), sql)
+    } finally
+      Seq("spark.sql.catalog.derbyneg", "spark.sql.catalog.derbyneg.url",
+        "spark.sql.catalog.derbyneg.partitionColumn",
+        "spark.sql.catalog.derbyneg.numPartitions").foreach(conf.unset)
   }
 
   test("a two-table join is pushed into the JDBC source as one scan (q004 shape)") {
