@@ -39,7 +39,7 @@ object ScaleCurveCompute {
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
 
-  private def cluster(executors: Int): SparkSession = {
+  private[graft] def cluster(executors: Int): SparkSession = {
     val localDir = new java.io.File("/dev/shm/graft-spark")
     localDir.mkdirs()
     val spark = GraftSession.configure(

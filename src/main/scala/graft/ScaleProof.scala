@@ -95,7 +95,7 @@ object ScaleProof {
     * measured that adversarial truth (3.6 single-probe, 9.5
     * multi-probe), not the operator's scaling. ANN probe sets still pin
     * vec_id < 10 (copy 0), so query count stays fixed. */
-  private def scaleEmb(emb: DataFrame, copies: Int): DataFrame = {
+  private[graft] def scaleEmb(emb: DataFrame, copies: Int): DataFrame = {
     assertIdsBelowOffset(emb, Seq("vec_id"))
     // derive the shift modulus from the data: a hardcoded dim with a
     // smaller real embedding would build negative-length slices —

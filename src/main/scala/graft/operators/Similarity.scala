@@ -1079,15 +1079,38 @@ object Similarity {
       cells: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
       eligible: Option[org.apache.spark.sql.DataFrame] = None,
       tombstones: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    probeAssignedCellsWith(centS, cells.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id") < 10), eligible, tombstones)
+
+  /** Batch probe of a stored s11-layout index with an EXPLICIT query
+    * relation `(vec_id, embedding)` — the production serving shape
+    * (thousands of queries against a frozen index per batch), where
+    * the entries' fixed `vec_id < 10` probe set is a 10-query
+    * correctness harness. Same plan skeleton as the entries: broadcast
+    * the O(queries·k) probe relation, dynamic-partition-prune to the
+    * probed cells, exact-rerank inside them. */
+  private[graft] def probeStoredCellsBatch(
+      s: org.apache.spark.sql.SparkSession, idxDir: String,
+      queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    probeAssignedCellsWith(s.read.parquet(s"$idxDir/centroids"),
+      s.read.parquet(s"$idxDir/cells"), queries)
+
+  private[graft] def probeAssignedCellsWith(
+      centS: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      eligible: Option[org.apache.spark.sql.DataFrame] = None,
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
+    val qprobe = queries.crossJoin(broadcast(centS))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
       .filter(col("crn") <= ivfProbes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
-    val cand = cells.filter(col("vec_id") >= 10)
-      .join(broadcast(qprobe), Seq("cluster"))
+    val cand = cells.join(broadcast(qprobe), Seq("cluster"))
     // predicate BEFORE ranking (corpus-proportional but id-only:
     // shuffled semi-join, never broadcast)
     val kept = eligible.fold(cand)(el => cand.join(el, Seq("vec_id"), "left_semi"))

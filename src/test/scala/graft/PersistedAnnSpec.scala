@@ -189,4 +189,38 @@ class PersistedAnnSpec extends SparkSpec {
   test("s19 probe plan dynamically prunes the cell-partitioned codes scan") {
     assertPruned("s19_ivfpq_append", "graftindex/s19")
   }
+
+  test("batch probe over the stored index self-retrieves every query and prunes cells") {
+    import graft.operators.Similarity
+    // build s11's index, then probe it with a WIDE query relation (the
+    // serving shape ScaleCurveFamilies measures) instead of the
+    // entries' fixed vec_id < 10 harness set
+    SparkEntry.queries("s11_ann_persisted")(spark, sf2).collect()
+    val idxDir = Similarity.indexDir(spark, "s11", sf2)
+    val queries = spark.read.parquet(s"$sf2/embeddings.parquet")
+      .filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val nQ = queries.count()
+    assert(nQ >= 10, s"query batch unexpectedly small ($nQ)")
+    val res = Similarity.probeStoredCellsBatch(spark, idxDir, queries)
+    // plan gate: the cells scan still carries the dynamicpruning
+    // partition filter with a broadcast query relation this wide
+    val indexScans = scans(res.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graftindex/s11")))
+    assert(indexScans.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))),
+      "batch probe cells scan carries no dynamicpruning partition filter")
+    val rows = res.collect()
+    assert(rows.length == nQ * 5, s"expected ${nQ * 5} rows, got ${rows.length}")
+    // routing gate: every query's own vector lives in one of its probed
+    // cells (assignment and probe rank centroids identically), so the
+    // top-1 cosine must be the self-match's ~1.0 — a mis-routed query
+    // would surface an unrelated sub-1 neighbor instead
+    val top1 = rows.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getAs[Number](3).doubleValue())
+    assert(top1.length == nQ)
+    val misrouted = top1.filter(_._2 < 1.0 - 1e-6)
+    assert(misrouted.isEmpty,
+      s"queries whose top-1 is not a self/duplicate match: ${misrouted.take(5).toSeq}")
+  }
 }
