@@ -713,12 +713,36 @@ private[graft] object GraftVersions {
     * discovery scan. A column any row group lacks statistics for is
     * dropped for that file (sound: no bound, always a candidate). */
   private def statsSuffixes(data: DataFrame, dir: String,
-      names: Seq[String]): Seq[String] =
-    names.map { n =>
+      names: Seq[String]): Seq[String] = {
+    // Footer opens are independent ~ms-each metadata reads; a
+    // sequential loop makes them the commit's fixed tail exactly when
+    // a rewrite stages many files (the all-files MERGE in
+    // ScaleCurveFamilies stages 3,200; a 100 TB commit stages more).
+    // Bounded pool, order preserved; small commits skip the pool.
+    def one(n: String): String = {
       val fields = footerStats(new java.io.File(dataDir(dir), n))
         .map { case (c, encoded) => s"$c=$encoded" }
       if (fields.isEmpty) "" else fields.mkString("\t", "\t", "")
     }
+    if (names.size <= 8) names.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = names.map { n =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = one(n)
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch { // surface the real failure, not the Future wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+  }
 
   private def footerStats(f: java.io.File): Seq[(String, String)] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
