@@ -497,7 +497,16 @@ object Relational {
       |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
       |     AND d.lang = 'en')
       |) t ORDER BY c_custkey""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => s.sql(jdbcRuntimeFilterStatement(s, d)) }
+
+  /** q86's catalog setup + statement TEXT, factored so the statement-
+    * protocol spec can drive the SAME three-connector statement through
+    * the HTTP face (per-statement session clones inherit these confs)
+    * and assert the runtime IN-set still reaches the store under paged
+    * `toLocalIterator` execution. Returns the SQL; the fed fact table
+    * name is per-sf-dir. */
+  private[graft] def jdbcRuntimeFilterStatement(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
     s.conf.set("spark.sql.graft.root", d)
     val table = derbyOrdersTable(s, d)
     s.conf.set("spark.sql.catalog.derbyrt", "graft.sources.GraftJdbcCatalog")
@@ -506,8 +515,7 @@ object Relational {
     // min/max pre-query (4 disjoint MOD(o_custkey, 4) = i scans)
     s.conf.set("spark.sql.catalog.derbyrt.partitionColumn", "O_CUSTKEY")
     s.conf.set("spark.sql.catalog.derbyrt.numPartitions", "4")
-    s.sql(
-      s"""SELECT c_custkey FROM (
+    s"""SELECT c_custkey FROM (
          |  (SELECT DISTINCT c.c_custkey FROM derbyrt.APP.$table o
          |     JOIN psql.tpcds.customer c ON o.o_custkey = c.c_custkey
          |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
@@ -522,8 +530,15 @@ object Relational {
          |     JOIN psql.tpcds.customer c ON d.doc_id = c.c_custkey
          |   WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
          |     AND d.lang = 'en')
-         |) t ORDER BY c_custkey""".stripMargin)
+         |) t ORDER BY c_custkey""".stripMargin
   }
+
+  /** The request-log key of q86's JDBC fact scan (`<catalog>.<ident>`
+    * as GraftJdbcCatalog logs it) — lets the statement-protocol spec
+    * assert the rendered runtime `IN` without duplicating the per-dir
+    * table naming. */
+  private[graft] def jdbcRuntimeFilterLogName(d: String): String =
+    "derbyrt.APP.ORDERS_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
 
   /** Heterogeneous single-statement federation (q79) — the reference's
     * q003 cross-STORE-TYPE shape (results/q003/workers-1/

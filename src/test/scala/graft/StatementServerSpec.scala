@@ -261,6 +261,36 @@ class StatementServerSpec extends SparkSpec {
     assert(lastBytes > 0L && queued >= 0L && lastElapsed >= 0L)
   }
 
+  test("three-connector runtime-filtered statement (q86 shape) pages through the face") {
+    import graft.sources.GraftJdbcSource
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // the factored q86 setup registers derbyrt/mongodb/elastic and
+      // returns the statement text; the per-statement session clone
+      // inherits those confs at POST time
+      val sql = operators.Relational.jdbcRuntimeFilterStatement(spark, sf2)
+      val local = spark.sql(sql).collect().map(_.getLong(0)).toSeq
+      val logName = operators.Relational.jdbcRuntimeFilterLogName(sf2)
+      val before = GraftJdbcSource.rowCount(logName)
+      val (cols, data) = runSql(sql)
+      assert(cols == Seq("c_custkey"))
+      val wire = data.map(_.head.asLong).toSeq
+      assert(wire.nonEmpty && wire == local, s"wire $wire != local $local")
+      // the dynamic filter survived PAGED toLocalIterator execution:
+      // the wire drain's JDBC scan carried the rendered IN-set and the
+      // store returned the dim-filtered subset, not its F-status span
+      val crossed = GraftJdbcSource.rowCount(logName) - before
+      val fullF = spark.sql(
+        s"SELECT COUNT(*) FROM parquet.`$sf2/orders.parquet` " +
+          "WHERE o_orderstatus = 'F'").head().getLong(0)
+      val rendered = GraftJdbcSource.lastQuery(logName).get
+      assert(rendered.contains("\"O_CUSTKEY\" IN ("), rendered)
+      assert(crossed > 0 && crossed < fullF,
+        s"runtime filter did not reduce wire rows: $crossed of $fullF")
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("DML runs over the statement face (the loader's CTAS motion)") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_stmt")
     spark.conf.set("spark.sql.graft.root", scratch.toString)
