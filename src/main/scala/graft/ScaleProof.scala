@@ -130,7 +130,7 @@ object ScaleProof {
     * exactly copies × the sf0.1 structure (users never straddle copies;
     * windows partition by user_id). This extends the falsifier to the
     * temporal family, which rounds ≤ 7 never scale-tested. */
-  private def scaleEvents(ev: DataFrame, copies: Int): DataFrame = {
+  private[graft] def scaleEvents(ev: DataFrame, copies: Int): DataFrame = {
     assertIdsBelowOffset(ev, Seq("event_id", "user_id"))
     ev
       .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("c"))

@@ -28,9 +28,13 @@ object EventsStreaming {
 
   /** Unbounded read of an events parquet path — ts normalized to a
     * session TIMESTAMP exactly like the batch Tables.events (session
-    * timezone is UTC, so the NTZ cast preserves the instant). */
-  def readStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
+    * timezone is UTC, so the NTZ cast preserves the instant).
+    * `options` pass through to the file source (e.g.
+    * `maxFilesPerTrigger` to bound a backlog drain's micro-batches —
+    * the production knob for a bursty catch-up). */
+  def readStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(rawSchema).options(options).parquet(path)
       .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Streaming tumbling-hour aggregation — same transform as the batch
