@@ -48,7 +48,7 @@ object ScaleCurve {
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
 
-  private def session(executors: Int): SparkSession = {
+  private[graft] def session(executors: Int): SparkSession = {
     val localDir = new java.io.File("/dev/shm/graft-spark")
     localDir.mkdirs()
     val spark = GraftSession.configure(

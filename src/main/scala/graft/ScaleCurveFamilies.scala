@@ -96,13 +96,22 @@ object ScaleCurveFamilies {
     val srcPq = s"$root/dml$dmlCopies-source.parquet"
     val qPq = s"$annDir/queries.parquet"
 
-    // ---- one-time prep (plain local session, not part of the curve)
-    if (!new java.io.File(s"$annDir/cells").exists() ||
+    // ---- one-time prep (plain local session, not part of the curve).
+    // The ANN cache is keyed on an explicit completion SENTINEL
+    // (annDir/_done, written last) rather than bare directory
+    // existence: a run killed mid-prep leaves a partial cells/ dir
+    // that would otherwise pass the guard and silently benchmark a
+    // corrupt corpus. No sentinel → delete and rebuild. (The pristine
+    // leg is already safe this way: _current is written last by
+    // commit.)
+    val annDone = new java.io.File(annDir, "_done")
+    if (!annDone.exists() ||
         !new java.io.File(pristine, "_current").exists()) {
       val b = GraftSession.local("8")
       try {
         functions.VectorFunctions.register(b)
-        if (!new java.io.File(s"$annDir/cells").exists()) {
+        if (!annDone.exists()) {
+          rmTree(new java.io.File(annDir))
           val corpus = ScaleProof.scaleEmb(
             Tables.embeddings(b, sf), annCopies)
           val cent = operators.Similarity.ivfCentroids(corpus)
@@ -113,6 +122,7 @@ object ScaleCurveFamilies {
           corpus.filter(pmod(col("vec_id"), lit(30)) === 7)
             .select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(qPq)
+          annDone.createNewFile()
         }
         if (!new java.io.File(pristine, "_current").exists()) {
           rmTree(new java.io.File(pristine))

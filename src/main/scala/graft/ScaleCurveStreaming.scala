@@ -96,7 +96,14 @@ object ScaleCurveStreaming {
       val spark = ScaleCurveCompute.cluster(n)
       try {
         drain(spark, s"warm_$n")
-        n -> (1 to 2).map(i => drain(spark, s"t${i}_$n")).minBy(_._1)
+        val timed = (1 to 2).map(i => drain(spark, s"t${i}_$n"))
+        // within-N determinism gate (mirrors the families leg's
+        // checksum require): both timed drains must produce the SAME
+        // canonical rows BEFORE taking the faster one — otherwise
+        // intra-N nondeterminism could hide behind a lucky min
+        require(timed.map(_._2).distinct.size == 1,
+          s"[scale-streaming] the two timed drains diverged within N=$n")
+        n -> timed.minBy(_._1)
       } finally spark.stop()
     }.toMap
 

@@ -434,10 +434,17 @@ object Relational {
   private val derbyOrdersTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The per-sf-dir Derby fact-table NAME — the single source of truth
+    * shared by the seeding helper and [[jdbcRuntimeFilterLogName]], so
+    * the statement-spec's request-log key can never drift from the
+    * table the seeder actually creates. */
+  private def derbyOrdersTableName(d: String): String =
+    "ORDERS_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
+
   private def derbyOrdersTable(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     derbyOrdersTables.computeIfAbsent(d, _ => {
-      val table = "ORDERS_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
+      val table = derbyOrdersTableName(d)
       val conn = java.sql.DriverManager.getConnection(derbyFedUrl)
       try {
         val st = conn.createStatement()
@@ -538,7 +545,7 @@ object Relational {
     * assert the rendered runtime `IN` without duplicating the per-dir
     * table naming. */
   private[graft] def jdbcRuntimeFilterLogName(d: String): String =
-    "derbyrt.APP.ORDERS_" + d.replaceAll("[^a-zA-Z0-9]", "_").toUpperCase
+    "derbyrt.APP." + derbyOrdersTableName(d)
 
   /** Heterogeneous single-statement federation (q79) — the reference's
     * q003 cross-STORE-TYPE shape (results/q003/workers-1/

@@ -269,11 +269,21 @@ object TextAnalysis {
       |WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
+    // materialize the inverted index ONCE (localCheckpoint): the dot
+    // product, the probe side, and both norm lookups all read `tf`,
+    // and without the checkpoint Catalyst plans FOUR independent
+    // explode+aggregate passes over the corpus (r17 profile — the
+    // named cause of t09's r16 isolated elevation). At corpus scale
+    // this is the persisted-index posture the scaladoc argues anyway.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-    val dot = tf.as("a").filter(col("doc_id") < 100)
+    // the PROBE side is bounded by construction (the scaladoc's PPJoin
+    // posture) — broadcast it so the full corpus-side index streams
+    // map-side instead of shuffling every (doc, term) row on `w`
+    val dot = broadcast(tf.as("a").filter(col("doc_id") < 100))
       .join(tf.as("b"), col("a.w") === col("b.w") && col("b.doc_id") > col("a.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dp"))

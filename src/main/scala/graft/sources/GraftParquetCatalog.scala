@@ -724,20 +724,37 @@ private[graft] object GraftVersions {
         .map { case (c, encoded) => s"$c=$encoded" }
       if (fields.isEmpty) "" else fields.mkString("\t", "\t", "")
     }
-    if (names.size <= 8) names.map(one)
+    pooledMap(names)(one)
+  }
+
+  /** Order-preserving map over a bounded 8-thread pool — the commit
+    * path's tool for its driver-side O(staged files) metadata loops
+    * (footer-stats reads, stage-moves, lost-race re-prefixes). Each
+    * item is an independent ~ms filesystem/footer op; run sequentially
+    * they become the commit's N-invariant tail exactly when a rewrite
+    * stages many files (ScaleCurveFamilies stages 3,200; a 100 TB
+    * commit stages more). Small batches skip the pool. On failure the
+    * queued tasks are cancelled (`shutdownNow`) so a failed commit
+    * never leaves thousands of tasks running in the background. */
+  private def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 8) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
-        val futs = names.map { n =>
-          pool.submit(new java.util.concurrent.Callable[String] {
-            override def call(): String = one(n)
+        val futs = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(a)
           })
         }
-        futs.map { f =>
-          try f.get()
+        futs.map { fut =>
+          try fut.get()
           catch { // surface the real failure, not the Future wrapper
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+            case e: Throwable =>
+              pool.shutdownNow()
+              throw e
           }
         }
       } finally pool.shutdown()
@@ -1278,23 +1295,28 @@ private[graft] object GraftVersions {
     val stage = new java.io.File(dir, s"_stage-$nonce")
     data.write.mode(SaveMode.Overwrite).parquet(stage.getAbsolutePath)
     dataDir(dir).mkdirs()
-    val moved = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .map { case (f, i) =>
-        val rel = s"v$v-$i-$nonce.parquet"
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(dataDir(dir), rel).toPath)
-        rel
-      }
+    val staged = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.toSeq
+    // renames are independent same-filesystem metadata ops; pooled so
+    // a many-file rewrite's publish tail is not O(files) sequential
+    // (verdict r16 #4 — the other half of the commit tail, after the
+    // footer-stats pooling)
+    val moved = pooledMap(staged) { case (f, i) =>
+      val rel = s"v$v-$i-$nonce.parquet"
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dataDir(dir), rel).toPath)
+      rel
+    }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(stage)
-    moved.toSeq
+    moved
   }
 
   private def reprefix(dir: String, names: Seq[String], v: Int): Seq[String] =
-    names.map { old =>
+    pooledMap(names) { old =>
       val rel = old.replaceFirst("^v\\d+-", s"v$v-")
       java.nio.file.Files.move(
         new java.io.File(dataDir(dir), old).toPath,

@@ -25,11 +25,13 @@ import org.apache.spark.sql.types._
   * Execution is the session's own SQL surface, so the federated
   * catalogs (psql / mongodb / elastic), DML/maintenance verbs, and
   * registered functions are all reachable over this face too. Result
-  * paging rides `toLocalIterator` — one partition materialized at a
-  * time (the PagedResultsSpec memory posture), never a full driver
-  * collect; `DELETE /v1/statement/{id}/{token}` cancels and frees the
-  * cursor. A stale or replayed `nextUri` token answers 410 Gone like
-  * the real coordinator.
+  * paging is SPOOLED by default — rows rendered executor-side, the
+  * driver streaming spool files O(page) at a time (see [[serveState]];
+  * never a full driver collect, bounded even for a one-partition
+  * result) — with a conf kill-switch back to the pipelined
+  * `toLocalIterator` pull; `DELETE /v1/statement/{id}/{token}` cancels
+  * and frees the cursor + spool. A stale or replayed `nextUri` token
+  * answers 410 Gone like the real coordinator.
   *
   * Catalog/schema headers apply per statement: analysis runs under the
   * requested current catalog/namespace (restored after planning —
@@ -37,14 +39,23 @@ import org.apache.spark.sql.types._
 object GraftStatementServer {
 
   private final class QueryState(val id: String,
-      val columns: Seq[StructField], val rows: Iterator[Row],
-      val pageSize: Int, val df: DataFrame) {
+      val columns: Seq[StructField], val rows: Iterator[String],
+      val pageSize: Int, val df: DataFrame,
+      val cleanup: () => Unit = () => ()) {
     var token: Long = 1L // next valid fetch token
     @volatile var lastUsed: Long = System.nanoTime()
     val submitNanos: Long = System.nanoTime()
     /** Fixed when the first data page is served — the analogue of the
       * coordinator's QUEUED→RUNNING transition. */
     @volatile var queuedMillis: Long = -1L
+  }
+
+  /** Remove a query's state AND release its spool (if any) — every
+    * retirement path (drain end, DELETE, idle reap, page failure)
+    * funnels here so spool directories can never leak. */
+  private def retire(id: String): Unit = {
+    val st = queries.remove(id)
+    if (st != null) st.cleanup()
   }
 
   private val queries = new ConcurrentHashMap[String, QueryState]()
@@ -84,7 +95,7 @@ object GraftStatementServer {
         case ("GET", "v1" :: "statement" :: id :: token :: Nil) =>
           fetch(x, id, token.toLong)
         case ("DELETE", "v1" :: "statement" :: id :: _ :: Nil) =>
-          queries.remove(id)
+          retire(id)
           respond(x, 204, "")
         case (m, p) =>
           respond(x, 404, errorJson(s"unsupported route: $m /$path"))
@@ -107,8 +118,7 @@ object GraftStatementServer {
       val df = analyzeWithDefaults(spark, sql,
         Option(x.getRequestHeaders.getFirst("X-Trino-Catalog")),
         Option(x.getRequestHeaders.getFirst("X-Trino-Schema")))
-      val st = new QueryState(id, df.schema.fields.toSeq,
-        df.toLocalIterator().asScala, PageRows, df)
+      val st = serveState(id, df)
       reapIdle()
       queries.put(id, st)
       // first response carries no data (the real coordinator's QUEUED
@@ -138,15 +148,73 @@ object GraftStatementServer {
       st.token += 1
       try {
         val out = pageJson(st, firstPage = false)
-        if (!st.rows.hasNext) queries.remove(id)
+        if (!st.rows.hasNext) retire(id)
         respond(x, 200, out)
       } catch {
         case scala.util.control.NonFatal(e) =>
-          queries.remove(id)
+          retire(id)
           respond(x, 200, failedJson(id,
             Option(e.getMessage).getOrElse(e.toString)))
       }
     }
+  }
+
+  /** Build the page-serving state for an analyzed statement. Two
+    * serving paths, both O(page) per fetch on the handler thread:
+    *
+    *  - SPOOLED (default, [[GraftWireConf.statementSpool]]): the
+    *    result is rendered to wire-form row JSON EXECUTOR-side and
+    *    written as text part files; the driver then streams the files
+    *    line-by-line in partition order. Driver memory is O(one line
+    *    + one page) regardless of result partitioning — the guard the
+    *    pipelined pull lacks when a statement's result concentrates in
+    *    one huge partition (Trino's spooled client protocol makes the
+    *    same full-execution-first trade; verdict r16 #7).
+    *  - PIPELINED (`spool=false`, and always for already-executed
+    *    command results): `toLocalIterator`, one result PARTITION
+    *    materialized per pull — lower time-to-first-page, driver
+    *    memory O(largest partition).
+    *
+    * Spool part files are written by `saveAsTextFile` (task-commit
+    * rename, so a half-written attempt is never read) and are released
+    * through [[retire]] on every cursor-retirement path. */
+  private def serveState(id: String, df: DataFrame): QueryState = {
+    val sess = df.sparkSession
+    val isCommand = df.queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.CommandResult]
+    if (isCommand || !GraftWireConf.statementSpool(sess)) {
+      new QueryState(id, df.schema.fields.toSeq,
+        df.toLocalIterator().asScala.map(renderRow), PageRows, df)
+    } else {
+      val dir = new java.io.File(
+        new java.io.File(GraftWireConf.statementSpoolDir(sess)),
+        s"graft-spool-$id")
+      org.apache.spark.sql.GraftBridge.renderedRdd(df, renderRow)
+        .saveAsTextFile(dir.getAbsolutePath)
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val lines = parts.iterator.flatMap { f =>
+        // one open reader at a time; Source.getLines is lazy per line
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        new Iterator[String] {
+          private val it = src.getLines()
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) src.close()
+            h
+          }
+          override def next(): String = it.next()
+        }
+      }
+      new QueryState(id, df.schema.fields.toSeq, lines, PageRows, df,
+        cleanup = () => rmTree(dir))
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
   }
 
   /** Analysis under the statement's catalog/schema defaults, applied
@@ -241,6 +309,13 @@ object GraftStatementServer {
       s"statement server: unrenderable value class ${other.getClass}")
   }
 
+  /** One result row in wire form (`[v1,v2,…]`). Pure function of the
+    * Row — runs executor-side on the spool path, driver-side on the
+    * pipelined one. */
+  private def renderRow(r: Row): String =
+    (0 until r.length).map(i => renderValue(r.get(i)))
+      .mkString("[", ",", "]")
+
   private def columnsJson(cols: Seq[StructField]): String =
     cols.map { f =>
       val t = trinoType(f.dataType)
@@ -252,23 +327,15 @@ object GraftStatementServer {
     b.append(s"""{"id":"${st.id}","infoUri":"$url/ui/query/${st.id}"""")
     b.append(""","columns":""").append(columnsJson(st.columns))
     if (!firstPage) {
-      val rows = Vector.newBuilder[Row]
       var n = 0
+      var first = true
       while (n < st.pageSize && st.rows.hasNext) {
-        rows += st.rows.next(); n += 1
+        if (first) b.append(""","data":[""") else b.append(',')
+        first = false
+        b.append(st.rows.next())
+        n += 1
       }
-      val data = rows.result()
-      if (data.nonEmpty) {
-        b.append(""","data":[""")
-        var first = true
-        data.foreach { r =>
-          if (!first) b.append(',')
-          first = false
-          b.append((0 until r.length).map(i => renderValue(r.get(i)))
-            .mkString("[", ",", "]"))
-        }
-        b.append(']')
-      }
+      if (!first) b.append(']')
     }
     val more = st.rows.hasNext || firstPage
     if (more)
@@ -333,7 +400,11 @@ object GraftStatementServer {
     val now = System.nanoTime()
     val it = queries.entrySet().iterator()
     while (it.hasNext) {
-      if (now - it.next().getValue.lastUsed > QueryIdleNanos) it.remove()
+      val e = it.next()
+      if (now - e.getValue.lastUsed > QueryIdleNanos) {
+        it.remove()
+        e.getValue.cleanup()
+      }
     }
   }
 

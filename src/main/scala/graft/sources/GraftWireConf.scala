@@ -39,4 +39,30 @@ private[graft] object GraftWireConf {
     * sweep entirely while the live-cursor population is small so a
     * handful of slow readers can never be evicted by an eager clock. */
   val CursorReapMinPopulation = 32
+
+  /** Statement-face result SPOOLING (Trino's spooled client protocol
+    * shape): when on, a SELECT's result is written executor-side as
+    * pre-rendered page lines and the driver streams the spool files
+    * line-by-line — driver memory is O(page), never O(partition).
+    * The pipelined `toLocalIterator` pull it replaces materializes
+    * one whole partition at a time on the driver, which is unbounded
+    * exactly when a statement's result has a huge partition. Trade:
+    * the spool runs the full query before the first data page (one
+    * extra small job + local fs roundtrip per statement — the real
+    * spooling protocol's latency trade). `SET
+    * spark.sql.graft.statement.spool=false` restores the pipelined
+    * pull. */
+  val StatementSpoolKey = "spark.sql.graft.statement.spool"
+
+  def statementSpool(s: org.apache.spark.sql.SparkSession): Boolean =
+    try s.conf.get(StatementSpoolKey, "true").toBoolean
+    catch { case _: IllegalArgumentException => true }
+
+  /** Where statement spools land. On a real cluster this must be
+    * shared storage the driver can read (the spooling protocol's
+    * object-store bucket); locally the system tmp dir. */
+  val StatementSpoolDirKey = "spark.sql.graft.statement.spoolDir"
+
+  def statementSpoolDir(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.get(StatementSpoolDirKey, System.getProperty("java.io.tmpdir"))
 }

@@ -18,6 +18,35 @@ object GraftBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Constructors for V2 connector literals/partitions that are
+    * `private[sql]` in the Scala signature (public bytecode, pickled
+    * visibility) — used by the PG-dialect pinning spec to hand-build
+    * the pushdown shapes Spark itself would push. */
+  def v2Literal(v: Any, dt: DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
+  /** Render a DataFrame's rows to strings EXECUTOR-side through the
+    * df's OWN QueryExecution (`toRdd`), so the SQL metrics of the
+    * already-planned tree keep accumulating — `Dataset.rdd` would
+    * build a SEPARATE deserialization QueryExecution whose metrics the
+    * statement server's live `stats` walk cannot see. The deserializer
+    * to external Rows is the row encoder Spark itself would bind. */
+  def renderedRdd(df: DataFrame, render: Row => String)
+      : org.apache.spark.rdd.RDD[String] = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      df.schema)
+    df.queryExecution.toRdd.mapPartitions { it =>
+      val deser = enc.resolveAndBind().createDeserializer()
+      it.map(ir => render(deser(ir)))
+    }
+  }
+
+  def withPredicates(b: org.apache.spark.sql.jdbc.JdbcSQLQueryBuilder,
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : org.apache.spark.sql.jdbc.JdbcSQLQueryBuilder =
+    b.withPredicates(predicates,
+      org.apache.spark.sql.execution.datasources.jdbc.JDBCPartition(null, 0))
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession,

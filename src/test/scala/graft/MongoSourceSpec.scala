@@ -253,6 +253,53 @@ class MongoSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.idem_spec")
   }
 
+  /** The write's DECLARED per-partition ordering must actually be
+    * PLANNED (verdict r16 #5): positional `_id` idempotency
+    * (`RequiresDistributionAndOrdering` in GraftMongoWrite) is only
+    * sound if Spark inserts the local sort between a shuffled upstream
+    * and the writer — if a future Spark version or conf stopped
+    * honoring the declaration, retries could silently swap row
+    * contents between `_id`s with every other test still green. Pins
+    * the executed INSERT plan: a non-aligned repartition upstream ⇒
+    * exactly the exchange AND a local (non-global) sort over all
+    * written columns below the append node. */
+  test("a shuffled upstream write plans the declared local sort") {
+    useRoot(sf1)
+    spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.sortplan_spec")
+    spark.sql(
+      """CREATE TABLE mongodb.tpcds.sortplan_spec AS
+        |SELECT c_custkey, c_name FROM psql.tpcds.customer
+        |WHERE c_custkey <= 5""".stripMargin)
+    try {
+      // REPARTITION by a NON-sort-prefix column: the upstream contains
+      // a shuffle whose intra-partition order Spark does not promise
+      val qe = spark.sql(
+        """INSERT INTO mongodb.tpcds.sortplan_spec
+          |SELECT /*+ REPARTITION(4, c_name) */ c_custkey, c_name
+          |FROM psql.tpcds.customer
+          |WHERE c_custkey > 5 AND c_custkey <= 25""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(qe.contains("Exchange hashpartitioning(c_name"),
+        s"upstream shuffle missing — the test no longer tests the hazard:\n$qe")
+      // SortExec prints `Sort [cols], global=false` for the required
+      // LOCAL ordering DistributionAndOrderingUtils inserts
+      val sortLine = qe.linesIterator.find(_.contains("Sort ["))
+      assert(sortLine.isDefined, s"no sort planned below the write:\n$qe")
+      assert(sortLine.get.contains("false"),
+        s"sort is global, expected the cheap per-partition sort: $sortLine")
+      assert(sortLine.get.contains("c_custkey") &&
+        sortLine.get.contains("c_name"),
+        s"sort must cover ALL written columns: $sortLine")
+      // and the write still lands correct rows
+      val expect = Tables.customer(spark, sf1)
+        .filter(col("c_custkey") <= 25).count()
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM mongodb.tpcds.sortplan_spec")
+        .head.getLong(0) == expect)
+    } finally
+      spark.sql("DROP TABLE IF EXISTS mongodb.tpcds.sortplan_spec")
+  }
+
   /** The retry contract at the WRITER level: a task attempt that dies
     * after a partial mid-task flush is re-run from scratch (Spark's
     * task retry), and the store must end with exactly one copy of

@@ -261,6 +261,40 @@ class StatementServerSpec extends SparkSpec {
     assert(lastBytes > 0L && queued >= 0L && lastElapsed >= 0L)
   }
 
+  test("spool lifecycle: files back the cursor, are released on drain, equal the pipelined pull") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val sql =
+      "SELECT l_orderkey FROM psql.tpcds.lineitem ORDER BY l_orderkey"
+    val (code, first) = http("POST", s"$base/v1/statement", Some(sql),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, first)
+    var j = mapper.readTree(first)
+    val id = j.get("id").asText
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-spool-$id")
+    // the default path really is the spool: part files back the cursor
+    assert(dir.isDirectory,
+      s"expected spool dir $dir while the cursor is open; POST body: $first")
+    val rows = Seq.newBuilder[Long]
+    while (j.has("nextUri")) {
+      val (_, page) = http("GET", j.get("nextUri").asText, None)
+      j = mapper.readTree(page)
+      if (j.has("data"))
+        j.get("data").elements().asScala.foreach(r =>
+          rows += r.get(0).asLong)
+    }
+    assert(j.get("stats").get("state").asText == "FINISHED")
+    // drain end retired the cursor AND released the spool
+    assert(!dir.exists, s"spool dir $dir leaked after the drain")
+    val spooled = rows.result()
+    assert(spooled == spooled.sorted && spooled.nonEmpty)
+    // the conf kill-switch serves the same rows through toLocalIterator
+    spark.conf.set(graft.sources.GraftWireConf.StatementSpoolKey, "false")
+    val piped = try runSql(sql)._2.map(_.head.asLong)
+      finally spark.conf.unset(graft.sources.GraftWireConf.StatementSpoolKey)
+    assert(piped == spooled, "pipelined and spooled drains disagree")
+  }
+
   test("three-connector runtime-filtered statement (q86 shape) pages through the face") {
     import graft.sources.GraftJdbcSource
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
@@ -287,8 +321,15 @@ class StatementServerSpec extends SparkSpec {
       assert(rendered.contains("\"O_CUSTKEY\" IN ("), rendered)
       assert(crossed > 0 && crossed < fullF,
         s"runtime filter did not reduce wire rows: $crossed of $fullF")
-    } finally
+    } finally {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      // jdbcRuntimeFilterStatement mutates the SHARED suite session —
+      // restore it so later tests can't inherit the derbyrt catalog or
+      // a stale root (the JdbcSourceSpec cross-contamination lesson)
+      spark.conf.unset("spark.sql.graft.root")
+      Seq("", ".url", ".partitionColumn", ".numPartitions").foreach(s =>
+        spark.conf.unset(s"spark.sql.catalog.derbyrt$s"))
+    }
   }
 
   test("DML runs over the statement face (the loader's CTAS motion)") {
