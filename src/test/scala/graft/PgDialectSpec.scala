@@ -138,6 +138,34 @@ class PgDialectSpec extends SparkSpec {
     }
   }
 
+  test("PG type mapping: the DDL types an export (l11 CTAS) would create") {
+    def ddl(dt: org.apache.spark.sql.types.DataType): String =
+      dialect.getJDBCType(dt).map(_.databaseTypeDefinition)
+        .getOrElse(sys.error(s"no PG mapping for $dt"))
+    // the mappings the reference's psql schema depends on: TEXT (not
+    // CLOB), FLOAT8/FLOAT4, BYTEA (not BLOB) — all PG-specific
+    // renderings a Derby-proven path would get wrong silently
+    assert(ddl(StringType) == "TEXT", ddl(StringType))
+    assert(ddl(DoubleType) == "FLOAT8", ddl(DoubleType))
+    assert(ddl(FloatType) == "FLOAT4", ddl(FloatType))
+    assert(ddl(BinaryType) == "BYTEA", ddl(BinaryType))
+    assert(ddl(BooleanType) == "BOOLEAN", ddl(BooleanType))
+    assert(ddl(ByteType) == "SMALLINT", ddl(ByteType))
+  }
+
+  test("TopN renders as PG ORDER BY … LIMIT/OFFSET (q03 shape)") {
+    val opts = pgOptions("tpcds.orders")
+    val sql = dialect.getJdbcSQLQueryBuilder(opts)
+      .withColumns(Array("\"o_custkey\""))
+      .withSortOrders(Array("\"o_totalprice\" DESC NULLS LAST"))
+      .withLimit(20)
+      .withOffset(5)
+      .build()
+    assert(sql.contains("ORDER BY \"o_totalprice\" DESC NULLS LAST"), sql)
+    // PG takes LIMIT/OFFSET (Derby: FETCH FIRST / OFFSET … ROWS)
+    assert(sql.contains("LIMIT 20") && sql.contains("OFFSET 5"), sql)
+  }
+
   test("q86 runtime-filter IN fold renders into the PG fact scan") {
     import org.apache.spark.sql.connector.read.InputPartition
     val schema = StructType(Seq(
