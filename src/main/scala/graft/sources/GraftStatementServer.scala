@@ -68,6 +68,7 @@ object GraftStatementServer {
   /** Start (idempotently) and return the base URL. */
   def start(spark: SparkSession, port: Int = 0): String = synchronized {
     session = spark
+    sweepOrphanSpools(spark)
     if (server == null) {
       val s = HttpServer.create(
         new InetSocketAddress("127.0.0.1", port), 64)
@@ -215,6 +216,21 @@ object GraftStatementServer {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete()
     ()
+  }
+
+  /** Reclaim spool directories a CRASHED driver left behind (the
+    * in-process retirement paths cover everything else). Age-guarded
+    * at 1 h — far past the cursor idle reap — so a CONCURRENT process
+    * sharing the spool dir (another driver, a forked check) can never
+    * lose a live spool to this sweep. */
+  private def sweepOrphanSpools(spark: SparkSession): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val dir = new java.io.File(GraftWireConf.statementSpoolDir(spark))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-spool-") &&
+        f.lastModified() < cutoff && !queries.containsKey(
+          f.getName.stripPrefix("graft-spool-")))
+      .foreach(rmTree)
   }
 
   /** Analysis under the statement's catalog/schema defaults, applied

@@ -73,6 +73,9 @@ class BroadcastAuditSpec extends SparkSpec {
     "t03_lang_id" -> (Fixed, "trigram profile: 30 rows per language × 3 languages, corpus-independent by construction"),
     "t18_hashed_classifier" -> (Fixed, "hashed-feature weight table: exactly 256 rows (the bucket space) at every SF — model weights are corpus-independent by construction"),
     "p24_source_overlap" -> (Bounded, "per-source denominator aggregate: one row per source in the catalog (20 here; named datasets, not documents, at any corpus size)"),
+    "d02_word_jaccard" -> (Bounded, "probe-side word index: 100 probe docs at ANY SF (doc_id < 100), so rows = O(100 x distinct words/doc) ~ 2.3k — corpus-independent in doc count; Bounded not Fixed only because the generated docs differ slightly across SFs (2313 vs 2266 rows at the spec's two scales). In production the probe side is the query batch — bounded by definition (r17, the hot-key shuffle fix)"),
+    "d15_containment" -> (Bounded, "probe-side word index: the benchmark being checked for containment — 100 docs at any SF, same O(100 x words/doc) bound and same SF-content caveat as d02 (r17)"),
+    "t09_tf_cosine_pairs" -> (Bounded, "probe-side tf index: 100 probe docs at any SF, O(100 x distinct words/doc) ~ 2.3k rows, same bound and caveat as d02; the corpus-side index streams map-side off its localCheckpoint (r17)"),
     "t05_tfidf_topterms" -> (Fixed, "scalar doc-count relation, 1 row"),
     "p10_quality_funnel" -> (Fixed, "scalar total-docs relation feeding rate computation, 1 row"),
     "t10_rank_score" -> (Bounded, "frequency-thresholded vocabulary: O(kept token types), generator vocab is ~fixed"),

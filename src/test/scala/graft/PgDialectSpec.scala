@@ -76,6 +76,26 @@ class PgDialectSpec extends SparkSpec {
       s.contains("\"o_comment\" IS NOT NULL")), conjSql)
   }
 
+  test("temporal literals render as PG SQL (q14 BETWEEN pushdown shape)") {
+    // Catalyst timestamps are epoch micros; the dialect must render a
+    // literal PG accepts in a WHERE — a raw integer would type-error
+    // server-side, so the rendering IS the compatibility contract
+    val micros = java.time.Instant.parse("1995-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val ge = new Predicate(">=", Array(col("l_shipdate"),
+      GraftBridge.v2Literal(Long.box(micros), TimestampType)))
+    val sql = dialect.compileExpression(ge)
+    assert(sql.exists(s => s.startsWith("\"l_shipdate\" >= ") &&
+      s.contains("1995-01-01") && s.contains("'")), sql)
+
+    val days = java.time.LocalDate.of(1995, 1, 1).toEpochDay.toInt
+    val dge = new Predicate(">=", Array(col("o_orderdate"),
+      GraftBridge.v2Literal(Int.box(days), DateType)))
+    val dsql = dialect.compileExpression(dge)
+    assert(dsql.exists(s => s.contains("1995-01-01") && s.contains("'")),
+      dsql)
+  }
+
   test("aggregate pushdown renders as PG SQL (q01 SUM-in-source shape)") {
     assert(dialect.compileAggregate(
       new Sum(col("o_totalprice"), false)).contains("SUM(\"o_totalprice\")"))
