@@ -111,6 +111,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  /** r17: the inverted-index probe joins (d02/d15/t09) broadcast
+    * their bounded probe side; the corpus-side token index must
+    * STREAM into the join — a hash exchange on `w` would shuffle
+    * every (doc, token) row on hot stop-word keys, the shape that
+    * dies at corpus scale. Locks the r17 plan fix. */
+  test("d02/d15/t09: probe side broadcast, corpus index never shuffled on w") {
+    for (q <- Seq("d02_word_jaccard", "d15_containment",
+        "t09_tf_cosine_pairs")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf1))
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(w#"),
+        s"$q shuffles the corpus index on w:\n$plan")
+    }
+  }
+
   // Runtime (dynamic) filtering — the analogue of the reference's
   // dynamicFilterAssignments (reference: results/q003/workers-1/
   // explain.txt:53-54): build-side join keys filter the probe-side scan
