@@ -41,6 +41,11 @@ object ClusterCheck {
     // and a stored-index probe whose dynamic partition pruning must
     // fire across processes (executors also WRITE the index partitions)
     "q25_grouped_topk_custom", "s11_ann_persisted",
+    // r17: the broadcast-probe inverted-index joins — t09 additionally
+    // localCheckpoints the shared tf index, so its checkpointed blocks
+    // must serve all four downstream subtrees from EXECUTOR storage
+    // under a real process topology
+    "d02_word_jaccard", "t09_tf_cosine_pairs",
     // r13: the band-index probe (custom TypedImperativeAggregate
     // signatures + DPP across processes) and the bloom point DELETE
     // (sidecar build is a distributed aggregate; probe is driver-side)
