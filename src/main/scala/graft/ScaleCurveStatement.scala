@@ -94,6 +94,76 @@ object ScaleCurveStatement {
     ((System.nanoTime() - t0) / 1e9, rows.result().sorted)
   }
 
+  /** Composition gate (verdict r17 #6): executor-side spool render +
+    * REAL process topology + the Hadoop-FS read path in ONE motion. A
+    * REPARTITION(8) statement is driven through the face under
+    * `local-cluster[2,…]` with spooling ON; the gate holds iff
+    * (a) the spool job's tasks ran on BOTH executor JVMs (so the part
+    * files were written by two separate processes), (b) the spool dir
+    * held multiple part files while the cursor was open, and (c) the
+    * drained wire rows are bit-identical to direct execution of the
+    * same statement. Returns the JSON fragment for the output line;
+    * throws on any violation. */
+  private def spoolTopologyGate(spark: SparkSession, base: String): String = {
+    val sql = "SELECT /*+ REPARTITION(8) */ l_orderkey, l_partkey " +
+      "FROM lineitem WHERE l_orderkey % 7 = 0"
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        execs.add(e.taskInfo.executorId); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val conn = URI.create(s"$base/v1/statement").toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("X-Trino-User", "spooltopology")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+      var body = new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      conn.disconnect()
+      require(!body.contains("\"error\""), body.take(400))
+      val id = """"id":"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1)).get
+      // MID-drain: the part files back the open cursor right now
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        sources.GraftStatementServer.spoolDirName(id))
+      require(dir.isDirectory, s"no spool dir $dir while cursor open")
+      val parts = dir.listFiles().count(_.getName.startsWith("part-"))
+      require(parts >= 2, s"spool held $parts part files, expected >= 2")
+      // the spool job ran during the POST; its task-end events are
+      // async on the listener bus — poll briefly for both executors
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (execs.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(execs.size >= 2,
+        s"spool job tasks ran on ${execs.size} executor(s): $execs — " +
+          "part files do not span both executor JVMs")
+      val rows = Seq.newBuilder[String]
+      var next = nextRe.findFirstMatchIn(body).map(_.group(1))
+      while (next.isDefined) {
+        body = get(next.get)
+        require(!body.contains("\"error\""), body.take(400))
+        dataRe.findFirstMatchIn(body).foreach { m =>
+          m.group(1).stripPrefix("[").stripSuffix("]")
+            .split("""(?<=\]),(?=\[)""").foreach(rows += _)
+        }
+        next = nextRe.findFirstMatchIn(body).map(_.group(1))
+      }
+      require(!dir.exists, s"spool dir $dir leaked after the drain")
+      val wire = rows.result().sorted
+      val direct = spark.sql(sql).collect()
+        .map(r => s"[${r.getLong(0)},${r.getLong(1)}]").sorted.toSeq
+      require(wire == direct && wire.nonEmpty,
+        s"wire rows (${wire.size}) != direct (${direct.size})")
+      s""""spool_topology":{"executors":${execs.size},"parts":$parts,""" +
+        s""""rows":${wire.size},"match":true}"""
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   private def registerViews(spark: SparkSession, sf: String): Unit = {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sf).createOrReplaceTempView("orders")
@@ -104,6 +174,7 @@ object ScaleCurveStatement {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val executorCounts = Seq(1, 2, 4)
+    var spoolTopologyJson = ""
     // name -> (directSec, wireSec, wireRows) per N
     val results = executorCounts.map { n =>
       val spark = ScaleCurve.session(n)
@@ -114,6 +185,10 @@ object ScaleCurveStatement {
         statements.foreach { case (_, sql) =>
           wireRun(base, sql); spark.sql(sql).collect()
         }
+        // the process-topology spool gate runs at the two-executor
+        // point — the smallest N where "both executor JVMs" means
+        // anything (verdict r17 #6)
+        if (n == 2) spoolTopologyJson = spoolTopologyGate(spark, base)
         n -> statements.map { case (name, sql) =>
           val direct = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
@@ -153,7 +228,7 @@ object ScaleCurveStatement {
       n <- executorCounts; (q, _) <- statements
     } yield results(n)(q)._2 - results(n)(q)._1).max
     println(s"""{"metric":"scale_curve_statement","sf":"$sf",""" +
-      s""""status":"ok","workers":{$workers},""" +
+      s""""status":"ok","workers":{$workers},$spoolTopologyJson,""" +
       f""""max_overhead_sec":$maxOverhead%.3f}""")
     sys.exit(0) // the HttpServer dispatcher thread is non-daemon
   }

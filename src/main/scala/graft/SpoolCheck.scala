@@ -19,7 +19,7 @@ import java.nio.charset.StandardCharsets
   * the check exits nonzero.
   *
   * Prints one JSON line
-  * `{"metric":"spool_check","rows":N,"pages":P,"ordered":true}`. */
+  * `{"metric":"spool_check","rows":N,"pages":P,"complete":true}`. */
 object SpoolCheck {
 
   private def get(url: String): String = {
@@ -50,14 +50,20 @@ object SpoolCheck {
         StandardCharsets.UTF_8)
       conn.disconnect()
 
-      // drain: follow nextUri; count rows and check the ids arrive in
-      // order WITHOUT retaining anything (regex pull of leading ids)
+      // drain: follow nextUri and verify the COMPLETE id multiset
+      // arrived, WITHOUT retaining anything (running count + sum + xor
+      // — together they pin the multiset {0..rows-1} for distinct ids,
+      // which round-robin REPARTITION(1) preserves). Arrival ORDER is
+      // deliberately not asserted: round-robin repartition + shuffle
+      // block fetch order is not a Spark ordering contract, so an
+      // order gate could spuriously fail on a scheduler change even
+      // though the spool path is correct (ADVICE r17).
       val nextRe = """"nextUri":"([^"]+)"""".r
       val idRe = """\[(\d+),""".r
       var n = 0L
       var pages = 0
-      var expect = 0L
-      var ordered = true
+      var sum = 0L
+      var xor = 0L
       var next = nextRe.findFirstMatchIn(body).map(_.group(1))
       while (next.isDefined) {
         body = get(next.get)
@@ -67,16 +73,23 @@ object SpoolCheck {
           sys.exit(2)
         }
         idRe.findAllMatchIn(body).foreach { m =>
-          if (m.group(1).toLong != expect) ordered = false
-          expect += 1
+          val id = m.group(1).toLong
+          sum += id
+          xor ^= id
           n += 1
         }
         next = nextRe.findFirstMatchIn(body).map(_.group(1))
       }
       require(n == rows, s"drained $n of $rows rows")
-      require(ordered, "rows arrived out of order")
+      val (expSum, expXor) = {
+        var s = 0L; var x = 0L; var i = 0L
+        while (i < rows) { s += i; x ^= i; i += 1 }
+        (s, x)
+      }
+      require(sum == expSum && xor == expXor,
+        s"drained id multiset mismatch: sum=$sum/$expSum xor=$xor/$expXor")
       println(s"""{"metric":"spool_check","rows":$n,"pages":$pages,""" +
-        s""""ordered":true}""")
+        s""""complete":true}""")
     } finally spark.stop()
     // the HttpServer's internal dispatcher thread is non-daemon and
     // would hold the JVM open after main returns

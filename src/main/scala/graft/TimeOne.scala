@@ -14,7 +14,12 @@ object TimeOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"TIMING $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        // same inter-measurement hygiene as Bench: table cache AND
+        // leaked localCheckpoint blocks (adjudication runs must see
+        // the same clean block manager the ledger protocol assumes)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()

@@ -38,12 +38,19 @@ object Clustering {
     * wrong answers past diameter 25). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"connectedComponents: maxIter must be positive, got $maxIter")
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // materialize the pair graph ONCE before symmetrizing: the union's
+    // two branches otherwise re-inline the (potentially expensive —
+    // d20 feeds the full d17 minhash pair pipeline here) edge subtree
+    // twice into the sym job, and exchange reuse does not fire across
+    // the swapped projections (r18 adjudication of the d20 elevation)
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
+    var snapshot = sym.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    var labels = snapshot
     val lblType = labels.schema("lbl").dataType
     var converged = false
     var i = 0
@@ -72,12 +79,23 @@ object Clustering {
         .localCheckpoint()
       // convergence probe: any node whose label still shrank?
       val changed = next.filter(col("lbl") < col("prev")).limit(1).count()
+      // the superseded snapshot's blocks are dead the moment `next`
+      // materializes — free them NOW: Spark itself only releases
+      // checkpoint blocks on GC (ContextCleaner), so a long closure
+      // would otherwise hold one labels-sized snapshot PER ITERATION
+      // in the block manager (at 100 TB: 25 corpus-sized snapshots)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(snapshot)
+      snapshot = next
       labels = next.select(col("node"), col("lbl"))
       converged = changed == 0
       i += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no convergence after $maxIter iterations; raise maxIter")
+    // the result depends only on the FINAL snapshot — the edge
+    // relations' blocks are released before returning
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(e0)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sym)
     labels
   }
 

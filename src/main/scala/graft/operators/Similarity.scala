@@ -757,17 +757,33 @@ object Similarity {
          org.apache.spark.sql.DataFrame) = {
     // one footer-only count sizes BOTH quantizers' training samples
     val n = e.count()
-    val cent = ivfCentroids(e, n)
+    // The three index relations are MATERIALIZED once (localCheckpoint
+    // — the in-memory analogue of the persisted s12 index): without it
+    // every downstream reference re-inlines its training subtree, and
+    // the probe's many aggregation heads (cdot/csq/cnorm/pdot/qc) each
+    // replay coarse + PQ training — 96 corpus scans in s08's formatted
+    // plan with ZERO exchange reuse (the r17 verdict's s08 elevation;
+    // the exact t09-at-r16 signature). Sizes: cent O(ivfK) rows,
+    // codebook O(M·k·subDim) — both trivially resident; codes 8 B + a
+    // cell id per vector — the FAISS in-RAM index, i.e. the state a
+    // 100 TB deployment persists instead (s12's parquet layout).
+    val cent = ivfCentroids(e, n).localCheckpoint()
     val assigned = assignCellsWithCe(e, cent)
     // residuals r = x − c(x), then PQ codes trained ON the residuals
     val residuals = cellResiduals(assigned)
     // sample-trained on residuals: the vec_id % m filter pushes below
     // the coarse-assignment window, so training never assigns the full
     // corpus to cells twice
-    val (codebook, rcodes) = pqTrain(residuals,
+    val (codebook0, _) = pqTrain(residuals,
       math.max(1L, n / pqTrainSample))
-    (cent, codebook,
-      codesToArray(rcodes).join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id")))
+    val codebook = codebook0.localCheckpoint()
+    // encode under the MATERIALIZED codebook (pqEncode is exactly the
+    // encode half of pqTrain, so the codes are bit-identical — the
+    // oracle replays the same frozen-state chain)
+    val codesCell = codesToArray(pqEncode(residuals, codebook))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .localCheckpoint()
+    (cent, codebook, codesCell)
   }
 
   /** IVF-PQ probe — the query-side half of s08, reading ONLY the index

@@ -557,6 +557,13 @@ private[graft] final case class GraftNullStat(nulls: Long, rows: Long)
   extends GraftColStat
 
 private[graft] object GraftVersions {
+  /** The filesystem seam the commit protocol stands on (verdict r17
+    * #4): link-test-and-set, atomic overwrite, table lock, ledger
+    * append — see [[GraftCommitIo]] for the per-primitive contracts a
+    * non-POSIX store (HDFS/S3) must re-provide. Everything in this
+    * object above these four calls is storage-agnostic. */
+  private val io: GraftCommitIo = PosixCommitIo
+
   def dataDir(dir: String) = new java.io.File(dir, "data")
   def manifestFile(dir: String, v: Int) =
     new java.io.File(new java.io.File(dir, "_manifests"), s"v$v.txt")
@@ -971,14 +978,12 @@ private[graft] object GraftVersions {
     * [[schemaAt]] falls back to the header when the json is not yet
     * visible. Returns the committed version. */
   def evolveSchema(dir: String, schema: StructType): Int = {
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val v = current(dir) + 1
       val prev = if (v == 1) Seq.empty else manifestLines(dir, v - 1)
-      if (tryPublish(dir, v, s"#schema ${schema.json}" +: prev,
-          s"$nonce-$attempts")) {
+      if (tryPublish(dir, v, s"#schema ${schema.json}" +: prev)) {
         schemasDir(dir).mkdirs()
         java.nio.file.Files.write(
           new java.io.File(schemasDir(dir), s"v$v.json").toPath,
@@ -1017,13 +1022,12 @@ private[graft] object GraftVersions {
     val lines = raw.filter(l => l.nonEmpty && !l.startsWith("#")) // stats kept
     val names = lines.map(lineName)
     val restoredSchema = schemaAt(dir, v)
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
     var nv = current(dir) + 1
     while (attempts < 100) {
       attempts += 1
       val header = restoredSchema.map(s => s"#schema ${s.json}").toSeq
-      if (tryPublish(dir, nv, header ++ lines, s"$nonce-$attempts")) {
+      if (tryPublish(dir, nv, header ++ lines)) {
         // a concurrent expire may have tombstoned v between our isLive
         // check and this publish; its files stay protected for the
         // orphan grace window (expire defers physical deletion), so
@@ -1201,16 +1205,10 @@ private[graft] object GraftVersions {
     * the dead version number again (see [[isLive]]). */
   private def tombstone(dir: String, v: Int, now: Long,
       txnHdrs: Seq[String], names: Seq[String]): Unit = {
-    val mf = manifestFile(dir, v)
     val content =
       (s"$expiredMarker $now" +: (txnHdrs ++ names.map("#f " + _)))
         .mkString("", "\n", "\n")
-    val tmp = new java.io.File(mf.getParentFile,
-      s".exp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, mf.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    io.atomicOverwrite(manifestFile(dir, v), content.getBytes("UTF-8"))
   }
 
   /** (expiredAtMillis, preserved file names) for every tombstoned
@@ -1232,58 +1230,28 @@ private[graft] object GraftVersions {
         }
       }
 
-  /** One lock object per JVM: `FileChannel.lock` throws
-    * OverlappingFileLockException for same-JVM contention, so
-    * intra-process serialization happens here and the file lock covers
-    * cross-process racers. */
-  private val ptrMutex = new Object
   private def lockFile(dir: String) = new java.io.File(dir, "_lock")
 
   /** Advance `_current` to `v` (monotonic — never backwards) and append
     * the commit instant, both inside the pointer lock so concurrent
     * winners of v and v+1 can't invert the flip order or interleave
-    * ledger lines. */
-  private def publishPointer(dir: String, v: Int): Unit = ptrMutex.synchronized {
-    val ch = java.nio.channels.FileChannel.open(lockFile(dir).toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val l = ch.lock()
-    try {
-      java.nio.file.Files.write(commitsFile(dir).toPath,
-        s"v$v=${System.currentTimeMillis() * 1000L}\n".getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      if (v > current(dir)) {
-        // atomic pointer flip: write-to-temp + rename, NEVER a
-        // truncating in-place write — a concurrent reader (commit's
-        // retry loop reads `current` outside this lock) must only ever
-        // see the old value or the new value, not an empty file
-        val tmp = new java.io.File(dir, s"_current.tmp-$v")
-        java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp.toPath, currentFile(dir).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally { l.release(); ch.close() }
-  }
+    * ledger lines. The flip itself is an ATOMIC overwrite — a reader
+    * of `current` (commit's retry loop reads it outside this lock)
+    * only ever sees the old or the new value, never a torn file. */
+  private def publishPointer(dir: String, v: Int): Unit =
+    io.withTableLock(lockFile(dir)) {
+      io.appendLine(commitsFile(dir),
+        s"v$v=${System.currentTimeMillis() * 1000L}")
+      if (v > current(dir))
+        io.atomicOverwrite(currentFile(dir), s"$v\n".getBytes("UTF-8"))
+    }
 
   /** Atomically publish `lines` as snapshot `v`'s manifest. True iff
-    * this writer won version `v` (hard-link creation is the atomic
-    * test-and-set; the temp file is always cleaned up). */
-  private def tryPublish(dir: String, v: Int, lines: Seq[String],
-      nonce: String): Boolean = {
-    val mf = manifestFile(dir, v)
-    mf.getParentFile.mkdirs()
-    val tmp = new java.io.File(mf.getParentFile, s".tmp-$nonce")
-    java.nio.file.Files.write(tmp.toPath,
+    * this writer won version `v` ([[GraftCommitIo.publishIfAbsent]] is
+    * the atomic test-and-set — the protocol's commit point). */
+  private def tryPublish(dir: String, v: Int, lines: Seq[String]): Boolean =
+    io.publishIfAbsent(manifestFile(dir, v),
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    try {
-      java.nio.file.Files.createLink(mf.toPath, tmp.toPath)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally tmp.delete()
-  }
 
   /** Stage `data` once and move its files into `data/` under
     * `v<V>-<i>-<nonce>.parquet` names (collision-free across racing
@@ -1349,7 +1317,7 @@ private[graft] object GraftVersions {
         if (overwrite || v == 1) Seq.empty
         else manifestLines(dir, newestLiveAtOrBelow(dir, v - 1))
       val newLines = moved.zip(suffixes).map { case (n, s) => n + s }
-      if (tryPublish(dir, v, txnHeader(txn) ++ prev ++ newLines, nonce)) {
+      if (tryPublish(dir, v, txnHeader(txn) ++ prev ++ newLines)) {
         publishPointer(dir, v)
         GraftBlooms.write(data.sparkSession, dir, moved, data.schema)
         autoCompact(data.sparkSession, dir)
@@ -1389,7 +1357,7 @@ private[graft] object GraftVersions {
       .filter(l => keepSet.contains(lineName(l)))
     val header = (if (dataChange) Seq.empty else Seq(layoutMarker)) ++
       txnHeader(txn)
-    if (!tryPublish(dir, v, header ++ keepLines ++ newLines, nonce)) {
+    if (!tryPublish(dir, v, header ++ keepLines ++ newLines)) {
       // lost the race: surrender our staged files (they are orphans —
       // no manifest references them; a later expire may vacuum them
       // once their version prefix falls at or below the pointer)

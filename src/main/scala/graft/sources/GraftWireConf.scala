@@ -58,11 +58,30 @@ private[graft] object GraftWireConf {
     try s.conf.get(StatementSpoolKey, "true").toBoolean
     catch { case _: IllegalArgumentException => true }
 
-  /** Where statement spools land. On a real cluster this must be
-    * shared storage the driver can read (the spooling protocol's
-    * object-store bucket); locally the system tmp dir. */
+  /** Where statement spools land — resolved through the Hadoop
+    * FileSystem API on BOTH the write and read side, so any scheme the
+    * cluster's Hadoop conf knows (`hdfs://`, `s3a://`, a mounted
+    * object store) works unchanged. On a real cluster this MUST be
+    * storage every executor can write and the driver can read (the
+    * spooling protocol's object-store bucket); locally the system tmp
+    * dir. A `file:` dir under a NON-local master is refused by
+    * [[GraftStatementServer.spoolPathUsable]] unless
+    * [[StatementSpoolDirSharedKey]] declares it a shared mount —
+    * executor-local part files the driver cannot see would otherwise
+    * serve an EMPTY result with state FINISHED (verdict r17 #1). */
   val StatementSpoolDirKey = "spark.sql.graft.statement.spoolDir"
 
   def statementSpoolDir(s: org.apache.spark.sql.SparkSession): String =
     s.conf.get(StatementSpoolDirKey, System.getProperty("java.io.tmpdir"))
+
+  /** Operator declaration that a `file:`-scheme spool dir is a SHARED
+    * mount (NFS or equal) visible at the same path from the driver and
+    * every executor — the one case where `file:` + a non-local master
+    * is legitimate. Without it the spool falls back to the pipelined
+    * pull rather than risk silently serving an empty result. */
+  val StatementSpoolDirSharedKey = "spark.sql.graft.statement.spoolDirShared"
+
+  def statementSpoolDirShared(s: org.apache.spark.sql.SparkSession): Boolean =
+    try s.conf.get(StatementSpoolDirSharedKey, "false").toBoolean
+    catch { case _: IllegalArgumentException => false }
 }

@@ -47,6 +47,21 @@ object GraftBridge {
     b.withPredicates(predicates,
       org.apache.spark.sql.execution.datasources.jdbc.JDBCPartition(null, 0))
 
+  /** Release the storage blocks behind a `localCheckpoint`'d Dataset.
+    * Spark only frees checkpoint blocks when the RDD object is GC'd
+    * (ContextCleaner), so an iterative operator that snapshots per
+    * round — or a long benchmark suite running many such operators —
+    * accumulates MEMORY_AND_DISK blocks that squeeze the unified
+    * memory manager long after the snapshots are dead. No-op on
+    * non-checkpoint plans. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession,

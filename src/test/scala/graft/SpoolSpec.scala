@@ -33,7 +33,7 @@ class SpoolSpec extends AnyFunSuite {
     val tail = out.linesIterator.toSeq.takeRight(25).mkString("\n")
     assert(finished, s"spool check timed out:\n$tail")
     assert(p.exitValue() == 0, s"spool check failed:\n$tail")
-    assert(out.contains("\"rows\":2000000") && out.contains("\"ordered\":true"),
+    assert(out.contains("\"rows\":2000000") && out.contains("\"complete\":true"),
       tail)
   }
 }

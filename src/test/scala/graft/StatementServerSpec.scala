@@ -242,6 +242,12 @@ class StatementServerSpec extends SparkSpec {
     var queued = -1L
     var pages = 0
     def stat(n: JsonNode, f: String): Long = n.get("stats").get(f).asLong
+    // the Analysis/Planning split (reference time.txt; verdict r17 #5):
+    // fixed at submit, present and unchanged on every page
+    val analysis0 = stat(node, "analysisTimeMillis")
+    val planning0 = stat(node, "planningTimeMillis")
+    assert(analysis0 >= 0L && planning0 >= 0L,
+      s"analysis=$analysis0 planning=$planning0")
     while (node.has("nextUri")) {
       val (_, page) = http("GET", node.get("nextUri").asText, None)
       node = mapper.readTree(page)
@@ -252,6 +258,9 @@ class StatementServerSpec extends SparkSpec {
       assert(rows >= lastRows, s"processedRows regressed: $rows < $lastRows")
       assert(bytes >= lastBytes, s"processedBytes regressed: $bytes < $lastBytes")
       assert(elapsed >= lastElapsed, s"elapsed regressed: $elapsed < $lastElapsed")
+      assert(stat(node, "analysisTimeMillis") == analysis0 &&
+        stat(node, "planningTimeMillis") == planning0,
+        "analysis/planning split drifted across pages")
       lastRows = rows; lastBytes = bytes; lastElapsed = elapsed
       queued = stat(node, "queuedTimeMillis")
     }
@@ -259,6 +268,71 @@ class StatementServerSpec extends SparkSpec {
     // by FINISHED the scans have processed the whole collection
     assert(lastRows >= 15000L, s"final processedRows $lastRows")
     assert(lastBytes > 0L && queued >= 0L && lastElapsed >= 0L)
+  }
+
+  /** Verdict r17 #1 (the loud guard): a `file:` spool dir under a
+    * non-local master is executor-local disk the driver cannot read —
+    * the spool path must refuse it (and fall back to pipelined) rather
+    * than serve an empty FINISHED result. Pure-function gate over the
+    * (master, scheme, declared-shared) decision table. */
+  test("spoolPathUsable refuses executor-local file: dirs on real clusters") {
+    import GraftStatementServer.spoolPathUsable
+    // same-box masters: every JVM shares this machine's filesystem
+    assert(spoolPathUsable("local[32]", "file", declaredShared = false))
+    assert(spoolPathUsable("local-cluster[2,4,2048]", "file",
+      declaredShared = false))
+    // shared storage schemes are readable from anywhere
+    for (m <- Seq("spark://coord:7077", "yarn", "k8s://https://api:6443"))
+      for (s <- Seq("hdfs", "s3a", "graftfs"))
+        assert(spoolPathUsable(m, s, declaredShared = false), s"$m/$s")
+    // the silent-wrongness case: file: + real cluster + no declaration
+    for (m <- Seq("spark://coord:7077", "yarn", "k8s://https://api:6443")) {
+      assert(!spoolPathUsable(m, "file", declaredShared = false), m)
+      // an operator-declared NFS mount is the one legitimate exception
+      assert(spoolPathUsable(m, "file", declaredShared = true), m)
+    }
+  }
+
+  /** Verdict r17 #1 (the read path): the spool must resolve BOTH write
+    * and read through the Hadoop FileSystem API, so a non-`file:`
+    * scheme — here a registered test scheme backed by
+    * RawLocalFileSystem — round-trips end to end. The old java.io read
+    * path could not open `graftfs:` part files at all. */
+  test("spool write+read round-trip through a non-file: Hadoop scheme") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val scratch = java.nio.file.Files.createTempDirectory("graft_fs_spool")
+    hconf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    spark.conf.set(graft.sources.GraftWireConf.StatementSpoolDirKey,
+      s"graftfs:$scratch")
+    try {
+      val sql = "SELECT l_orderkey FROM psql.tpcds.lineitem " +
+        "ORDER BY l_orderkey"
+      val (code, first) = http("POST", s"$base/v1/statement", Some(sql),
+        Map("X-Trino-User" -> "spec"))
+      assert(code == 200, first)
+      var j = mapper.readTree(first)
+      val id = j.get("id").asText
+      val dir = new java.io.File(scratch.toFile,
+        GraftStatementServer.spoolDirName(id))
+      assert(dir.isDirectory, s"spool did not land under graftfs: $dir")
+      assert(dir.listFiles().exists(_.getName.startsWith("part-")), dir)
+      val rows = Seq.newBuilder[Long]
+      while (j.has("nextUri")) {
+        val (_, page) = http("GET", j.get("nextUri").asText, None)
+        j = mapper.readTree(page)
+        if (j.has("data"))
+          j.get("data").elements().asScala.foreach(r => rows += r.get(0).asLong)
+      }
+      assert(j.get("stats").get("state").asText == "FINISHED")
+      val got = rows.result()
+      val direct = spark.sql(sql).collect().map(_.getLong(0)).toSeq
+      assert(got == direct && got.nonEmpty, "graftfs drain != direct")
+      assert(!dir.exists, s"graftfs spool $dir leaked after the drain")
+    } finally {
+      spark.conf.unset(graft.sources.GraftWireConf.StatementSpoolDirKey)
+      hconf.unset("fs.graftfs.impl")
+    }
   }
 
   test("spool lifecycle: files back the cursor, are released on drain, equal the pipelined pull") {
@@ -270,8 +344,10 @@ class StatementServerSpec extends SparkSpec {
     assert(code == 200, first)
     var j = mapper.readTree(first)
     val id = j.get("id").asText
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-spool-$id")
+    // dir names are process-unique (nonce + id) so concurrent JVMs
+    // sharing the default tmpdir can never collide (ADVICE r17)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      GraftStatementServer.spoolDirName(id))
     // the default path really is the spool: part files back the cursor
     assert(dir.isDirectory,
       s"expected spool dir $dir while the cursor is open; POST body: $first")
