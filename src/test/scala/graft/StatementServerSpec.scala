@@ -371,6 +371,61 @@ class StatementServerSpec extends SparkSpec {
     assert(piped == spooled, "pipelined and spooled drains disagree")
   }
 
+  /** ADVICE r17: every early retirement path must CLOSE the currently
+    * open spool reader before deleting the dir — else each abandoned
+    * cursor leaks a file descriptor (and on non-POSIX filesystems the
+    * open file blocks the delete). Observable on Linux via /proc: after
+    * DELETE, no fd of this process may still point into the spool dir. */
+  test("DELETE mid-drain closes the open spool reader and frees the dir") {
+    spark.conf.set("spark.sql.graft.root", sf2)
+    val (_, first) = http("POST", s"$base/v1/statement",
+      Some("SELECT o_orderkey FROM mongodb.tpcds.orders"),
+      Map("X-Trino-User" -> "spec"))
+    var j = mapper.readTree(first)
+    val id = j.get("id").asText
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      GraftStatementServer.spoolDirName(id))
+    // pull ONE page so a part-file reader is open mid-drain
+    val (_, page) = http("GET", j.get("nextUri").asText, None)
+    j = mapper.readTree(page)
+    assert(j.has("nextUri") && dir.isDirectory, page.take(200))
+    def openFdsInto(d: java.io.File): Seq[String] = {
+      val fdDir = new java.io.File("/proc/self/fd")
+      Option(fdDir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        try {
+          val t = java.nio.file.Files.readSymbolicLink(f.toPath).toString
+          if (t.startsWith(d.getAbsolutePath)) Some(t) else None
+        } catch { case _: Exception => None }
+      }
+    }
+    assert(openFdsInto(dir).nonEmpty, "expected an open reader mid-drain")
+    val (del, _) = http("DELETE", j.get("nextUri").asText, None)
+    assert(del == 204)
+    assert(!dir.exists, s"spool dir $dir survived the DELETE")
+    assert(openFdsInto(dir).isEmpty,
+      "cancel leaked an open fd into the deleted spool dir")
+  }
+
+  /** ADVICE r17: a spool JOB failure (runtime error inside the save)
+    * must delete its partial dir before the failedJson response — the
+    * orphan sweep only runs at start() and is 1 h age-guarded, so a
+    * long-lived server would otherwise accumulate failed-statement
+    * spools for its lifetime. */
+  test("a failing spooled statement leaves no partial spool dir behind") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def spoolDirs() = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-spool-")).map(_.getName).toSet
+    val before = spoolDirs()
+    val (code, body) = http("POST", s"$base/v1/statement",
+      Some("SELECT assert_true(id < 10, 'boom') AS a FROM RANGE(100000)"),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("stats").get("state").asText == "FAILED", body.take(300))
+    assert(spoolDirs() == before,
+      s"failed statement stranded a spool dir: ${spoolDirs() -- before}")
+  }
+
   test("three-connector runtime-filtered statement (q86 shape) pages through the face") {
     import graft.sources.GraftJdbcSource
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
