@@ -50,6 +50,13 @@ object ClusterCheck {
     // signatures + DPP across processes) and the bloom point DELETE
     // (sidecar build is a distributed aggregate; probe is driver-side)
     "d23_incremental_minhash", "l12_bloom_point_delete",
+    // r18: the round's riskiest new paths under a process topology —
+    // the connected-components loop now RELEASES superseded label
+    // snapshots mid-query (executor-resident checkpoint blocks must
+    // come and go without breaking the live lineage), and the IVF-PQ
+    // build materializes its index relations via localCheckpoint whose
+    // blocks every probe stage must read back across executor JVMs
+    "d20_para_clusters", "s08_ann_ivfpq",
     // r15: runtime dynamic filtering into WIRE scans across processes —
     // the DPP subquery evaluates driver-side, scan.filter() narrows the
     // partition plan, and executor JVMs dial the store with the

@@ -76,18 +76,29 @@ object GraftStatementServer {
     * on exhaustion, leaking an fd per abandoned cursor). */
   private final class SpoolCursor(
       fs: org.apache.hadoop.fs.FileSystem,
-      parts: Array[org.apache.hadoop.fs.Path])
+      parts: Array[org.apache.hadoop.fs.Path],
+      codecs: org.apache.hadoop.io.compress.CompressionCodecFactory)
       extends Iterator[String] with AutoCloseable {
     private var idx = 0
     private var reader: java.io.BufferedReader = _
     private var pending: String = _
     @volatile private var closed = false
+    /** Raw part stream, codec-wrapped when the file EXTENSION names
+      * one — detection is per file, not per conf, so a codec conf
+      * change mid-server never misreads an already-written spool. */
+    private def open(p: org.apache.hadoop.fs.Path): java.io.InputStream = {
+      val raw = fs.open(p)
+      Option(codecs.getCodec(p)) match {
+        case Some(c) => c.createInputStream(raw)
+        case None => raw
+      }
+    }
     override def hasNext: Boolean = synchronized {
       while (pending == null && !closed) {
         if (reader == null) {
           if (idx >= parts.length) return false
           reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-            fs.open(parts(idx)), StandardCharsets.UTF_8))
+            open(parts(idx)), StandardCharsets.UTF_8))
           idx += 1
         }
         pending = reader.readLine()
@@ -297,9 +308,13 @@ object GraftStatementServer {
       fs.makeQualified(base), spoolDirName(id))
     // a failed spool job must not strand a partial dir for the server's
     // lifetime — the 1 h orphan sweep only runs at start() (ADVICE r17)
-    try org.apache.spark.sql.GraftBridge.renderedRdd(df, renderRow)
-      .saveAsTextFile(dir.toString)
-    catch {
+    try {
+      val rdd = org.apache.spark.sql.GraftBridge.renderedRdd(df, renderRow)
+      GraftWireConf.statementSpoolCodec(sess) match {
+        case Some(codec) => rdd.saveAsTextFile(dir.toString, codec)
+        case None => rdd.saveAsTextFile(dir.toString)
+      }
+    } catch {
       case scala.util.control.NonFatal(e) =>
         try fs.delete(dir, true)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -308,7 +323,9 @@ object GraftStatementServer {
     val parts = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName).map(_.getPath)
-    val cursor = new SpoolCursor(fs, parts)
+    val cursor = new SpoolCursor(fs, parts,
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(
+        sess.sessionState.newHadoopConf()))
     new QueryState(id, df.schema.fields.toSeq, cursor, PageRows, df,
       analysisMillis, planningMillis,
       cleanup = () => {

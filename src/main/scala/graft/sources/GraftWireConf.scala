@@ -74,6 +74,29 @@ private[graft] object GraftWireConf {
   def statementSpoolDir(s: org.apache.spark.sql.SparkSession): String =
     s.conf.get(StatementSpoolDirKey, System.getProperty("java.io.tmpdir"))
 
+  /** Spool part-file compression codec: `none` (default — local tmp
+    * spools are short-lived page-cache traffic), `gzip`, or `deflate`
+    * (both pure-JVM, no native lib dependency). On a real cluster the
+    * spool write+read is RESULT-sized I/O against shared storage
+    * (hdfs/s3), where text-JSON pages compress 5-10× — the same trade
+    * Trino's spooling protocol makes (zstd-compressed segments). The
+    * read side detects the codec from the part-file extension, so a
+    * conf change mid-server never misreads an existing spool. */
+  val StatementSpoolCodecKey = "spark.sql.graft.statement.spoolCodec"
+
+  def statementSpoolCodec(s: org.apache.spark.sql.SparkSession)
+      : Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] =
+    s.conf.get(StatementSpoolCodecKey, "none").toLowerCase match {
+      case "gzip" =>
+        Some(classOf[org.apache.hadoop.io.compress.GzipCodec])
+      case "deflate" =>
+        Some(classOf[org.apache.hadoop.io.compress.DeflateCodec])
+      case "none" | "" => None
+      case other => throw new IllegalArgumentException(
+        s"$StatementSpoolCodecKey: unsupported codec '$other' " +
+          "(supported: none, gzip, deflate)")
+    }
+
   /** Operator declaration that a `file:`-scheme spool dir is a SHARED
     * mount (NFS or equal) visible at the same path from the driver and
     * every executor — the one case where `file:` + a non-local master

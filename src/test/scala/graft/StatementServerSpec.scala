@@ -371,6 +371,52 @@ class StatementServerSpec extends SparkSpec {
     assert(piped == spooled, "pipelined and spooled drains disagree")
   }
 
+  /** Spool compression (`spark.sql.graft.statement.spoolCodec=gzip`):
+    * on a real cluster the spool is RESULT-sized I/O against shared
+    * storage, where text-JSON pages compress 5-10× (Trino's spooling
+    * protocol makes the same trade). The read side detects the codec
+    * from the part-file extension, so the drain must be byte-identical
+    * to the uncompressed one. */
+  test("gzip-compressed spool drains identical rows; parts carry the extension") {
+    spark.conf.set("spark.sql.graft.root", sf1)
+    val sql = "SELECT l_orderkey, l_partkey FROM psql.tpcds.lineitem " +
+      "ORDER BY l_orderkey, l_partkey, l_suppkey"
+    val plain = runSql(sql)._2.map(r => (r(0).asLong, r(1).asLong))
+    spark.conf.set(graft.sources.GraftWireConf.StatementSpoolCodecKey, "gzip")
+    try {
+      val (code, first) = http("POST", s"$base/v1/statement", Some(sql),
+        Map("X-Trino-User" -> "spec"))
+      assert(code == 200, first)
+      var j = mapper.readTree(first)
+      val id = j.get("id").asText
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        GraftStatementServer.spoolDirName(id))
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+        s"expected .gz parts, got ${parts.map(_.getName).mkString(",")}")
+      val rows = Seq.newBuilder[(Long, Long)]
+      while (j.has("nextUri")) {
+        val (_, page) = http("GET", j.get("nextUri").asText, None)
+        j = mapper.readTree(page)
+        if (j.has("data"))
+          j.get("data").elements().asScala.foreach(r =>
+            rows += ((r.get(0).asLong, r.get(1).asLong)))
+      }
+      assert(j.get("stats").get("state").asText == "FINISHED")
+      assert(rows.result() == plain && plain.nonEmpty,
+        "gzip spool drain != plain drain")
+      assert(!dir.exists, s"gzip spool dir $dir leaked")
+      // unknown codec names fail loudly at submit, not silently plain
+      spark.conf.set(
+        graft.sources.GraftWireConf.StatementSpoolCodecKey, "zstd9")
+      val (c2, body) = http("POST", s"$base/v1/statement", Some(sql),
+        Map("X-Trino-User" -> "spec"))
+      assert(c2 == 200 && body.contains("unsupported codec"), body.take(300))
+    } finally spark.conf.unset(
+      graft.sources.GraftWireConf.StatementSpoolCodecKey)
+  }
+
   /** ADVICE r17: every early retirement path must CLOSE the currently
     * open spool reader before deleting the dir — else each abandoned
     * cursor leaks a file descriptor (and on non-POSIX filesystems the
