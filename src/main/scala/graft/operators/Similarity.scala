@@ -1011,7 +1011,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val corpus = e.filter(col("vec_id") >= 10)
       .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
-    val cent = ivfCentroids(corpus)
+    val cent = ivfCentroids(corpus).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
       .withColumn("crn", row_number().over(
@@ -1171,7 +1171,7 @@ object Similarity {
   ) { (s, d) =>
     val idxDir = indexDir(s, "s11", d)
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
+    val cent = ivfCentroids(e).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1217,7 +1217,7 @@ object Similarity {
     val idxDir = indexDir(s, "s14", d)
     val e = Tables.embeddings(s, d)
     val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
-    val cent = ivfCentroids(e.filter(!arriving))
+    val cent = ivfCentroids(e.filter(!arriving)).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e.filter(!arriving), cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1285,7 +1285,7 @@ object Similarity {
   ) { (s, d) =>
     val idxDir = indexDir(s, "s13", d)
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
+    val cent = ivfCentroids(e).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1320,7 +1320,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     def batch(m: Int) = col("vec_id") % 10 === m && col("vec_id") >= 10
     val isBase = !(batch(7) || batch(8) || batch(9))
-    val cent = ivfCentroids(e.filter(isBase))
+    val cent = ivfCentroids(e.filter(isBase)).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e.filter(isBase), cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1415,7 +1415,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val arriving = col("vec_id") % 10 === appendMod && col("vec_id") >= 10
     val base = e.filter(!arriving && col("vec_id") >= 10)
-    val cent = ivfCentroids(base)
+    val cent = ivfCentroids(base).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     // base build: cells + centroids + the O(k) per-cell baseline stats
     val assignedBase = assignCells(base, cent)
     assignedBase.drop("cs")
@@ -1590,7 +1590,7 @@ object Similarity {
   ) { (s, d) =>
     val idxDir = indexDir(s, "s18", d)
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
+    val cent = ivfCentroids(e).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1703,7 +1703,7 @@ object Similarity {
   ) { (s, d) =>
     val idxDir = indexDir(s, "s20", d)
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
+    val cent = ivfCentroids(e).localCheckpoint() // train once; both consumers read the materialized O(k) rows
     nearestCells(e, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
@@ -1986,7 +1986,7 @@ object Similarity {
     // on the missing path instead of rebuilding)
     if (!new java.io.File(s"$idxDir/cells").exists() ||
         !new java.io.File(s"$idxDir/centroids").exists()) {
-      val cent = ivfCentroids(e)
+      val cent = ivfCentroids(e).localCheckpoint() // train once; both consumers read the materialized O(k) rows
       nearestCells(e, cent)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
       cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
