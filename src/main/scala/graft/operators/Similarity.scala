@@ -583,8 +583,13 @@ object Similarity {
     // sample vec_ids): codes become true small ints and the ADC flat
     // LUT key sub·k + code stays compact. Window runs over ≤ M·k·d/M
     // codebook rows, hash-partitioned by sub.
+    // materialize the O(M·k·subDim) codebook before fan-out: every
+    // caller references it at least twice (the returned encode plus
+    // its own LUT/probe heads), and a lazy codebook re-runs the Lloyd
+    // training once per reference (the r18 train-once discipline)
     val c1d = c1.withColumn("cl",
       (expr("dense_rank() OVER (PARTITION BY sub ORDER BY cl)") - 1).cast("long"))
+      .localCheckpoint()
     (c1d, pqEncode(e, c1d))
   }
 
@@ -774,9 +779,9 @@ object Similarity {
     // sample-trained on residuals: the vec_id % m filter pushes below
     // the coarse-assignment window, so training never assigns the full
     // corpus to cells twice
-    val (codebook0, _) = pqTrain(residuals,
+    // pqTrain returns the codebook already materialized (train-once)
+    val (codebook, _) = pqTrain(residuals,
       math.max(1L, n / pqTrainSample))
-    val codebook = codebook0.localCheckpoint()
     // encode under the MATERIALIZED codebook (pqEncode is exactly the
     // encode half of pqTrain, so the codes are bit-identical — the
     // oracle replays the same frozen-state chain)
