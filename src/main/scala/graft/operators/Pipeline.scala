@@ -432,12 +432,22 @@ object Pipeline {
         val (pa, pb, c) =
           (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
         merges += ((step.toLong, pa, pb, pa + pb, c))
-        words = words
+        val next = words
           .select(replace(col("ws"), lit(S + pa + S + S + pb + S),
             lit(S + pa + pb + S)).as("ws"), col("n"))
           .localCheckpoint()
+        // the superseded word-table snapshot is dead once the merged
+        // one materializes — release it now (Spark frees checkpoint
+        // blocks only on GC; without this the loop holds one
+        // LEXICON-sized snapshot per learned rule, the d20-at-r18
+        // residency class)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(words)
+        words = next
       }
     }
+    // the rule list is already driver-local; the final snapshot's
+    // blocks are not part of the result
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(words)
     merges.result()
   }
 

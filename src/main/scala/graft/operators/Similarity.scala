@@ -1527,7 +1527,20 @@ object Similarity {
     * (s01's corpus pass in s17, the filtered stored-index probe in
     * s20) can feed the same rerank. The pool must already be bounded
     * per query (callers localCheckpoint it so the generator never
-    * re-executes inside the loop). */
+    * re-executes inside the loop).
+    *
+    * The growing selection is materialized PER ITERATION: each step
+    * references `sel` three times (the union's kept branch, the
+    * anti-join mask, and the diversity join), so a lazy loop re-inlines
+    * the previous step's whole subtree 3× per round — 3^k plan growth
+    * (161 leaf scans and a ~7,900-line formatted plan at mmrK = 5, the
+    * r19 adjudication of the s20 elevation; the same re-inlined-subtree
+    * class as s08's lazy index relations at r18, one level up — here
+    * the data stays tiny but the OPTIMIZER/CODEGEN cost explodes, a
+    * driver-side bottleneck no executor count fixes). Checkpointing the
+    * O(queries·k)-row selection keeps the plan linear in k; superseded
+    * snapshots are released immediately (connectedComponents'
+    * discipline — Spark frees checkpoint blocks only on GC). */
   private[graft] def mmrSelect(pool: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     var sel = pool
@@ -1536,6 +1549,7 @@ object Similarity {
       .filter(col("r") === 1)
       .select(col("qid"), col("vec_id"), col("embedding"), col("cos"),
         lit(1).as("rank"))
+      .localCheckpoint()
     for (k <- 2 to mmrK) {
       val remaining = pool.join(
         sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
@@ -1547,12 +1561,17 @@ object Similarity {
           max(col("sim")).as("maxsim"))
         .withColumn("mmr",
           lit(mmrLambda) * col("cos") - lit(1 - mmrLambda) * col("maxsim"))
-      sel = sel.unionByName(scored
+      val next = sel.unionByName(scored
         .withColumn("r", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))))
         .filter(col("r") === 1)
         .select(col("qid"), col("vec_id"), col("embedding"), col("cos"),
           lit(k).as("rank")))
+        .localCheckpoint()
+      // the superseded snapshot's blocks are dead once `next` holds the
+      // union of it and the new pick — free them now, not at GC
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sel)
+      sel = next
     }
     sel.select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
       .orderBy(col("qid"), col("rank"))
