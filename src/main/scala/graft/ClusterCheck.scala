@@ -62,7 +62,13 @@ object ClusterCheck {
     // partition plan, and executor JVMs dial the store with the
     // narrowed request (mongo $in via q82's stats-driven join; ES
     // terms via q85's q005 shape)
-    "q82_cbo_stats_join", "q85_elastic_runtime_filter")
+    "q82_cbo_stats_join", "q85_elastic_runtime_filter",
+    // r19: the MMR rerank loop now materializes its growing selection
+    // per iteration AND releases each superseded snapshot mid-query —
+    // five checkpoint/release cycles whose blocks live in executor
+    // JVMs; s17 feeds it from a corpus pass, s20 from the full stored-
+    // index pipeline (build + DPP probe + eligible semi-join upstream)
+    "s17_ann_mmr", "s20_retrieval_pipeline")
 
   private def canonical(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

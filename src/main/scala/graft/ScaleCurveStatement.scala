@@ -97,71 +97,89 @@ object ScaleCurveStatement {
   /** Composition gate (verdict r17 #6): executor-side spool render +
     * REAL process topology + the Hadoop-FS read path in ONE motion. A
     * REPARTITION(8) statement is driven through the face under
-    * `local-cluster[2,…]` with spooling ON; the gate holds iff
-    * (a) the spool job's tasks ran on BOTH executor JVMs (so the part
-    * files were written by two separate processes), (b) the spool dir
-    * held multiple part files while the cursor was open, and (c) the
-    * drained wire rows are bit-identical to direct execution of the
-    * same statement. Returns the JSON fragment for the output line;
-    * throws on any violation. */
+    * `local-cluster[2,…]` with spooling ON. HARD conditions (throw on
+    * violation): the spool dir held multiple part files while the
+    * cursor was open, was released after the drain, and the drained
+    * wire rows are bit-identical to direct execution. The two-executor
+    * task SPREAD is a recorded metric, not a throw: placement across
+    * executors is not a Spark scheduling contract (with 2×4 slots one
+    * fast executor can legally take all 8 tasks — ADVICE r18, the same
+    * flake class as SpoolCheck's retired order assertion). The gate
+    * waits for both executor JVMs to register and retries the
+    * statement up to 3× so the spread is observed in practice; a
+    * 1-executor reading after that is reported as `"executors":1` for
+    * the ledger to judge, with every correctness condition still
+    * enforced. */
   private def spoolTopologyGate(spark: SparkSession, base: String): String = {
     val sql = "SELECT /*+ REPARTITION(8) */ l_orderkey, l_partkey " +
       "FROM lineitem WHERE l_orderkey % 7 = 0"
-    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        execs.add(e.taskInfo.executorId); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val conn = URI.create(s"$base/v1/statement").toURL.openConnection()
-        .asInstanceOf[HttpURLConnection]
-      conn.setRequestMethod("POST")
-      conn.setRequestProperty("X-Trino-User", "spooltopology")
-      conn.setDoOutput(true)
-      conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
-      var body = new String(conn.getInputStream.readAllBytes(),
-        StandardCharsets.UTF_8)
-      conn.disconnect()
-      require(!body.contains("\"error\""), body.take(400))
-      val id = """"id":"([^"]+)"""".r.findFirstMatchIn(body)
-        .map(_.group(1)).get
-      // MID-drain: the part files back the open cursor right now
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        sources.GraftStatementServer.spoolDirName(id))
-      require(dir.isDirectory, s"no spool dir $dir while cursor open")
-      val parts = dir.listFiles().count(_.getName.startsWith("part-"))
-      require(parts >= 2, s"spool held $parts part files, expected >= 2")
-      // the spool job ran during the POST; its task-end events are
-      // async on the listener bus — poll briefly for both executors
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (execs.size < 2 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      require(execs.size >= 2,
-        s"spool job tasks ran on ${execs.size} executor(s): $execs — " +
-          "part files do not span both executor JVMs")
-      val rows = Seq.newBuilder[String]
-      var next = nextRe.findFirstMatchIn(body).map(_.group(1))
-      while (next.isDefined) {
-        body = get(next.get)
-        require(!body.contains("\"error\""), body.take(400))
-        dataRe.findFirstMatchIn(body).foreach { m =>
-          m.group(1).stripPrefix("[").stripSuffix("]")
-            .split("""(?<=\]),(?=\[)""").foreach(rows += _)
+    // both executor JVMs registered (driver + 2) before the spool job
+    // POSTs: 8 simultaneous tasks over 8 slots in 2 processes is what
+    // makes the spread near-certain
+    val regDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getExecutorInfos.length < 3 &&
+        System.nanoTime() < regDeadline)
+      Thread.sleep(100)
+    var spread = 0
+    var parts = 0
+    var wire: Seq[String] = Seq.empty
+    var attempt = 0
+    while (attempt < 3 && spread < 2) {
+      attempt += 1
+      val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          execs.add(e.taskInfo.executorId); ()
         }
-        next = nextRe.findFirstMatchIn(body).map(_.group(1))
       }
-      require(!dir.exists, s"spool dir $dir leaked after the drain")
-      val wire = rows.result().sorted
-      val direct = spark.sql(sql).collect()
-        .map(r => s"[${r.getLong(0)},${r.getLong(1)}]").sorted.toSeq
-      require(wire == direct && wire.nonEmpty,
-        s"wire rows (${wire.size}) != direct (${direct.size})")
-      s""""spool_topology":{"executors":${execs.size},"parts":$parts,""" +
-        s""""rows":${wire.size},"match":true}"""
-    } finally spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val conn = URI.create(s"$base/v1/statement").toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("X-Trino-User", "spooltopology")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+        var body = new String(conn.getInputStream.readAllBytes(),
+          StandardCharsets.UTF_8)
+        conn.disconnect()
+        require(!body.contains("\"error\""), body.take(400))
+        val id = """"id":"([^"]+)"""".r.findFirstMatchIn(body)
+          .map(_.group(1)).get
+        // MID-drain: the part files back the open cursor right now
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          sources.GraftStatementServer.spoolDirName(id))
+        require(dir.isDirectory, s"no spool dir $dir while cursor open")
+        parts = dir.listFiles().count(_.getName.startsWith("part-"))
+        require(parts >= 2, s"spool held $parts part files, expected >= 2")
+        // the spool job ran during the POST; its task-end events are
+        // async on the listener bus — poll briefly
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (execs.size < 2 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val rows = Seq.newBuilder[String]
+        var next = nextRe.findFirstMatchIn(body).map(_.group(1))
+        while (next.isDefined) {
+          body = get(next.get)
+          require(!body.contains("\"error\""), body.take(400))
+          dataRe.findFirstMatchIn(body).foreach { m =>
+            m.group(1).stripPrefix("[").stripSuffix("]")
+              .split("""(?<=\]),(?=\[)""").foreach(rows += _)
+          }
+          next = nextRe.findFirstMatchIn(body).map(_.group(1))
+        }
+        require(!dir.exists, s"spool dir $dir leaked after the drain")
+        wire = rows.result().sorted
+        spread = execs.size
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val direct = spark.sql(sql).collect()
+      .map(r => s"[${r.getLong(0)},${r.getLong(1)}]").sorted.toSeq
+    require(wire == direct && wire.nonEmpty,
+      s"wire rows (${wire.size}) != direct (${direct.size})")
+    s""""spool_topology":{"executors":$spread,"parts":$parts,""" +
+      s""""rows":${wire.size},"match":true,"attempts":$attempt}"""
   }
 
   private def registerViews(spark: SparkSession, sf: String): Unit = {

@@ -33,13 +33,19 @@ object SpoolCheck {
 
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    // optional 2nd arg: spool codec (none|gzip|deflate) — the r19
+    // codec-default measurement runs this check once per codec and
+    // compares spooled bytes vs wall seconds
+    val codec = args.lift(1).getOrElse("none")
     val spark = GraftSession.local("8")
     try {
+      spark.conf.set(sources.GraftWireConf.StatementSpoolCodecKey, codec)
       val base = sources.GraftStatementServer.start(spark)
       // one partition, ~250 B of rendered JSON per row: the exact
       // shape the pipelined pull cannot bound
       val sql = s"SELECT /*+ REPARTITION(1) */ id, repeat('x', 120) " +
         s"AS pad FROM range($rows)"
+      val t0 = System.nanoTime()
       val conn = URI.create(s"$base/v1/statement").toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
       conn.setRequestMethod("POST")
@@ -49,21 +55,42 @@ object SpoolCheck {
       var body = new String(conn.getInputStream.readAllBytes(),
         StandardCharsets.UTF_8)
       conn.disconnect()
+      // spooled footprint, measured MID-drain (the dir is deleted at
+      // drain end): what the codec trades CPU against
+      val spoolBytes = """"id":"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1)).map { id =>
+          val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+            sources.GraftStatementServer.spoolDirName(id))
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("part-")).map(_.length()).sum
+        }.getOrElse(0L)
 
       // drain: follow nextUri and verify the COMPLETE id multiset
-      // arrived, WITHOUT retaining anything (running count + sum + xor
-      // — together they pin the multiset {0..rows-1} for distinct ids,
-      // which round-robin REPARTITION(1) preserves). Arrival ORDER is
-      // deliberately not asserted: round-robin repartition + shuffle
-      // block fetch order is not a Spark ordering contract, so an
-      // order gate could spuriously fail on a scheduler change even
-      // though the spool path is correct (ADVICE r17).
+      // arrived, WITHOUT retaining anything. count + sum + xor alone do
+      // NOT pin the multiset ({0,0,3,3} and {0,1,2,3} agree on all
+      // three — ADVICE r18), so a fourth accumulator folds each id
+      // through a 64-bit avalanche mix (splitmix64's finalizer) and
+      // XORs the results: a duplication-plus-omission corruption now
+      // has to collide a full-width hash, leaving the gate wrong only
+      // with ~2^-64 probability instead of on constructible inputs.
+      // Arrival ORDER is deliberately not asserted: round-robin
+      // repartition + shuffle block fetch order is not a Spark
+      // ordering contract, so an order gate could spuriously fail on a
+      // scheduler change even though the spool path is correct
+      // (ADVICE r17).
+      def mix64(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
       val nextRe = """"nextUri":"([^"]+)"""".r
       val idRe = """\[(\d+),""".r
       var n = 0L
       var pages = 0
       var sum = 0L
       var xor = 0L
+      var hx = 0L
       var next = nextRe.findFirstMatchIn(body).map(_.group(1))
       while (next.isDefined) {
         body = get(next.get)
@@ -76,20 +103,24 @@ object SpoolCheck {
           val id = m.group(1).toLong
           sum += id
           xor ^= id
+          hx ^= mix64(id)
           n += 1
         }
         next = nextRe.findFirstMatchIn(body).map(_.group(1))
       }
       require(n == rows, s"drained $n of $rows rows")
-      val (expSum, expXor) = {
-        var s = 0L; var x = 0L; var i = 0L
-        while (i < rows) { s += i; x ^= i; i += 1 }
-        (s, x)
+      val (expSum, expXor, expHx) = {
+        var s = 0L; var x = 0L; var h = 0L; var i = 0L
+        while (i < rows) { s += i; x ^= i; h ^= mix64(i); i += 1 }
+        (s, x, h)
       }
-      require(sum == expSum && xor == expXor,
-        s"drained id multiset mismatch: sum=$sum/$expSum xor=$xor/$expXor")
+      require(sum == expSum && xor == expXor && hx == expHx,
+        s"drained id multiset mismatch: sum=$sum/$expSum xor=$xor/$expXor " +
+          s"hash=$hx/$expHx")
+      val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"metric":"spool_check","rows":$n,"pages":$pages,""" +
-        s""""complete":true}""")
+        s""""codec":"$codec","spoolBytes":$spoolBytes,""" +
+        s""""sec":${"%.3f".format(sec)},"complete":true}""")
     } finally spark.stop()
     // the HttpServer's internal dispatcher thread is non-daemon and
     // would hold the JVM open after main returns

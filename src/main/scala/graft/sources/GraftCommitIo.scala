@@ -122,3 +122,136 @@ private[graft] object PosixCommitIo extends GraftCommitIo {
     ()
   }
 }
+
+/** The Hadoop-FileSystem implementation (verdict r18 #4) — the same
+  * four contracts re-provided on the public
+  * [[org.apache.hadoop.fs.FileContext]] API, for storage reached
+  * through a Hadoop scheme (hdfs://, or any registered FS honoring
+  * the documented rename semantics). Recipes, per primitive:
+  *
+  *  - [[publishIfAbsent]]: fully write a same-directory temp file,
+  *    then `rename(tmp, target)` WITHOUT the OVERWRITE option — the
+  *    FileSystem specification requires that rename to fail if the
+  *    destination exists, and on HDFS the exists-check and the rename
+  *    are one atomic NameNode operation (the FileOutputCommitter
+  *    commit idiom), so exactly one of N racers wins and the winner's
+  *    content is complete before it becomes visible. A bare
+  *    `create(overwrite=false)` also wins exactly once on HDFS but
+  *    exposes the in-flight file to concurrent manifest listers
+  *    (tombstoneRecords / conflict rebase read manifests by listing),
+  *    violating the no-partial-observation clause — hence temp+rename.
+  *  - [[atomicOverwrite]]: temp + `rename(tmp, target,
+  *    Options.Rename.OVERWRITE)` — documented atomic on HDFS (readers
+  *    see the old or the new file, never a gap; the plain
+  *    delete-then-rename would expose a missing `_current` that
+  *    readers parse as version 0).
+  *  - [[withTableLock]]: a lease file won by the same atomic
+  *    no-overwrite rename, deleted on release, with a crashed-holder
+  *    stale-break past `lockLeaseMillis` — the lease-lock recipe HDFS
+  *    deployments use in lieu of POSIX locks. Same-JVM contention
+  *    serializes on a process mutex first (as in [[PosixCommitIo]]).
+  *  - [[appendLine]]: read-concat-[[atomicOverwrite]] — callers hold
+  *    the table lock, so the read-modify-write cannot interleave; this
+  *    re-expression also works on object stores without native append
+  *    (their documented alternative, one object per commit instant,
+  *    would change the ledger layout — not needed while the ledger
+  *    stays small and the lock is held).
+  *
+  * What the Hadoop API can NOT honor by itself: on S3 (no atomic
+  * no-overwrite rename — s3a rename is copy+delete and its
+  * exists-check is client-side), [[publishIfAbsent]] and the lease
+  * acquire need a conditional PUT (`If-None-Match: *`) or an external
+  * test-and-set (the DynamoDB commit service), exactly as the trait
+  * contract documents — this class is the HDFS-semantics concrete,
+  * not an S3 one.
+  *
+  * `toPath` maps the protocol layer's `java.io.File` identities into
+  * the target scheme; race-proven by MergeSpec's gates running through
+  * a registered non-`file:` scheme whose rename honors the HDFS
+  * contracts. */
+private[graft] final class HadoopFsCommitIo(
+    fc: org.apache.hadoop.fs.FileContext,
+    toPath: java.io.File => org.apache.hadoop.fs.Path,
+    lockLeaseMillis: Long = 60000L) extends GraftCommitIo {
+  import org.apache.hadoop.fs.{CreateFlag, Options, Path}
+
+  /** Fully write `content` as a uniquely-named temp sibling in `dir`
+    * (parents created), returning its path — complete and closed
+    * before any rename makes it observable. */
+  private def writeTmp(dir: Path, content: Array[Byte]): Path = {
+    val tmp = new Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fc.create(tmp, java.util.EnumSet.of(CreateFlag.CREATE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(content) finally out.close()
+    tmp
+  }
+
+  /** True iff the no-overwrite rename won (false = destination already
+    * existed — both the Hadoop and the java.nio flavor of the
+    * already-exists signal count as a clean loss). */
+  private def renameIfAbsent(tmp: Path, target: Path): Boolean =
+    try { fc.rename(tmp, target); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  override def publishIfAbsent(target: java.io.File,
+      content: Array[Byte]): Boolean = {
+    val t = toPath(target)
+    val tmp = writeTmp(t.getParent, content)
+    val won = renameIfAbsent(tmp, t)
+    if (!won) {
+      try fc.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    won
+  }
+
+  override def atomicOverwrite(target: java.io.File,
+      content: Array[Byte]): Unit = {
+    val t = toPath(target)
+    val tmp = writeTmp(t.getParent, content)
+    fc.rename(tmp, t, Options.Rename.OVERWRITE)
+  }
+
+  private val jvmMutex = new Object
+
+  override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
+    jvmMutex.synchronized {
+      // distinct name from the POSIX `_lock` channel file: that file is
+      // permanent by design, while this lease exists exactly while held
+      val lease = toPath(lockFile).suffix(".lease")
+      var acquired = false
+      while (!acquired) {
+        val tmp = writeTmp(lease.getParent,
+          ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+        acquired = renameIfAbsent(tmp, lease)
+        if (!acquired) {
+          try fc.delete(tmp, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          // stale-break: a crashed holder's lease past its term is dead
+          try {
+            val st = fc.getFileStatus(lease)
+            if (System.currentTimeMillis() - st.getModificationTime >
+                lockLeaseMillis)
+              fc.delete(lease, false)
+          } catch { case _: java.io.FileNotFoundException => () }
+          Thread.sleep(1)
+        }
+      }
+      try body
+      finally fc.delete(lease, false)
+    }
+
+  override def appendLine(target: java.io.File, line: String): Unit = {
+    val t = toPath(target)
+    val prev =
+      try {
+        val in = fc.open(t)
+        try in.readAllBytes() finally in.close()
+      } catch { case _: java.io.FileNotFoundException => Array.empty[Byte] }
+    atomicOverwrite(target, prev ++ (line + "\n").getBytes("UTF-8"))
+  }
+}

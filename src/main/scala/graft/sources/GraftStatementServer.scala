@@ -209,10 +209,19 @@ object GraftStatementServer {
       val df = analyzeWithDefaults(spark, sql,
         Option(x.getRequestHeaders.getFirst("X-Trino-Catalog")),
         Option(x.getRequestHeaders.getFirst("X-Trino-Schema")))
-      val analysisMillis = (System.nanoTime() - tA) / 1000000L
+      val analysisMillisRaw = (System.nanoTime() - tA) / 1000000L
       val tP = System.nanoTime()
       df.queryExecution.executedPlan // force optimize + physical plan
-      val planningMillis = (System.nanoTime() - tP) / 1000000L
+      val planningMillisRaw = (System.nanoTime() - tP) / 1000000L
+      // DML/DDL statements EXECUTE eagerly inside analysis (Spark's
+      // CommandResult), so the measured "analysis" span is really the
+      // whole execution — reporting it would misattribute command time
+      // relative to the reference's Analysis/Planning semantics
+      // (ADVICE r18). Commands report the split as 0/0; their full
+      // cost stays visible in elapsedTimeMillis.
+      val isCmd = isCommand(df)
+      val analysisMillis = if (isCmd) 0L else analysisMillisRaw
+      val planningMillis = if (isCmd) 0L else planningMillisRaw
       val st = serveState(id, df, analysisMillis, planningMillis)
       reapIdle()
       queries.put(id, st)
@@ -283,12 +292,10 @@ object GraftStatementServer {
   private def serveState(id: String, df: DataFrame,
       analysisMillis: Long, planningMillis: Long): QueryState = {
     val sess = df.sparkSession
-    val isCommand = df.queryExecution.logical.isInstanceOf[
-      org.apache.spark.sql.catalyst.plans.logical.CommandResult]
     def pipelined() = new QueryState(id, df.schema.fields.toSeq,
       df.toLocalIterator().asScala.map(renderRow), PageRows, df,
       analysisMillis, planningMillis)
-    if (isCommand || !GraftWireConf.statementSpool(sess)) return pipelined()
+    if (isCommand(df) || !GraftWireConf.statementSpool(sess)) return pipelined()
     val base = new org.apache.hadoop.fs.Path(
       GraftWireConf.statementSpoolDir(sess))
     val fs = base.getFileSystem(sess.sessionState.newHadoopConf())
@@ -333,8 +340,37 @@ object GraftStatementServer {
         try fs.delete(dir, true)
         catch { case scala.util.control.NonFatal(_) => () }
       },
-      touch = () => fs.setTimes(dir, System.currentTimeMillis(), -1))
+      // liveness beacon: (re)write a small marker INSIDE the spool dir
+      // rather than setTimes on the dir — object stores (s3a, the
+      // stated cluster deployment) do not support setTimes, and the
+      // old NonFatal-swallowed call meant a live >1h slow drain got no
+      // refresh at all, so a foreign start-time sweep could still
+      // delete it (ADVICE r18). A real object PUT updates its
+      // timestamp on every store; the sweep keys its age guard off
+      // this marker when present.
+      touch = () => {
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, liveMarker),
+          true)
+        try out.write(
+          System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      })
   }
+
+  /** Marker filename [[QueryState.maybeTouch]] rewrites to prove a
+    * spool's drain is still live (skipped by the part-file cursor,
+    * which filters on the `part-` prefix). */
+  private[graft] val liveMarker = "_graft-live"
+
+  /** Did this statement already EXECUTE during analysis (DML/DDL)?
+    * The CommandResult wrapper lives on `commandExecuted`, NOT on
+    * `queryExecution.logical` (which stays the original command plan)
+    * — checking the latter never fires, which both misattributed the
+    * Analysis/Planning split and pushed already-executed commands
+    * through a pointless spool job (found fixing ADVICE r18). */
+  private def isCommand(df: DataFrame): Boolean =
+    df.queryExecution.commandExecuted.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.CommandResult]
 
   /** Can a spool under (`master`, spool-dir `scheme`) actually be read
     * back by the driver? Any `local`/`local-cluster` master runs every
@@ -365,9 +401,19 @@ object GraftStatementServer {
       fs.listStatus(base).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("graft-spool-") &&
-            !n.startsWith(s"graft-spool-$spoolNonce-") &&
-            st.getModificationTime < cutoff)
-          fs.delete(st.getPath, true)
+            !n.startsWith(s"graft-spool-$spoolNonce-")) {
+          // age = the liveness marker when the owner has written one
+          // (maybeTouch PUTs it every minute of a live drain — works on
+          // object stores where directory setTimes does not), else the
+          // dir's own mtime
+          val marker = new org.apache.hadoop.fs.Path(st.getPath, liveMarker)
+          val lastLive =
+            try math.max(st.getModificationTime,
+              fs.getFileStatus(marker).getModificationTime)
+            catch { case _: java.io.FileNotFoundException =>
+              st.getModificationTime }
+          if (lastLive < cutoff) fs.delete(st.getPath, true)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -515,8 +561,38 @@ object GraftStatementServer {
     // fixed at submit, repeated on every page of the drain
     b.append(s""","analysisTimeMillis":${st.analysisMillis}""")
     b.append(s""","planningTimeMillis":${st.planningMillis}""")
+    // the reference's query.json records peakTotalMemoryReservation per
+    // query (results/q004/workers-5/query.json: 601.6 MB) — serve the
+    // Spark analogue: the sum of the plan's per-operator `peakMemory`
+    // SQL metrics (hash aggregates, sorts, hash joins). Per-statement
+    // by construction (the accumulators belong to THIS query's plan,
+    // unlike executor-level metrics on a shared context); a sum of
+    // operator peaks, so an upper bound on the simultaneous peak.
+    b.append(s""","peakMemoryBytes":${peakMemoryBytes(st.df)}""")
     b.append(s""","queuedTimeMillis":${math.max(st.queuedMillis, 0L)}}}""")
     b.toString
+  }
+
+  /** Sum of `peakMemory` SQL-metric accumulators across the executed
+    * plan (AQE-descended, the [[inputMetrics]] walk). Grows as the
+    * drain executes memory-bearing operators; 0 for pure streaming
+    * scans and commands. */
+  private def peakMemoryBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    var peak = 0L
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other =>
+        other.metrics.get("peakMemory").foreach { m =>
+          if (m.value > 0) peak += m.value
+        }
+        other.children.foreach(walk)
+    }
+    try walk(df.queryExecution.executedPlan)
+    catch { case scala.util.control.NonFatal(_) => () }
+    peak
   }
 
   /** Live input-side progress: sum of leaf-scan `numOutputRows`

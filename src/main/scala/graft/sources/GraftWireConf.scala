@@ -74,19 +74,23 @@ private[graft] object GraftWireConf {
   def statementSpoolDir(s: org.apache.spark.sql.SparkSession): String =
     s.conf.get(StatementSpoolDirKey, System.getProperty("java.io.tmpdir"))
 
-  /** Spool part-file compression codec: `none` (default — local tmp
-    * spools are short-lived page-cache traffic), `gzip`, or `deflate`
-    * (both pure-JVM, no native lib dependency). On a real cluster the
-    * spool write+read is RESULT-sized I/O against shared storage
-    * (hdfs/s3), where text-JSON pages compress 5-10× — the same trade
-    * Trino's spooling protocol makes (zstd-compressed segments). The
-    * read side detects the codec from the part-file extension, so a
-    * conf change mid-server never misreads an existing spool. */
+  /** Spool part-file compression codec: `gzip` (default), `deflate`
+    * (both pure-JVM, no native lib dependency), or `none`. Defaulted
+    * ON at r19 from a measured pair (verdict r18 #6): the 2M-row
+    * SpoolCheck drain reads the SAME wall seconds with and without
+    * (10.3–13.9 s, inside the box spread — the drain is paging-bound,
+    * not codec-bound) while the spooled footprint drops 264.9 MB →
+    * 5.9 MB (44.7×). On a real cluster the spool write+read is
+    * RESULT-sized I/O against shared storage (hdfs/s3), where those
+    * bytes are network round-trips — the same trade Trino's spooling
+    * protocol defaults to (zstd-compressed segments). The read side
+    * detects the codec from the part-file extension, so a conf change
+    * mid-server never misreads an existing spool. */
   val StatementSpoolCodecKey = "spark.sql.graft.statement.spoolCodec"
 
   def statementSpoolCodec(s: org.apache.spark.sql.SparkSession)
       : Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] =
-    s.conf.get(StatementSpoolCodecKey, "none").toLowerCase match {
+    s.conf.get(StatementSpoolCodecKey, "gzip").toLowerCase match {
       case "gzip" =>
         Some(classOf[org.apache.hadoop.io.compress.GzipCodec])
       case "deflate" =>

@@ -48,13 +48,41 @@ class MergeSpec extends SparkSpec {
     assert(carried.size == reused, s"manifest reuse mismatch: $carried")
   }
 
+  /** Swap the commit protocol's filesystem seam to the Hadoop-API
+    * concrete for the span of `body` (verdict r18 #4): a FileContext
+    * over the registered `graftfs:` scheme, whose rename kernel honors
+    * the HDFS atomicity contracts (see [[GraftTestAbstractFs]]). The
+    * race gates below run once per concrete — same protocol, two
+    * storage recipes. */
+  private def withHadoopIo[T](body: => T): T = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      java.net.URI.create("graftfs:///"), conf)
+    val io = new graft.sources.HadoopFsCommitIo(fc,
+      f => new org.apache.hadoop.fs.Path("graftfs", null, f.getAbsolutePath))
+    GraftVersions.ioOverride = Some(io)
+    try body finally GraftVersions.ioOverride = None
+  }
+
   test("racing appends both land: no lost update, versions serialize") {
+    racingAppendsGate("mg2")
+  }
+
+  test("racing appends land through the Hadoop commit recipes (HadoopFsCommitIo)") {
+    withHadoopIo { racingAppendsGate("mg2h") }
+  }
+
+  private def racingAppendsGate(tbl: String): Unit = {
     val root = freshRoot()
     import spark.implicits._
-    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("mg_src2")
-    spark.sql("""CREATE TABLE psql.tpcds.mg2 TBLPROPERTIES('versioned'='true')
-                |AS SELECT * FROM mg_src2""".stripMargin)
-    val dir = s"$root/mg2.parquet"
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView(s"mg_src_$tbl")
+    spark.sql(s"""CREATE TABLE psql.tpcds.$tbl TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src_$tbl""".stripMargin)
+    val dir = s"$root/$tbl.parquet"
     // 20 consecutive rounds of a 4-way blind-append race (the r11 flake
     // fired roughly once per full suite run — a rerun-stability gate
     // needs repetition, not one lucky interleaving). Worker exceptions
@@ -76,14 +104,14 @@ class MergeSpec extends SparkSpec {
     }
     val expected = Set(1 -> "a") ++
       (1 to reps).flatMap(rep => (0 until 4).map(i => (1000 * rep + i) -> s"w$rep-$i"))
-    assert(kvRows("SELECT * FROM psql.tpcds.mg2") == expected)
+    assert(kvRows(s"SELECT * FROM psql.tpcds.$tbl") == expected)
     // intermediate snapshots are well-formed (no torn manifest): each
     // version adds exactly one row over its predecessor — spot-check
     // the first race's versions and the last five
     val last = 1 + 4 * reps
     ((1 to 5) ++ (last - 4 to last)).foreach { v =>
       assert(spark.sql(
-        s"SELECT COUNT(*) FROM psql.tpcds.mg2 VERSION AS OF $v").head.getLong(0) == v)
+        s"SELECT COUNT(*) FROM psql.tpcds.$tbl VERSION AS OF $v").head.getLong(0) == v)
     }
   }
 
@@ -647,6 +675,14 @@ class MergeSpec extends SparkSpec {
   }
 
   test("mixed-verb races (merge + delete + compact + expire) converge interleaving-independently") {
+    mixedVerbGate("mgX")
+  }
+
+  test("mixed-verb races converge through the Hadoop commit recipes (HadoopFsCommitIo)") {
+    withHadoopIo { mixedVerbGate("mgXh") }
+  }
+
+  private def mixedVerbGate(tbl: String): Unit = {
     val root = freshRoot()
     import spark.implicits._
     // the three read-modify-write verbs share one rebase loop — an
@@ -660,10 +696,10 @@ class MergeSpec extends SparkSpec {
     // state is a pure function of the round count, independent of
     // interleaving.
     Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
-      .repartition(4, col("k")).createOrReplaceTempView("mg_srcX")
-    spark.sql("""CREATE TABLE psql.tpcds.mgX TBLPROPERTIES('versioned'='true')
-                |AS SELECT * FROM mg_srcX""".stripMargin)
-    val dir = s"$root/mgX.parquet"
+      .repartition(4, col("k")).createOrReplaceTempView(s"mg_src_$tbl")
+    spark.sql(s"""CREATE TABLE psql.tpcds.$tbl TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src_$tbl""".stripMargin)
+    val dir = s"$root/$tbl.parquet"
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val rounds = 10
     (1 to rounds).foreach { r =>
@@ -686,13 +722,21 @@ class MergeSpec extends SparkSpec {
       threads.foreach(_.start()); threads.foreach(_.join())
       assert(errs.isEmpty, s"round $r: a verb died: ${errs.peek()}")
     }
-    assert(kvRows("SELECT * FROM psql.tpcds.mgX") ==
+    assert(kvRows(s"SELECT * FROM psql.tpcds.$tbl") ==
       Set((1, s"m$rounds"), (2, "b"), (3, "c"), (4, "d"),
         (1000 + rounds, s"new$rounds")),
       "mixed-verb interleaving corrupted the table")
   }
 
   test("rollback races expire: the restore wins readable or fails loudly — never corrupts") {
+    rollbackExpireGate("mgR")
+  }
+
+  test("rollback races expire through the Hadoop commit recipes (HadoopFsCommitIo)") {
+    withHadoopIo { rollbackExpireGate("mgRh") }
+  }
+
+  private def rollbackExpireGate(tbl: String): Unit = {
     val root = freshRoot()
     import spark.implicits._
     // the r12 orphan-grace design point, now RACED (verdict r13 #5):
@@ -711,16 +755,16 @@ class MergeSpec extends SparkSpec {
     // snapshot that fails to read — any round, either winner — is
     // the corruption this gate exists to catch.
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
-      .repartition(2, col("k")).createOrReplaceTempView("mg_srcR")
-    spark.sql("""CREATE TABLE psql.tpcds.mgR TBLPROPERTIES('versioned'='true')
-                |AS SELECT * FROM mg_srcR""".stripMargin)
-    val dir = s"$root/mgR.parquet"
+      .repartition(2, col("k")).createOrReplaceTempView(s"mg_src_$tbl")
+    spark.sql(s"""CREATE TABLE psql.tpcds.$tbl TBLPROPERTIES('versioned'='true')
+                |AS SELECT * FROM mg_src_$tbl""".stripMargin)
+    val dir = s"$root/$tbl.parquet"
     val rounds = 10
     var restoresWon = 0
     (1 to rounds).foreach { r =>
       val good = GraftVersions.current(dir)
-      val goodRows = kvRows("SELECT * FROM psql.tpcds.mgR")
-      spark.sql(s"INSERT OVERWRITE psql.tpcds.mgR VALUES ($r, 'bad$r')")
+      val goodRows = kvRows(s"SELECT * FROM psql.tpcds.$tbl")
+      spark.sql(s"INSERT OVERWRITE psql.tpcds.$tbl VALUES ($r, 'bad$r')")
       val restored = new java.util.concurrent.atomic.AtomicInteger(-1)
       val hardErr = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val restoreT = new Thread(() =>
@@ -741,7 +785,7 @@ class MergeSpec extends SparkSpec {
       threads.foreach(_.start()); threads.foreach(_.join())
       assert(hardErr.isEmpty, s"round $r: unexpected failure: ${hardErr.peek()}")
       // the CURRENT snapshot must read completely, whoever won
-      val now = kvRows("SELECT * FROM psql.tpcds.mgR")
+      val now = kvRows(s"SELECT * FROM psql.tpcds.$tbl")
       if (restored.get() >= 0) {
         restoresWon += 1
         assert(GraftVersions.current(dir) >= restored.get())

@@ -521,4 +521,89 @@ class StatementServerSpec extends SparkSpec {
       runSql("DROP TABLE psql.tpcds.stmt_ctas")
     } finally spark.conf.set("spark.sql.graft.root", sf1)
   }
+
+  /** Verdict r18 #7: the reference's captured query.json records
+    * peakTotalMemoryReservation per query (601.6 MB, q004/workers-5);
+    * the face serves the Spark analogue — the sum of the executed
+    * plan's per-operator `peakMemory` SQL metrics. Present on every
+    * page; non-zero once a shuffle-bearing statement's aggregation has
+    * executed. */
+  test("stats envelope: peakMemoryBytes non-zero on a shuffle-bearing statement") {
+    spark.conf.set("spark.sql.graft.root", sf2)
+    val (code, first) = http("POST", s"$base/v1/statement",
+      Some("SELECT o_orderstatus, COUNT(*) AS n FROM mongodb.tpcds.orders " +
+        "GROUP BY o_orderstatus"),
+      Map("X-Trino-User" -> "spec"))
+    assert(code == 200, first)
+    var j = mapper.readTree(first)
+    assert(j.get("stats").has("peakMemoryBytes"), first.take(300))
+    var peak = -1L
+    var guard = 0
+    while (j.has("nextUri")) {
+      guard += 1; assert(guard < 10000, "nextUri never drained")
+      val (_, page) = http("GET", j.get("nextUri").asText, None)
+      j = mapper.readTree(page)
+      peak = j.get("stats").get("peakMemoryBytes").asLong
+    }
+    assert(j.get("stats").get("state").asText == "FINISHED")
+    assert(peak > 0L, s"peakMemoryBytes $peak on an aggregation statement")
+  }
+
+  /** ADVICE r18: DML/DDL executes eagerly inside analysis (Spark's
+    * CommandResult), so a measured "analysis" span would really be the
+    * whole execution — commands report the Analysis/Planning split as
+    * 0/0 to keep the fields' reference meaning; elapsedTimeMillis
+    * still carries the command's true cost. */
+  test("command statements report the analysis/planning split as zero") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stmt0")
+    spark.conf.set("spark.sql.graft.root", scratch.toString)
+    try {
+      val (code, first) = http("POST", s"$base/v1/statement",
+        Some("CREATE TABLE psql.tpcds.stmt_split AS SELECT id FROM RANGE(5)"),
+        Map("X-Trino-User" -> "spec"))
+      assert(code == 200, first)
+      var j = mapper.readTree(first)
+      assert(j.get("stats").get("analysisTimeMillis").asLong == 0L,
+        first.take(300))
+      assert(j.get("stats").get("planningTimeMillis").asLong == 0L,
+        first.take(300))
+      while (j.has("nextUri")) {
+        val (_, p) = http("GET", j.get("nextUri").asText, None)
+        j = mapper.readTree(p)
+      }
+      runSql("DROP TABLE psql.tpcds.stmt_split")
+    } finally spark.conf.set("spark.sql.graft.root", sf1)
+  }
+
+  /** ADVICE r18: liveness is proven by a marker PUT inside the spool
+    * dir (object stores do not support directory setTimes, so the old
+    * mtime touch silently never refreshed there) — the orphan sweep
+    * keys its age guard off the marker when one is present, the dir
+    * mtime otherwise. */
+  test("orphan sweep spares an old foreign spool with a fresh liveness marker") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    def mk(name: String, marker: Boolean): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-00000").toPath, "x".getBytes)
+      if (marker) java.nio.file.Files.write(
+        new java.io.File(d, GraftStatementServer.liveMarker).toPath,
+        System.currentTimeMillis().toString.getBytes)
+      d.setLastModified(old)
+      d
+    }
+    // foreign nonce (not this process's pid) so the sweep considers both
+    val dead = mk("graft-spool-999999-deadbeef-graft_x1", marker = false)
+    val live = mk("graft-spool-999999-deadbeef-graft_x2", marker = true)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    try {
+      GraftStatementServer.start(spark) // start() re-runs the sweep
+      assert(!dead.exists, "age-expired foreign spool with no marker survived")
+      assert(live.exists, "sweep deleted a spool whose liveness marker was fresh")
+    } finally { rmr(dead); rmr(live) }
+  }
 }
