@@ -137,7 +137,7 @@ object Bench {
     }
     // 3-decimal (ms) resolution keeps the JSON lines compact;
     // sub-ms per-query precision is noise anyway
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String = JsonNum.f3(v)
     def writeFile(path: String, content: String): Unit =
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path), (content + "\n").getBytes("UTF-8"))

@@ -105,7 +105,7 @@ object ScaleCurve {
     }
     val workers = executorCounts.map { n =>
       val qs = curveQueries.map { q =>
-        s""""$q":${f"${results(n)(q)._1}%.3f"}"""
+        s""""$q":${JsonNum.f3(results(n)(q)._1)}"""
       }.mkString(",")
       s""""$n":{$qs}"""
     }.mkString(",")

@@ -109,7 +109,7 @@ object ScaleCurveCompute {
       sys.exit(1)
     }
     val workers = executorCounts.map { n =>
-      val qs = probes.map(q => s""""$q":${f"${results(n)(q)._1}%.3f"}""")
+      val qs = probes.map(q => s""""$q":${JsonNum.f3(results(n)(q)._1)}""")
         .mkString(",")
       s""""$n":{$qs}"""
     }.mkString(",")
@@ -118,6 +118,6 @@ object ScaleCurveCompute {
     val t4 = probes.map(q => results(4)(q)._1).sum
     println(s"""{"metric":"scale_curve_compute","copies":$copies,""" +
       s""""status":"ok","workers":{$workers},""" +
-      f""""ratio_n4":${t4 / t1}%.3f}""")
+      s""""ratio_n4":${JsonNum.f3(t4 / t1)}}""")
   }
 }

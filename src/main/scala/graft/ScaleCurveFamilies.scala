@@ -199,14 +199,14 @@ object ScaleCurveFamilies {
       sys.exit(1)
     }
     val workers = executorCounts.map { n =>
-      val qs = probes.map(q => s""""$q":${f"${results(n)(q)._1}%.3f"}""")
+      val qs = probes.map(q => s""""$q":${JsonNum.f3(results(n)(q)._1)}""")
         .mkString(",")
       s""""$n":{$qs}"""
     }.mkString(",")
     def ratio(q: String): Double = results(4)(q)._1 / results(1)(q)._1
     println(s"""{"metric":"scale_curve_families","ann_copies":$annCopies,""" +
       s""""dml_copies":$dmlCopies,"status":"ok","workers":{$workers},""" +
-      f""""ratio_n4_ann":${ratio("s11_batch_probe")}%.3f,""" +
-      f""""ratio_n4_merge":${ratio("merge_allfiles")}%.3f}""")
+      s""""ratio_n4_ann":${JsonNum.f3(ratio("s11_batch_probe"))},""" +
+      s""""ratio_n4_merge":${JsonNum.f3(ratio("merge_allfiles"))}}""")
   }
 }

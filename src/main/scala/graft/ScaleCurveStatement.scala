@@ -127,10 +127,15 @@ object ScaleCurveStatement {
     while (attempt < 3 && spread < 2) {
       attempt += 1
       val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val taskEnds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lastEventNanos = new java.util.concurrent.atomic.AtomicLong(
+        System.nanoTime())
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          execs.add(e.taskInfo.executorId); ()
+          execs.add(e.taskInfo.executorId)
+          taskEnds.incrementAndGet()
+          lastEventNanos.set(System.nanoTime()); ()
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -154,9 +159,16 @@ object ScaleCurveStatement {
         parts = dir.listFiles().count(_.getName.startsWith("part-"))
         require(parts >= 2, s"spool held $parts part files, expected >= 2")
         // the spool job ran during the POST; its task-end events are
-        // async on the listener bus — poll briefly
+        // async on the listener bus — poll until the spread shows two
+        // executors, OR the job's full 8 task-ends have drained and the
+        // bus has gone quiet (the spread is then FINAL at 1 — without
+        // this exit every 1-executor attempt burned the whole 10 s
+        // deadline, ~30 s of pure sleep across the 3 retries), OR the
+        // deadline
         val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (execs.size < 2 && System.nanoTime() < deadline)
+        while (execs.size < 2 && System.nanoTime() < deadline &&
+            !(taskEnds.get >= 8 &&
+              System.nanoTime() - lastEventNanos.get > 500L * 1000 * 1000))
           Thread.sleep(50)
         val rows = Seq.newBuilder[String]
         var next = nextRe.findFirstMatchIn(body).map(_.group(1))
@@ -238,7 +250,7 @@ object ScaleCurveStatement {
     val workers = executorCounts.map { n =>
       val qs = statements.map { case (q, _) =>
         val (d, w, _) = results(n)(q)
-        s""""$q":{"direct":${f"$d%.3f"},"wire":${f"$w%.3f"}}"""
+        s""""$q":{"direct":${JsonNum.f3(d)},"wire":${JsonNum.f3(w)}}"""
       }.mkString(",")
       s""""$n":{$qs}"""
     }.mkString(",")
@@ -247,7 +259,7 @@ object ScaleCurveStatement {
     } yield results(n)(q)._2 - results(n)(q)._1).max
     println(s"""{"metric":"scale_curve_statement","sf":"$sf",""" +
       s""""status":"ok","workers":{$workers},$spoolTopologyJson,""" +
-      f""""max_overhead_sec":$maxOverhead%.3f}""")
+      s""""max_overhead_sec":${JsonNum.f3(maxOverhead)}}""")
     sys.exit(0) // the HttpServer dispatcher thread is non-daemon
   }
 }

@@ -115,10 +115,10 @@ object ScaleCurveStreaming {
       sys.exit(1)
     }
     val workers = executorCounts.map { n =>
-      f""""$n":${results(n)._1}%.3f""" }.mkString(",")
+      s""""$n":${JsonNum.f3(results(n)._1)}""" }.mkString(",")
     println(s"""{"metric":"scale_curve_streaming","copies":$copies,""" +
       s""""status":"ok","users":${base.size},""" +
       s""""workers":{$workers},""" +
-      f""""ratio_n4":${results(4)._1 / results(1)._1}%.3f}""")
+      s""""ratio_n4":${JsonNum.f3(results(4)._1 / results(1)._1)}}""")
   }
 }

@@ -120,7 +120,7 @@ object SpoolCheck {
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"metric":"spool_check","rows":$n,"pages":$pages,""" +
         s""""codec":"$codec","spoolBytes":$spoolBytes,""" +
-        s""""sec":${"%.3f".format(sec)},"complete":true}""")
+        s""""sec":${JsonNum.f3(sec)},"complete":true}""")
     } finally spark.stop()
     // the HttpServer's internal dispatcher thread is non-daemon and
     // would hold the JVM open after main returns

@@ -146,10 +146,13 @@ private[graft] object PosixCommitIo extends GraftCommitIo {
   *    delete-then-rename would expose a missing `_current` that
   *    readers parse as version 0).
   *  - [[withTableLock]]: a lease file won by the same atomic
-  *    no-overwrite rename, deleted on release, with a crashed-holder
-  *    stale-break past `lockLeaseMillis` — the lease-lock recipe HDFS
-  *    deployments use in lieu of POSIX locks. Same-JVM contention
-  *    serializes on a process mutex first (as in [[PosixCommitIo]]).
+  *    no-overwrite rename — the lease-lock recipe HDFS deployments use
+  *    in lieu of POSIX locks — with holder renewal every term/4, a
+  *    crashed-holder stale-break FENCED by rename-aside (one winner),
+  *    and a token-checked release so a broken holder can never delete
+  *    its successor's lease (details at the method). Same-JVM
+  *    contention serializes on a process mutex first (as in
+  *    [[PosixCommitIo]]).
   *  - [[appendLine]]: read-concat-[[atomicOverwrite]] — callers hold
   *    the table lock, so the read-modify-write cannot interleave; this
   *    re-expression also works on object stores without native append
@@ -187,63 +190,152 @@ private[graft] final class HadoopFsCommitIo(
     tmp
   }
 
+  private def deleteQuietly(p: Path): Unit =
+    try { fc.delete(p, false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** True iff the no-overwrite rename won (false = destination already
     * existed — both the Hadoop and the java.nio flavor of the
-    * already-exists signal count as a clean loss). */
+    * already-exists signal count as a clean loss). The temp source is
+    * removed HERE on a loss or a thrown failure, so no caller can leak
+    * `.tmp-*` orphans into the table directory. */
   private def renameIfAbsent(tmp: Path, target: Path): Boolean =
     try { fc.rename(tmp, target); true }
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        deleteQuietly(tmp); false
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteQuietly(tmp); false
+      case scala.util.control.NonFatal(e) =>
+        deleteQuietly(tmp); throw e
     }
 
   override def publishIfAbsent(target: java.io.File,
       content: Array[Byte]): Boolean = {
     val t = toPath(target)
-    val tmp = writeTmp(t.getParent, content)
-    val won = renameIfAbsent(tmp, t)
-    if (!won) {
-      try fc.delete(tmp, false)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    won
+    renameIfAbsent(writeTmp(t.getParent, content), t)
   }
 
   override def atomicOverwrite(target: java.io.File,
-      content: Array[Byte]): Unit = {
-    val t = toPath(target)
+      content: Array[Byte]): Unit =
+    overwritePath(toPath(target), content)
+
+  private def overwritePath(t: Path, content: Array[Byte]): Unit = {
     val tmp = writeTmp(t.getParent, content)
-    fc.rename(tmp, t, Options.Rename.OVERWRITE)
+    try fc.rename(tmp, t, Options.Rename.OVERWRITE)
+    catch { case scala.util.control.NonFatal(e) =>
+      // a failed pointer flip (safe-mode, lease recovery, quota) must
+      // not strand its fully-written temp sibling next to the target
+      deleteQuietly(tmp); throw e
+    }
   }
 
   private val jvmMutex = new Object
 
+  /** Lease lock with holder RENEWAL and a FENCED stale-break. The
+    * first cut's break was an unconditional delete after a staleness
+    * stat — a TOCTOU that could kill a contender's fresh lease (broken
+    * and re-acquired between the stat and the delete), and a live
+    * holder merely slower than the term was silently broken, after
+    * which ITS release deleted whoever held the lease next. Now:
+    *
+    *  - the lease's content is a per-acquisition token, and a daemon
+    *    thread rewrites it (fresh mtime, same token) every term/4
+    *    while the body runs — a live holder is never near stale, so
+    *    staleness genuinely means a crashed holder;
+    *  - a contender breaks a stale lease by atomic no-overwrite
+    *    RENAME-ASIDE: exactly one breaker can win the rename (the
+    *    fence), and if a renewal landed in the stat→rename window the
+    *    moved file's mtime proves it fresh and it is restored, not
+    *    discarded;
+    *  - release deletes the lease only while it still carries THIS
+    *    acquisition's token, so a holder that WAS broken (term overrun
+    *    despite renewal — a multi-minute GC pause) cannot delete its
+    *    successor's lease;
+    *  - contenders probe with ONE getFileStatus per wait and back off
+    *    exponentially (1 → 128 ms), instead of a create+rename+delete
+    *    spin per millisecond against the NameNode. */
   override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
     jvmMutex.synchronized {
       // distinct name from the POSIX `_lock` channel file: that file is
       // permanent by design, while this lease exists exactly while held
       val lease = toPath(lockFile).suffix(".lease")
+      val token = s"${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString
+      val tokenBytes = token.getBytes("UTF-8")
       var acquired = false
+      var backoffMs = 1L
       while (!acquired) {
-        val tmp = writeTmp(lease.getParent,
-          ProcessHandle.current().pid().toString.getBytes("UTF-8"))
-        acquired = renameIfAbsent(tmp, lease)
+        val holder =
+          try Some(fc.getFileStatus(lease))
+          catch { case _: java.io.FileNotFoundException => None }
+        holder match {
+          case None =>
+            acquired =
+              renameIfAbsent(writeTmp(lease.getParent, tokenBytes), lease)
+          case Some(st) if System.currentTimeMillis() -
+              st.getModificationTime > lockLeaseMillis =>
+            breakStaleLease(lease)
+          case _ => () // held and fresh: wait out the backoff
+        }
         if (!acquired) {
-          try fc.delete(tmp, false)
-          catch { case scala.util.control.NonFatal(_) => () }
-          // stale-break: a crashed holder's lease past its term is dead
-          try {
-            val st = fc.getFileStatus(lease)
-            if (System.currentTimeMillis() - st.getModificationTime >
-                lockLeaseMillis)
-              fc.delete(lease, false)
-          } catch { case _: java.io.FileNotFoundException => () }
-          Thread.sleep(1)
+          Thread.sleep(backoffMs)
+          backoffMs = math.min(backoffMs * 2, 128L)
         }
       }
+      val stopRenewal = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val renewer = new Thread(() => {
+        var interrupted = false
+        while (!stopRenewal.get() && !interrupted) {
+          try Thread.sleep(math.max(1L, lockLeaseMillis / 4))
+          catch { case _: InterruptedException => interrupted = true }
+          if (!interrupted && !stopRenewal.get()) {
+            try overwritePath(lease, tokenBytes)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      }, s"graft-lease-renew-${lockFile.getName}")
+      renewer.setDaemon(true)
+      renewer.start()
       try body
-      finally fc.delete(lease, false)
+      finally {
+        stopRenewal.set(true); renewer.interrupt(); renewer.join(2000)
+        // token check: if the term was overrun and a breaker took the
+        // lease, the mismatch leaves the successor's lease intact. The
+        // read-check-delete window is safe because a breaker only acts
+        // on STALE leases and ours was just renewed.
+        val stillOurs =
+          try {
+            val in = fc.open(lease)
+            val bytes = try in.readAllBytes() finally in.close()
+            java.util.Arrays.equals(bytes, tokenBytes)
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (stillOurs) deleteQuietly(lease)
+      }
     }
+
+  /** Fenced break of a lease observed stale: atomically rename the
+    * exact file aside (at most one of N concurrent breakers wins the
+    * no-overwrite rename; the losers see FileNotFound and re-probe),
+    * re-confirm the MOVED file is still past the term — rename
+    * preserves mtime — and restore it if a holder renewal landed in
+    * the stat→rename window. Restore-by-renameIfAbsent loses cleanly
+    * (and removes the aside copy) if the slot was re-acquired
+    * meanwhile. */
+  private def breakStaleLease(lease: Path): Unit = {
+    val aside = lease.suffix(
+      s".broken-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      fc.rename(lease, aside)
+      val moved = fc.getFileStatus(aside)
+      if (System.currentTimeMillis() - moved.getModificationTime >
+          lockLeaseMillis) deleteQuietly(aside)
+      else { renameIfAbsent(aside, lease); () }
+    } catch {
+      case _: java.io.FileNotFoundException => () // another breaker won
+      case scala.util.control.NonFatal(_) => ()
+    }
+  }
 
   override def appendLine(target: java.io.File, line: String): Unit = {
     val t = toPath(target)

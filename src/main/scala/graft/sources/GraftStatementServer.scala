@@ -349,8 +349,16 @@ object GraftStatementServer {
       // timestamp on every store; the sweep keys its age guard off
       // this marker when present.
       touch = () => {
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, liveMarker),
-          true)
+        // createNonRecursive, NOT create: a touch racing retire()'s
+        // recursive delete must FAIL (FileNotFound into maybeTouch's
+        // best-effort catch), never re-create the just-deleted dir —
+        // create() makes parents, so the plain call could resurrect a
+        // zombie spool dir holding only the marker, which this
+        // process's own sweep skips forever (it excludes its own
+        // nonce) and a foreign sweep only reaps an hour later.
+        val p = new org.apache.hadoop.fs.Path(dir, liveMarker)
+        val out = fs.createNonRecursive(p, true, 4096,
+          fs.getDefaultReplication(p), fs.getDefaultBlockSize(p), null)
         try out.write(
           System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
         finally out.close()

@@ -68,6 +68,92 @@ class MergeSpec extends SparkSpec {
     try body finally GraftVersions.ioOverride = None
   }
 
+  /** Build a graftfs FileContext + HadoopFsCommitIo with an explicit
+    * lease term, for direct lease-protocol gates. */
+  private def hadoopIo(leaseMillis: Long): graft.sources.HadoopFsCommitIo = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      java.net.URI.create("graftfs:///"), conf)
+    new graft.sources.HadoopFsCommitIo(fc,
+      f => new org.apache.hadoop.fs.Path("graftfs", null, f.getAbsolutePath),
+      lockLeaseMillis = leaseMillis)
+  }
+
+  /** Review r19: the lease stale-break must be FENCED. A crashed
+    * holder's lease (mtime past the term, no renewal refreshing it) is
+    * broken and the lock acquired promptly; a FRESH foreign lease is
+    * honored for its full term, never deleted on sight. The graftfs
+    * scheme maps paths onto the local filesystem, so the lease's
+    * backing file is manipulable directly. */
+  test("lease lock: a stale lease is broken, a fresh one honored for its term (HadoopFsCommitIo)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease").toFile
+    val lockFile = new java.io.File(dir, "_lock")
+    val leaseFile = new java.io.File(dir, "_lock.lease")
+    val io = hadoopIo(leaseMillis = 400L)
+    // crashed holder: a lease whose mtime is far past the term
+    java.nio.file.Files.write(leaseFile.toPath, "crashed-pid".getBytes)
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - 10000L))
+    var entered = false
+    val t0 = System.nanoTime()
+    io.withTableLock(lockFile) { entered = true }
+    val staleSecs = (System.nanoTime() - t0) / 1e9
+    assert(entered)
+    assert(staleSecs < 5.0, s"stale break took $staleSecs s")
+    assert(!leaseFile.exists, "released lease left behind")
+    // live foreign holder: fresh mtime — the lock must WAIT the term
+    // out (the holder 'crashes' by never renewing), not break on
+    // sight. The bound is anchored to the OBSERVED stored mtime, not
+    // the wall clock at write time, so filesystem timestamp
+    // granularity cannot fake an already-stale lease.
+    java.nio.file.Files.write(leaseFile.toPath, "foreign-pid".getBytes)
+    val mtime = leaseFile.lastModified
+    io.withTableLock(lockFile) {}
+    val heldUntil = System.currentTimeMillis()
+    assert(heldUntil - mtime >= 400L,
+      s"fresh foreign lease broken ${heldUntil - mtime} ms after its " +
+        "mtime (term 400)")
+  }
+
+  /** Review r19: release is token-checked. If the lease stops carrying
+    * this acquisition's token (a breaker took it after a term overrun
+    * and a successor now holds it), release must leave it intact — the
+    * old unconditional delete cascaded the double-hold to a THIRD
+    * process. Simulated by swapping the lease content mid-hold (the
+    * term is long, so no renewal rewrites it back). */
+  test("lease lock: release leaves a successor's lease intact (HadoopFsCommitIo)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease2").toFile
+    val lockFile = new java.io.File(dir, "_lock")
+    val leaseFile = new java.io.File(dir, "_lock.lease")
+    val io = hadoopIo(leaseMillis = 60000L)
+    io.withTableLock(lockFile) {
+      // a breaker + successor took the slot while we overran
+      java.nio.file.Files.write(leaseFile.toPath, "successor-token".getBytes)
+    }
+    assert(leaseFile.exists, "release deleted a lease it no longer owned")
+    assert(new String(java.nio.file.Files.readAllBytes(leaseFile.toPath))
+      == "successor-token")
+    leaseFile.delete()
+  }
+
+  /** Review r19: a lost publish race must not strand its `.tmp-*`
+    * sibling in the table directory (the cleanup now lives inside the
+    * rename helper, covering every caller). */
+  test("lost publishIfAbsent race leaves no temp orphan (HadoopFsCommitIo)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub").toFile
+    val target = new java.io.File(dir, "00000002.json")
+    val io = hadoopIo(leaseMillis = 60000L)
+    assert(io.publishIfAbsent(target, "winner".getBytes))
+    assert(!io.publishIfAbsent(target, "loser".getBytes))
+    assert(new String(java.nio.file.Files.readAllBytes(target.toPath))
+      == "winner")
+    val leftovers = dir.listFiles().map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(leftovers.isEmpty, s"orphaned temps: ${leftovers.mkString(",")}")
+  }
+
   test("racing appends both land: no lost update, versions serialize") {
     racingAppendsGate("mg2")
   }

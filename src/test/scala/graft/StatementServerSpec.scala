@@ -606,4 +606,28 @@ class StatementServerSpec extends SparkSpec {
       assert(live.exists, "sweep deleted a spool whose liveness marker was fresh")
     } finally { rmr(dead); rmr(live) }
   }
+
+  /** Review r19: the marker touch uses `createNonRecursive`, so a
+    * touch racing retire()'s recursive delete FAILS into maybeTouch's
+    * best-effort catch instead of re-creating the just-deleted dir —
+    * plain `create()` makes parent dirs, and a resurrected dir holding
+    * only the marker would be a zombie this process's own sweep skips
+    * forever (it excludes its own nonce). This pins the filesystem
+    * semantic the fix relies on, against the same FileSystem type the
+    * spool path resolves (a `file:` dir → LocalFileSystem). */
+  test("liveness touch cannot resurrect a deleted spool dir") {
+    val gone = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir")),
+      "graft-spool-999999-deadbeef-graft_resurrect")
+    assert(!gone.exists)
+    val p = new org.apache.hadoop.fs.Path(
+      new java.io.File(gone, GraftStatementServer.liveMarker).toURI)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    intercept[java.io.FileNotFoundException] {
+      val out = fs.createNonRecursive(p, true, 4096,
+        fs.getDefaultReplication(p), fs.getDefaultBlockSize(p), null)
+      out.close()
+    }
+    assert(!gone.exists, "createNonRecursive resurrected the deleted dir")
+  }
 }
