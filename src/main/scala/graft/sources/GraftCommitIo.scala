@@ -32,9 +32,11 @@ package graft.sources
   *
   *  - [[withTableLock]] — cross-process mutual exclusion for the
   *    pointer/ledger critical section (commit-instant append + flip
-  *    ordering). POSIX: an OS `FileChannel` lock, with a JVM-global
-  *    mutex underneath because `FileChannel.lock` throws on same-JVM
-  *    overlap. HDFS: lease-based lock file or coordination service.
+  *    ordering). POSIX: an OS `FileChannel` lock, with a per-lock-file
+  *    process mutex underneath because `FileChannel.lock` throws on
+  *    same-JVM overlap (per file — so unrelated tables' commits never
+  *    serialize behind each other in one driver). HDFS: lease-based
+  *    lock file or coordination service.
   *    S3: no native lock — a DynamoDB/ZooKeeper mutex, or restructure
   *    the pointer as a versioned object with conditional writes.
   *
@@ -99,14 +101,22 @@ private[graft] object PosixCommitIo extends GraftCommitIo {
     ()
   }
 
-  /** One lock object per JVM: `FileChannel.lock` throws
-    * OverlappingFileLockException for same-JVM contention, so
-    * intra-process serialization happens here and the file lock
-    * covers cross-process racers. */
-  private val jvmMutex = new Object
+  /** One lock object per LOCK FILE: `FileChannel.lock` throws
+    * OverlappingFileLockException for same-JVM contention on the same
+    * file, so intra-process serialization happens here and the file
+    * lock covers cross-process racers. Keyed per table rather than
+    * JVM-global (r19): the exclusion FileChannel needs is per file,
+    * and a single global mutex serialized commits to UNRELATED tables
+    * behind each other — a needless driver-side throughput cap for
+    * concurrent multi-table DML. The map grows one entry per table
+    * ever locked in this JVM (bounded, tiny). */
+  private val jvmMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def mutexFor(lockFile: java.io.File): Object =
+    jvmMutexes.computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
 
   override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
-    jvmMutex.synchronized {
+    mutexFor(lockFile).synchronized {
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -230,7 +240,13 @@ private[graft] final class HadoopFsCommitIo(
     }
   }
 
-  private val jvmMutex = new Object
+  /** Per-lock-file process mutexes (r19, as in [[PosixCommitIo]]):
+    * same-JVM contention for the SAME table serializes here; commits
+    * to unrelated tables proceed concurrently. */
+  private val jvmMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def mutexFor(lockFile: java.io.File): Object =
+    jvmMutexes.computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
 
   /** Lease lock with holder RENEWAL and a FENCED stale-break. The
     * first cut's break was an unconditional delete after a staleness
@@ -256,7 +272,7 @@ private[graft] final class HadoopFsCommitIo(
     *    exponentially (1 → 128 ms), instead of a create+rename+delete
     *    spin per millisecond against the NameNode. */
   override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
-    jvmMutex.synchronized {
+    mutexFor(lockFile).synchronized {
       // distinct name from the POSIX `_lock` channel file: that file is
       // permanent by design, while this lease exists exactly while held
       val lease = toPath(lockFile).suffix(".lease")
@@ -294,7 +310,7 @@ private[graft] final class HadoopFsCommitIo(
             catch { case scala.util.control.NonFatal(_) => () }
           }
         }
-      }, s"graft-lease-renew-${lockFile.getName}")
+      }, s"graft-lease-renew-${lockFile.getName}-$token")
       renewer.setDaemon(true)
       renewer.start()
       try body

@@ -154,6 +154,52 @@ class MergeSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"orphaned temps: ${leftovers.mkString(",")}")
   }
 
+  /** r19: the process mutex under the table lock is PER LOCK FILE,
+    * not JVM-global — commits to unrelated tables must proceed
+    * concurrently in one driver (the old global mutex was a needless
+    * multi-table DML throughput cap), while same-table contention
+    * still excludes. Deadlock-shaped proof: thread A holds table 1's
+    * lock until B signals from INSIDE table 2's lock — under a global
+    * mutex B can never enter and both await time out. */
+  test("table locks are per-table, not JVM-global (both concretes)") {
+    val ios: Seq[(String, graft.sources.GraftCommitIo)] = Seq(
+      "posix" -> graft.sources.PosixCommitIo,
+      "hadoop" -> hadoopIo(leaseMillis = 60000L))
+    ios.foreach { case (label, io) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_mtx").toFile
+      val t1 = new java.io.File(dir, "t1/_lock"); t1.getParentFile.mkdirs()
+      val t2 = new java.io.File(dir, "t2/_lock"); t2.getParentFile.mkdirs()
+      val aHolds = new java.util.concurrent.CountDownLatch(1)
+      val bInside = new java.util.concurrent.CountDownLatch(1)
+      val a = new Thread(() => io.withTableLock(t1) {
+        aHolds.countDown()
+        bInside.await(15, java.util.concurrent.TimeUnit.SECONDS); ()
+      })
+      a.start()
+      assert(aHolds.await(15, java.util.concurrent.TimeUnit.SECONDS))
+      val b = new Thread(() => io.withTableLock(t2) { bInside.countDown() })
+      b.start()
+      assert(bInside.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        s"$label: a second table's lock serialized behind the first")
+      a.join(20000); b.join(20000)
+      // same-table exclusion still holds: a reader inside t1's lock
+      // observes no concurrent holder (counter never overlaps)
+      val overlap = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val workers = (1 to 4).map(_ => new Thread(() =>
+        (1 to 5).foreach { _ =>
+          io.withTableLock(t1) {
+            val c = overlap.incrementAndGet()
+            maxSeen.updateAndGet(m => math.max(m, c))
+            overlap.decrementAndGet(); ()
+          }
+        }))
+      workers.foreach(_.start()); workers.foreach(_.join(30000))
+      assert(maxSeen.get == 1,
+        s"$label: same-table lock admitted ${maxSeen.get} concurrent holders")
+    }
+  }
+
   test("racing appends both land: no lost update, versions serialize") {
     racingAppendsGate("mg2")
   }
