@@ -64,6 +64,19 @@ private[graft] trait GraftCommitIo {
   def appendLine(target: java.io.File, line: String): Unit
 }
 
+private[graft] object GraftCommitIo {
+  /** Same-JVM mutex key for a lock file: canonical so aliased
+    * spellings of one physical file (symlinks, `..` segments) share a
+    * mutex — `getAbsolutePath` would hand them distinct mutexes and
+    * the second OS-level lock on the same inode throws instead of
+    * blocking. Falls back to the absolute path if the filesystem
+    * cannot canonicalize (the key only needs to be CONSISTENT per
+    * spelling then, which absolute still is). */
+  def mutexKey(lockFile: java.io.File): String =
+    try lockFile.getCanonicalPath
+    catch { case _: java.io.IOException => lockFile.getAbsolutePath }
+}
+
 /** The POSIX-filesystem implementation — correct on any filesystem
   * with POSIX link/rename/flock semantics (local disk, NFS with
   * working locks). Race-proven by MergeSpec's 20-round commit races;
@@ -109,11 +122,16 @@ private[graft] object PosixCommitIo extends GraftCommitIo {
     * and a single global mutex serialized commits to UNRELATED tables
     * behind each other — a needless driver-side throughput cap for
     * concurrent multi-table DML. The map grows one entry per table
-    * ever locked in this JVM (bounded, tiny). */
+    * ever locked in this JVM (bounded, tiny). Keys are CANONICAL
+    * paths: two aliased spellings of one lock file (symlinked
+    * warehouse dir, a `..` in the datasource path) must share a mutex,
+    * or the second thread's FileChannel.lock on the same inode throws
+    * OverlappingFileLockException instead of blocking. */
   private val jvmMutexes =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def mutexFor(lockFile: java.io.File): Object =
-    jvmMutexes.computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
+    jvmMutexes.computeIfAbsent(GraftCommitIo.mutexKey(lockFile),
+      _ => new Object)
 
   override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
     mutexFor(lockFile).synchronized {
@@ -240,13 +258,15 @@ private[graft] final class HadoopFsCommitIo(
     }
   }
 
-  /** Per-lock-file process mutexes (r19, as in [[PosixCommitIo]]):
-    * same-JVM contention for the SAME table serializes here; commits
-    * to unrelated tables proceed concurrently. */
+  /** Per-lock-file process mutexes (r19, as in [[PosixCommitIo]] —
+    * canonical keys for the same aliased-spelling reason): same-JVM
+    * contention for the SAME table serializes here; commits to
+    * unrelated tables proceed concurrently. */
   private val jvmMutexes =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def mutexFor(lockFile: java.io.File): Object =
-    jvmMutexes.computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
+    jvmMutexes.computeIfAbsent(GraftCommitIo.mutexKey(lockFile),
+      _ => new Object)
 
   /** Lease lock with holder RENEWAL and a FENCED stale-break. The
     * first cut's break was an unconditional delete after a staleness
@@ -258,19 +278,31 @@ private[graft] final class HadoopFsCommitIo(
     *  - the lease's content is a per-acquisition token, and a daemon
     *    thread rewrites it (fresh mtime, same token) every term/4
     *    while the body runs — a live holder is never near stale, so
-    *    staleness genuinely means a crashed holder;
+    *    staleness genuinely means a crashed holder. The renewal is
+    *    CONDITIONAL (token still ours, age within term): a term-overrun
+    *    holder stops renewing instead of blindly clobbering a
+    *    successor's lease with the old token;
     *  - a contender breaks a stale lease by atomic no-overwrite
-    *    RENAME-ASIDE: exactly one breaker can win the rename (the
-    *    fence), and if a renewal landed in the stat→rename window the
-    *    moved file's mtime proves it fresh and it is restored, not
-    *    discarded;
+    *    RENAME-ASIDE and claims the slot in the same motion (see
+    *    [[breakStaleLease]] for the full fence, the live-holder undo,
+    *    and the one residual no-compare-and-swap window, which is
+    *    surfaced loudly rather than swallowed);
     *  - release deletes the lease only while it still carries THIS
-    *    acquisition's token, so a holder that WAS broken (term overrun
-    *    despite renewal — a multi-minute GC pause) cannot delete its
-    *    successor's lease;
+    *    acquisition's token AND is within its term — a holder that WAS
+    *    broken (term overrun — a multi-minute GC pause) cannot delete
+    *    its successor's lease, and an overrun-but-unbroken holder
+    *    leaves its stale file to the next contender's fence (a bounded
+    *    availability cost, never an exclusion cost);
     *  - contenders probe with ONE getFileStatus per wait and back off
     *    exponentially (1 → 128 ms), instead of a create+rename+delete
-    *    spin per millisecond against the NameNode. */
+    *    spin per millisecond against the NameNode.
+    *
+    * What this recipe is: crash-recovery mutual exclusion on a
+    * rename-only filesystem API. What it is not: a substitute for a
+    * real compare-and-swap under adversarial timing — deployments
+    * needing hard exclusion against arbitrarily-paused holders use a
+    * coordination service or conditional writes, exactly as the trait
+    * contract documents for S3. */
   override def withTableLock[T](lockFile: java.io.File)(body: => T): T =
     mutexFor(lockFile).synchronized {
       // distinct name from the POSIX `_lock` channel file: that file is
@@ -291,7 +323,7 @@ private[graft] final class HadoopFsCommitIo(
               renameIfAbsent(writeTmp(lease.getParent, tokenBytes), lease)
           case Some(st) if System.currentTimeMillis() -
               st.getModificationTime > lockLeaseMillis =>
-            breakStaleLease(lease)
+            acquired = breakStaleLease(lease, tokenBytes)
           case _ => () // held and fresh: wait out the backoff
         }
         if (!acquired) {
@@ -306,8 +338,20 @@ private[graft] final class HadoopFsCommitIo(
           try Thread.sleep(math.max(1L, lockLeaseMillis / 4))
           catch { case _: InterruptedException => interrupted = true }
           if (!interrupted && !stopRenewal.get()) {
-            try overwritePath(lease, tokenBytes)
-            catch { case scala.util.control.NonFatal(_) => () }
+            // CONDITIONAL renewal: rewrite only while the lease still
+            // carries OUR token and is NOT yet past the term. A blind
+            // overwrite from a term-overrun holder (the JVM paused, a
+            // breaker installed a successor) would replace the
+            // successor's lease with the old token — re-arming exactly
+            // the cascading double-hold the token check exists to stop.
+            try {
+              if (leaseIsOurs(lease, tokenBytes)) {
+                if (ageMillis(lease).exists(_ <= lockLeaseMillis))
+                  overwritePath(lease, tokenBytes)
+                else stopRenewal.set(true) // overrun: a break may be in
+                // flight; any rewrite from here races it
+              } else stopRenewal.set(true) // broken: a successor holds
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       }, s"graft-lease-renew-${lockFile.getName}-$token")
@@ -316,42 +360,112 @@ private[graft] final class HadoopFsCommitIo(
       try body
       finally {
         stopRenewal.set(true); renewer.interrupt(); renewer.join(2000)
-        // token check: if the term was overrun and a breaker took the
-        // lease, the mismatch leaves the successor's lease intact. The
-        // read-check-delete window is safe because a breaker only acts
-        // on STALE leases and ours was just renewed.
-        val stillOurs =
+        // Delete only OUR, un-overrun lease. Token mismatch = a breaker
+        // took the slot, the successor's lease must survive. Overrun =
+        // a break may be IN FLIGHT, so even a token-matched delete
+        // could race the successor's install — leave the stale file to
+        // the next contender's fence instead (a bounded availability
+        // cost, never an exclusion cost). A transient read blip
+        // retries, so it cannot strand a live-looking lease for a
+        // full term.
+        var attempt = 0
+        var done = false
+        while (!done && attempt < 3) {
+          attempt += 1
           try {
-            val in = fc.open(lease)
-            val bytes = try in.readAllBytes() finally in.close()
-            java.util.Arrays.equals(bytes, tokenBytes)
-          } catch { case scala.util.control.NonFatal(_) => false }
-        if (stillOurs) deleteQuietly(lease)
+            if (leaseIsOurs(lease, tokenBytes)) {
+              if (ageMillis(lease).forall(_ <= lockLeaseMillis))
+                deleteQuietly(lease)
+            }
+            done = true
+          } catch {
+            case scala.util.control.NonFatal(_) => Thread.sleep(50L)
+          }
+        }
       }
     }
 
-  /** Fenced break of a lease observed stale: atomically rename the
-    * exact file aside (at most one of N concurrent breakers wins the
-    * no-overwrite rename; the losers see FileNotFound and re-probe),
-    * re-confirm the MOVED file is still past the term — rename
-    * preserves mtime — and restore it if a holder renewal landed in
-    * the stat→rename window. Restore-by-renameIfAbsent loses cleanly
-    * (and removes the aside copy) if the slot was re-acquired
-    * meanwhile. */
-  private def breakStaleLease(lease: Path): Unit = {
+  private def statOpt(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
+    try Some(fc.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  private def ageMillis(p: Path): Option[Long] =
+    statOpt(p).map(st => System.currentTimeMillis() - st.getModificationTime)
+
+  /** Does `lease` currently carry this acquisition's token? Throws on
+    * transient I/O failure (callers decide retry vs give-up); a
+    * missing file is simply "not ours". */
+  private def leaseIsOurs(lease: Path, tokenBytes: Array[Byte]): Boolean =
+    try {
+      val in = fc.open(lease)
+      val bytes = try in.readAllBytes() finally in.close()
+      java.util.Arrays.equals(bytes, tokenBytes)
+    } catch { case _: java.io.FileNotFoundException => false }
+
+  /** Fenced break of a lease observed stale; true iff this contender
+    * both broke it AND claimed the slot. Protocol: re-stat immediately
+    * before the fence (the caller's observation is a whole backoff
+    * old), atomic no-overwrite RENAME-ASIDE (at most one of N breakers
+    * wins; losers see FileNotFound and re-probe), claim the emptied
+    * slot AT ONCE so no other contender squeezes into the gap, then
+    * judge what was moved by its mtime (rename preserves it): stale —
+    * the normal crashed-holder case — keep the claim, drop the aside;
+    * FRESH — a renewal landed inside the stat→rename window, the
+    * holder is alive — undo: drop our claim, restore the aside. The
+    * undo itself has a ~2-RPC window this API cannot close (no
+    * compare-and-swap rename — the same boundary the class scaladoc
+    * documents for S3); if the restore loses that race the displaced
+    * holder's lease is gone, and that is surfaced as a loud WARN
+    * rather than swallowed. A won break also sweeps `.broken-*`
+    * orphans a crashed breaker may have stranded (no other path ever
+    * touches those names). */
+  private def breakStaleLease(lease: Path, tokenBytes: Array[Byte]): Boolean = {
+    val stillStale = ageMillis(lease).exists(_ > lockLeaseMillis)
+    if (!stillStale) return false
+    sweepBrokenOrphans(lease)
     val aside = lease.suffix(
       s".broken-${java.util.UUID.randomUUID().toString.take(12)}")
-    try {
-      fc.rename(lease, aside)
-      val moved = fc.getFileStatus(aside)
-      if (System.currentTimeMillis() - moved.getModificationTime >
-          lockLeaseMillis) deleteQuietly(aside)
-      else { renameIfAbsent(aside, lease); () }
-    } catch {
-      case _: java.io.FileNotFoundException => () // another breaker won
-      case scala.util.control.NonFatal(_) => ()
+    try fc.rename(lease, aside)
+    catch {
+      case _: java.io.FileNotFoundException => return false
+      case scala.util.control.NonFatal(_) => return false
+    }
+    val claimed =
+      try renameIfAbsent(writeTmp(lease.getParent, tokenBytes), lease)
+      catch { case scala.util.control.NonFatal(_) => false }
+    val movedStale = ageMillis(aside).forall(_ > lockLeaseMillis)
+    if (movedStale) {
+      deleteQuietly(aside)
+      claimed
+    } else {
+      // we displaced a LIVE holder: undo, restore, and never hold
+      if (claimed) deleteQuietly(lease)
+      if (!renameIfAbsent(aside, lease))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lease restore lost a race at $lease: a live holder was " +
+            "displaced during a stale-break and another contender " +
+            "claimed the slot before the undo (no compare-and-swap " +
+            "rename on this storage) — mutual exclusion may be " +
+            "compromised for this commit window")
+      false
     }
   }
+
+  /** Reclaim `.broken-*` siblings a crashed breaker stranded: only the
+    * rare break path runs this (one listing), and only files 2× past
+    * the term are touched — never an aside a live break is judging. */
+  private def sweepBrokenOrphans(lease: Path): Unit =
+    try {
+      val prefix = lease.getName + ".broken-"
+      val it = fc.listStatus(lease.getParent)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith(prefix) &&
+            System.currentTimeMillis() - st.getModificationTime >
+              2 * lockLeaseMillis)
+          deleteQuietly(st.getPath)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   override def appendLine(target: java.io.File, line: String): Unit = {
     val t = toPath(target)

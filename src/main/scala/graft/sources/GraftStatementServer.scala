@@ -357,11 +357,32 @@ object GraftStatementServer {
         // process's own sweep skips forever (it excludes its own
         // nonce) and a foreign sweep only reaps an hour later.
         val p = new org.apache.hadoop.fs.Path(dir, liveMarker)
-        val out = fs.createNonRecursive(p, true, 4096,
-          fs.getDefaultReplication(p), fs.getDefaultBlockSize(p), null)
-        try out.write(
-          System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        def put(out: java.io.OutputStream): Unit =
+          try out.write(System.currentTimeMillis().toString
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        try put(fs.createNonRecursive(p, true, 4096,
+          fs.getDefaultReplication(p), fs.getDefaultBlockSize(p), null))
+        catch {
+          case _: java.io.FileNotFoundException => () // dir deleted
+          // mid-race: exactly the outcome the non-recursive call exists
+          // to produce — the drain is retiring, nothing to refresh
+          case e @ (_: UnsupportedOperationException |
+              _: java.io.IOException) =>
+            // some FileSystems never override the base
+            // createNonRecursive (viewfs and several connectors throw
+            // "createNonRecursive unsupported"): without this fallback
+            // the marker would silently never refresh there and a
+            // foreign sweep could reap a live >1 h drain — the exact
+            // ADVICE r17 bug. Degrade to an existence-guarded create
+            // (the guard narrows the resurrect window rather than
+            // closing it) and say so once.
+            if (e.isInstanceOf[UnsupportedOperationException] ||
+                String.valueOf(e.getMessage).contains("createNonRecursive")) {
+              warnNonRecursiveOnce(fs)
+              if (fs.exists(dir)) put(fs.create(p, true))
+            } else throw e
+        }
       })
   }
 
@@ -369,6 +390,19 @@ object GraftStatementServer {
     * spool's drain is still live (skipped by the part-file cursor,
     * which filters on the `part-` prefix). */
   private[graft] val liveMarker = "_graft-live"
+
+  /** One WARN per server lifetime when the spool FileSystem lacks
+    * createNonRecursive and the liveness touch degrades to the
+    * existence-guarded create (the marker still refreshes; only the
+    * touch-vs-retire race guard weakens). */
+  private val warnedNonRecursive = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def warnNonRecursiveOnce(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    if (warnedNonRecursive.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"spool filesystem ${fs.getClass.getSimpleName} does not support " +
+          "createNonRecursive; liveness touches fall back to an " +
+          "existence-guarded create (marker refresh still works; the " +
+          "touch-vs-retire race guard is narrowed, not closed)")
 
   /** Did this statement already EXECUTE during analysis (DML/DDL)?
     * The CommandResult wrapper lives on `commandExecuted`, NOT on

@@ -55,16 +55,7 @@ class MergeSpec extends SparkSpec {
     * race gates below run once per concrete — same protocol, two
     * storage recipes. */
   private def withHadoopIo[T](body: => T): T = {
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sessionState.newHadoopConf())
-    conf.set("fs.AbstractFileSystem.graftfs.impl",
-      classOf[GraftTestAbstractFs].getName)
-    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      java.net.URI.create("graftfs:///"), conf)
-    val io = new graft.sources.HadoopFsCommitIo(fc,
-      f => new org.apache.hadoop.fs.Path("graftfs", null, f.getAbsolutePath))
-    GraftVersions.ioOverride = Some(io)
+    GraftVersions.ioOverride = Some(hadoopIo(leaseMillis = 60000L))
     try body finally GraftVersions.ioOverride = None
   }
 
@@ -137,6 +128,60 @@ class MergeSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(leaseFile.toPath))
       == "successor-token")
     leaseFile.delete()
+  }
+
+  /** Review r19 (second pass): renewal is CONDITIONAL. Once the slot
+    * stops carrying this acquisition's token (a breaker + successor
+    * took it during a term overrun), the old holder's renewal thread
+    * must decline to rewrite — a blind overwrite would replace the
+    * successor's lease with the old token and re-arm the cascading
+    * double-hold the token-checked release exists to stop. */
+  test("lease renewal declines once the slot carries another token (HadoopFsCommitIo)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease3").toFile
+    val lockFile = new java.io.File(dir, "_lock")
+    val leaseFile = new java.io.File(dir, "_lock.lease")
+    val io = hadoopIo(leaseMillis = 400L) // renewal ticks every 100 ms
+    io.withTableLock(lockFile) {
+      // a breaker + successor replace the slot while we hold it
+      java.nio.file.Files.write(leaseFile.toPath, "successor-token".getBytes)
+      Thread.sleep(450L) // several renewal periods
+      assert(new String(java.nio.file.Files.readAllBytes(leaseFile.toPath))
+        == "successor-token",
+        "a renewal clobbered the successor's lease with the old token")
+    }
+    assert(leaseFile.exists, "release deleted a lease it no longer owned")
+    leaseFile.delete()
+  }
+
+  /** Review r19 (second pass): mutex keys are CANONICAL paths — two
+    * aliased spellings of one lock file (here via a symlinked table
+    * dir) must share the same-JVM mutex, or the second thread's OS
+    * lock on the same inode throws OverlappingFileLockException
+    * instead of blocking. */
+  test("aliased lock-file spellings share one mutex (PosixCommitIo)") {
+    val real = java.nio.file.Files.createTempDirectory("graft_alias").toFile
+    val link = new java.io.File(real.getParentFile, real.getName + "-ln")
+    java.nio.file.Files.createSymbolicLink(link.toPath, real.toPath)
+    val spellings = Seq(new java.io.File(real, "_lock"),
+      new java.io.File(link, "_lock"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val overlap = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = spellings.map(lf => new Thread(() =>
+      try (1 to 10).foreach { _ =>
+        graft.sources.PosixCommitIo.withTableLock(lf) {
+          val c = overlap.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, c))
+          Thread.sleep(1L)
+          overlap.decrementAndGet(); ()
+        }
+      } catch { case t: Throwable => errs.add(t); () }))
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errs.isEmpty,
+      s"aliased spellings collided at the OS lock: ${errs.peek()}")
+    assert(maxSeen.get == 1,
+      s"aliased spellings admitted ${maxSeen.get} concurrent holders")
+    link.delete()
   }
 
   /** Review r19: a lost publish race must not strand its `.tmp-*`
