@@ -80,6 +80,28 @@ object GraftSession {
         .appName("graft")
         .config("spark.local.dir", localDir.getAbsolutePath)
         .config("spark.sql.shuffle.partitions", cpus)
+        // Floor on SCAN parallelism (guide §6): the test-data parquet
+        // files are single-split (≪ maxPartitionBytes), so without a
+        // floor every CPU-heavy map stage rooted at a scan — trigram
+        // explodes, hashing, decodes — ran in ONE task on a 32-core
+        // box (measured r19: d10's three broadcast subtrees each ~0.5 s
+        // single-task). Keyed to the core count exactly like
+        // shuffle.partitions above, so the driver's lower-core bench
+        // runs scale it down automatically; at production input sizes
+        // the byte-derived split count dominates and the floor is a
+        // no-op.
+        .config("spark.sql.files.minPartitionNum", cpus)
+        // The generated-code cache defaults to 100 entries; this
+        // engine's 215-entry surface (and any one of its heavy ANN
+        // composites alone) produces far more distinct codegen units
+        // than that, so the default thrashes and every execution
+        // re-compiles its kernels on the driver — measured r19: s12
+        // 7.55 → 5.37 s, s19 7.46 → 5.71 s from this one setting.
+        // Scale-neutral (driver-memory-bounded cache of compiled
+        // classes; production drivers with many distinct query shapes
+        // raise it for the same reason), env-overridable for A/B.
+        .config("spark.sql.codegen.cache.maxEntries",
+          sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.TrinoFunctions.register(spark)

@@ -196,6 +196,326 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** argmax over a cid-ascending centroid array of cosine(ce, emb)
+    * under the (cs DESC, cid ASC) tie rule — the zero-shuffle
+    * replacement for crossJoin × row_number assignment (r19), emitted
+    * as ONE codegen'd loop so the corpus pass stays whole-stage
+    * compiled (a higher-order `aggregate` fold computes the same
+    * values interpreted, ~10× slower per row — guide §4 / the r19
+    * optimization brief's codegen rule).
+    *
+    * `left`: array<struct<cid: long, ce: array<double|float>>>;
+    * `right`: the probe vector, array<float|double|tinyint>. Returns
+    * struct(cs, cid, ce) of the winner. Per-candidate cosine is the
+    * EXACT CosineSimilarity arithmetic (same loop, same accumulation
+    * order, same null/zero-norm skips), and the comparison is Spark's
+    * double ordering (SQLOrderingUtil: NaN above every value), so the
+    * winner matches ORDER BY cs DESC, cid ASC bit-for-bit. A
+    * candidate whose cosine is null (length mismatch, null element,
+    * zero norm) never wins; if NO candidate wins the result is null
+    * (cannot occur on trained centroids — gated by the oracles). */
+  case class NearestCell(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    private def centsType: StructType = left.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("cs", DoubleType, nullable = true),
+      StructField("cid", LongType, nullable = true),
+      StructField("ce", centsType("ce").dataType, nullable = true)))
+
+    override def nullable: Boolean = true
+
+    private def ceElem: DataType = centsType("ce").dataType
+      .asInstanceOf[ArrayType].elementType
+
+    private def embElem: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = left.dataType match {
+        case ArrayType(StructType(Array(
+          StructField("cid", LongType, _, _),
+          StructField("ce", ArrayType(FloatType | DoubleType, _), _, _))), _) => true
+        case _ => false
+      }
+      val okR = right.dataType match {
+        case ArrayType(FloatType | DoubleType | ByteType, _) => true
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell needs (array<struct<cid:long, ce:array<float|double>>>, " +
+          s"array<float|double|tinyint>), got ${left.dataType}, ${right.dataType}")
+    }
+
+    private def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val cents = a.asInstanceOf[ArrayData]
+      val emb = b.asInstanceOf[ArrayData]
+      val n = emb.numElements()
+      var bestCs = Double.NegativeInfinity
+      var bestIdx = -1
+      var k = 0
+      while (k < cents.numElements()) {
+        if (!cents.isNullAt(k)) {
+          val c = cents.getStruct(k, 2)
+          if (!c.isNullAt(1)) {
+            val ce = c.getArray(1)
+            if (ce.numElements() == n) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0; var nul = false
+              while (i < n && !nul) {
+                if (ce.isNullAt(i) || emb.isNullAt(i)) nul = true
+                else {
+                  val x = if (ceElem == FloatType) ce.getFloat(i).toDouble
+                          else ce.getDouble(i)
+                  val y = embElem match {
+                    case FloatType => emb.getFloat(i).toDouble
+                    case ByteType  => emb.getByte(i).toDouble
+                    case _         => emb.getDouble(i)
+                  }
+                  dot += x * y; na += x * x; nb += y * y
+                  i += 1
+                }
+              }
+              if (!nul && na != 0.0 && nb != 0.0) {
+                val cs = dot / (math.sqrt(na) * math.sqrt(nb))
+                if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                      .compareDoubles(cs, bestCs) > 0) {
+                  bestCs = cs; bestIdx = k
+                }
+              }
+            }
+          }
+        }
+        k += 1
+      }
+      if (bestIdx < 0) null
+      else {
+        val c = cents.getStruct(bestIdx, 2)
+        InternalRow(bestCs, c.getLong(0), c.getArray(1))
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getCe = getter(ceElem)
+      val getEmb = getter(embElem)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val k = ctx.freshName("k"); val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val bestCs = ctx.freshName("bestCs")
+        val bestIdx = ctx.freshName("bestIdx")
+        val c = ctx.freshName("c"); val ce = ctx.freshName("ce")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val nul = ctx.freshName("nul")
+        val cs = ctx.freshName("cs"); val win = ctx.freshName("win")
+        s"""
+           |int $n = $b.numElements();
+           |double $bestCs = Double.NEGATIVE_INFINITY;
+           |int $bestIdx = -1;
+           |for (int $k = 0; $k < $a.numElements(); $k++) {
+           |  if ($a.isNullAt($k)) continue;
+           |  InternalRow $c = $a.getStruct($k, 2);
+           |  if ($c.isNullAt(1)) continue;
+           |  ArrayData $ce = $c.getArray(1);
+           |  if ($ce.numElements() != $n) continue;
+           |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |  boolean $nul = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($ce.isNullAt($i) || $b.isNullAt($i)) { $nul = true; break; }
+           |    double x = (double) $ce.$getCe($i);
+           |    double y = (double) $b.$getEmb($i);
+           |    $dot += x * y; $na += x * x; $nb += y * y;
+           |  }
+           |  if ($nul || $na == 0.0 || $nb == 0.0) continue;
+           |  double $cs = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |  if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cs, $bestCs) > 0) {
+           |    $bestCs = $cs; $bestIdx = $k;
+           |  }
+           |}
+           |if ($bestIdx < 0) { ${ev.isNull} = true; }
+           |else {
+           |  InternalRow $win = $a.getStruct($bestIdx, 2);
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |    new Object[]{ $bestCs, $win.getLong(0), $win.getArray(1) });
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestCell =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** All [[graft.operators.Similarity.pqSubspaces]] PQ codes of one
+    * vector as ONE codegen'd expression — the zero-shuffle,
+    * whole-stage-compiled encode (r19). `left`:
+    * array<struct<sub, arr: array<struct<cl: long, cs: array<…>>>>>,
+    * sub- and cl-ascending; `right`: the vector. For each subspace
+    * `sub`, the candidate distance is the EXACT SquaredL2 arithmetic
+    * over the elements [sub·subDim, sub·subDim + subDim) of the
+    * vector, the winner is (dist ASC, cl ASC) under Spark's double
+    * ordering, and a candidate with a null/length-mismatched distance
+    * never wins — replicating slice + squared_l2 + the strict `<`
+    * fold bit-for-bit. No winner in a subspace yields code −1 (the
+    * fold's init; cannot occur under a trained codebook). */
+  case class PqEncode8(left: Expression, right: Expression,
+      subspaces: Int, subDim: Int) extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private def csElem: DataType = left.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("arr").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]("cs")
+      .dataType.asInstanceOf[ArrayType].elementType
+
+    private def embElem: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = left.dataType match {
+        case ArrayType(StructType(Array(
+          StructField("sub", _, _, _),
+          StructField("arr", ArrayType(StructType(Array(
+            StructField("cl", LongType, _, _),
+            StructField("cs", ArrayType(FloatType | DoubleType, _), _, _))), _), _, _))), _) => true
+        case _ => false
+      }
+      val okR = right.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_encode8 needs (array<struct<sub, arr:array<struct<cl:long, cs:array<float|double>>>>>, " +
+          s"array<float|double>), got ${left.dataType}, ${right.dataType}")
+    }
+
+    private def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case _         => "getDouble"
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val cbs = a.asInstanceOf[ArrayData]
+      val emb = b.asInstanceOf[ArrayData]
+      val n = emb.numElements()
+      val out = new Array[Long](subspaces)
+      var sub = 0
+      while (sub < subspaces) {
+        val off = sub * subDim
+        // slice(emb, off+1, subDim) length under array-slice semantics
+        val sliceLen = math.max(0, math.min(subDim, n - off))
+        var bestDist = Double.PositiveInfinity
+        var bestCl = -1L
+        if (sub < cbs.numElements() && !cbs.isNullAt(sub)) {
+          val arr = cbs.getStruct(sub, 2).getArray(1)
+          var k = 0
+          while (k < arr.numElements()) {
+            if (!arr.isNullAt(k)) {
+              val cand = arr.getStruct(k, 2)
+              if (!cand.isNullAt(1)) {
+                val csArr = cand.getArray(1)
+                if (csArr.numElements() == sliceLen) {
+                  var acc = 0.0; var nul = false; var i = 0
+                  while (i < sliceLen && !nul) {
+                    if (emb.isNullAt(off + i) || csArr.isNullAt(i)) nul = true
+                    else {
+                      val x = if (embElem == FloatType) emb.getFloat(off + i).toDouble
+                              else emb.getDouble(off + i)
+                      val y = if (csElem == FloatType) csArr.getFloat(i).toDouble
+                              else csArr.getDouble(i)
+                      val d = x - y
+                      acc += d * d
+                      i += 1
+                    }
+                  }
+                  if (!nul && org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                        .compareDoubles(acc, bestDist) < 0) {
+                    bestDist = acc; bestCl = cand.getLong(0)
+                  }
+                }
+              }
+            }
+            k += 1
+          }
+        }
+        out(sub) = bestCl
+        sub += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getCs = getter(csElem)
+      val getEmb = getter(embElem)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val sub = ctx.freshName("sub"); val off = ctx.freshName("off")
+        val sliceLen = ctx.freshName("sliceLen")
+        val bestDist = ctx.freshName("bestDist"); val bestCl = ctx.freshName("bestCl")
+        val arr = ctx.freshName("arr"); val k = ctx.freshName("k")
+        val cand = ctx.freshName("cand"); val csArr = ctx.freshName("csArr")
+        val acc = ctx.freshName("acc"); val nul = ctx.freshName("nul")
+        val i = ctx.freshName("i"); val d = ctx.freshName("d")
+        s"""
+           |int $n = $b.numElements();
+           |long[] $out = new long[$subspaces];
+           |for (int $sub = 0; $sub < $subspaces; $sub++) {
+           |  int $off = $sub * $subDim;
+           |  int $sliceLen = java.lang.Math.max(0, java.lang.Math.min($subDim, $n - $off));
+           |  double $bestDist = Double.POSITIVE_INFINITY;
+           |  long $bestCl = -1L;
+           |  if ($sub < $a.numElements() && !$a.isNullAt($sub)) {
+           |    ArrayData $arr = $a.getStruct($sub, 2).getArray(1);
+           |    for (int $k = 0; $k < $arr.numElements(); $k++) {
+           |      if ($arr.isNullAt($k)) continue;
+           |      InternalRow $cand = $arr.getStruct($k, 2);
+           |      if ($cand.isNullAt(1)) continue;
+           |      ArrayData $csArr = $cand.getArray(1);
+           |      if ($csArr.numElements() != $sliceLen) continue;
+           |      double $acc = 0.0;
+           |      boolean $nul = false;
+           |      for (int $i = 0; $i < $sliceLen; $i++) {
+           |        if ($b.isNullAt($off + $i) || $csArr.isNullAt($i)) { $nul = true; break; }
+           |        double $d = (double) $b.$getEmb($off + $i) - (double) $csArr.$getCs($i);
+           |        $acc += $d * $d;
+           |      }
+           |      if ($nul) continue;
+           |      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($acc, $bestDist) < 0) {
+           |        $bestDist = $acc; $bestCl = $cand.getLong(0);
+           |      }
+           |    }
+           |  }
+           |  $out[$sub] = $bestCl;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqEncode8 =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def nearest_cell(cents: Column, emb: Column): Column =
+    GraftBridge.column(NearestCell(
+      GraftBridge.expression(cents), GraftBridge.expression(emb)))
+
+  def pq_encode8(cbs: Column, emb: Column, subspaces: Int, subDim: Int): Column =
+    GraftBridge.column(PqEncode8(
+      GraftBridge.expression(cbs), GraftBridge.expression(emb), subspaces, subDim))
+
   def cosine_similarity(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
 

@@ -1049,11 +1049,21 @@ object Dedup {
       col("c_name").as("a_name"))
     val b = c.select(col("blk"), col("c_custkey").as("b_key"),
       col("c_name").as("b_name"))
+    // Levenshtein is invariant under a shared prefix — lev(P·x, P·y) =
+    // lev(x, y) — and a blocked pair shares its ENTIRE name except the
+    // last two characters (equal `blk` strings force equal lengths, so
+    // the suffixes are exactly the last 2 chars). The full 18×18 DP
+    // per candidate pair therefore collapses to a 2×2 DP, computed
+    // ONCE (the old shape ran the full-string DP twice per surviving
+    // row: once in the filter, once in the projection — Spark's
+    // subexpression elimination does not span Filter→Project). r19:
+    // 5.4 s → ~0.6 s, same rows (the oracle runs the full-string lev).
     a.join(b, Seq("blk"))
-      .filter(col("a_key") < col("b_key") &&
-        levenshtein(col("a_name"), col("b_name")) <= 1)
-      .select(col("a_key"), col("b_key"),
-        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist",
+        levenshtein(expr("right(a_name, 2)"), expr("right(b_name, 2)")))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
       .orderBy(col("a_key"), col("b_key"))
   }
 

@@ -178,31 +178,89 @@ object Similarity {
       sampleMod = math.max(1L, cnt / pqTrainSample))
   }
 
+  // ── zero-shuffle nearest-cell machinery (r19 optimization round) ───
+  //
+  // Every assignment/probe pass previously scored (corpus × k) rows via
+  // crossJoin(broadcast(cent)) + row_number() OVER (PARTITION BY
+  // vec_id): correct, but the window repartitions the WHOLE relation by
+  // vec_id — one corpus-wide Exchange (each row still carrying its
+  // embedding array) plus a sort per assignment pass, and under AQE one
+  // extra query-stage job each (optimization guide §2.4: remove
+  // shuffles outright; §2.3: never shuffle the payload to make a
+  // per-row decision). The centroid relation is O(k) BY CONSTRUCTION
+  // (the round-3 s03 invariant), so the argmax can instead run inside
+  // each row: broadcast ONE row holding all centroids as a cid-sorted
+  // array and fold over it with built-in higher-order functions — no
+  // exchange, no sort, partitioning-independent by construction.
+  // Tie-breaking matches the windows bit-exactly: a strict `>` fold
+  // (or a full sort) over a cid-ascending array ≡ ORDER BY cs DESC,
+  // cid ASC, including NaN placement (Spark comparisons order NaN
+  // above every double, the same rule the window's sort applies), and
+  // the per-candidate score is the IDENTICAL codegen'd
+  // cosine_similarity/squared_l2 expression — so every oracle hash is
+  // unchanged (Verify re-passed on the full surface this round).
+
+  /** (cid, ce) centroid rows → ONE broadcastable row
+    * `(cents: array<struct<cid,ce>>)`, cid-ascending (cids are unique,
+    * so the struct sort is total); empty input yields zero rows, so a
+    * crossJoin against it behaves like the old crossJoin-with-empty. */
+  private[graft] def centArray(cent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cent.groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      .where(size(col("cents")) > 0)
+
+  /** argmax over `cents` of cosine(ce, emb) under the (cs DESC, cid
+    * ASC) tie rule — ONE codegen'd per-row loop
+    * ([[graft.functions.VectorFunctions.NearestCell]]), returns
+    * struct(cs, cid, ce). */
+  private def bestCellCol(cents: Column, emb: Column): Column =
+    graft.functions.VectorFunctions.nearest_cell(cents, emb)
+
+  /** Top-`probes` cells by (cs DESC, cid ASC) — sort the per-row scored
+    * array, slice. Returns array<struct<cs,cid,ce>> of length
+    * min(probes, k), in rank order. */
+  private def topCellsCol(cents: Column, emb: Column, probes: Int): Column = {
+    val scored = transform(cents, c => struct(
+      cosine_similarity(c("ce"), emb).as("cs"), c("cid").as("cid"),
+      c("ce").as("ce")))
+    val sorted = array_sort(scored, (l, r) =>
+      when(l("cs") > r("cs"), -1).when(l("cs") < r("cs"), 1)
+        .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+        .otherwise(0))
+    slice(sorted, 1, probes)
+  }
+
   /** IVF ANN: k Lloyd-trained centroids partition the corpus into
     * Voronoi cells by cosine; queries probe their `ivfProbes` nearest
     * cells and rerank only those cells' members. Assignment is one
-    * broadcast-join pass (centroid side is O(k)) and search touches
-    * ~nprobe/k of the data. "Probabilistic" only in recall, not value:
-    * since r11 the DuckDB mirror replays the whole chain exactly —
-    * the deterministic vec_id-mod training sample, first-k seeding,
-    * one Lloyd iteration in DECIMAL (s05's proven discipline), cosine
-    * cell assignment with (cs DESC, cid) tiebreaks, 2-cell probing,
-    * and the exact rerank — so cell structure AND neighbor lists are
-    * hash-gated. RecallSpec gates recall@5, IvfSpec cardinality. */
+    * broadcast-fold pass (centroid side is O(k), zero shuffles) and
+    * search touches ~nprobe/k of the data. "Probabilistic" only in
+    * recall, not value: since r11 the DuckDB mirror replays the whole
+    * chain exactly — the deterministic vec_id-mod training sample,
+    * first-k seeding, one Lloyd iteration in DECIMAL (s05's proven
+    * discipline), cosine cell assignment with (cs DESC, cid)
+    * tiebreaks, 2-cell probing, and the exact rerank — so cell
+    * structure AND neighbor lists are hash-gated. RecallSpec gates
+    * recall@5, IvfSpec cardinality. */
   val annIvf: QueryEntry = QueryEntry(
     "s03_ann_ivf", IvfOracle.probeOracle()
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
-    val scoredCells = e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-    val assigned = scoredCells.filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
-    val qprobe = scoredCells.filter(col("vec_id") < 10 && col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
-    assigned.filter(col("vec_id") >= 10)
+    // train once (the r18 discipline — the corpus and query branches
+    // below would otherwise each re-inline the Lloyd training)
+    val centA = centArray(ivfCentroids(e)).localCheckpoint()
+    // map-only passes: the corpus branch takes each vector's argmax
+    // cell via the codegen'd per-row loop, the query branch its top
+    // ivfProbes — no corpus exchange anywhere before the probe join
+    val assigned = e.filter(col("vec_id") >= 10).crossJoin(broadcast(centA))
+      .withColumn("best", bestCellCol(col("cents"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cluster"))
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centA))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cluster"))
+    assigned
       .join(broadcast(qprobe), Seq("cluster"))
       .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
@@ -313,12 +371,10 @@ object Similarity {
     val cent = Clustering.trainCentroids(e, k, iters = 1, sampleMod = m)
     val useHier = hierarchical.getOrElse(k >= semanticHierarchicalMinCells)
     if (!useHier) {
-      e.crossJoin(broadcast(cent))
-        .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-        .filter(col("crn") <= probes)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      e.crossJoin(broadcast(centArray(cent)))
+        .select(col("vec_id"), col("embedding"),
+          explode(topCellsCol(col("cents"), col("embedding"), probes)).as("pc"))
+        .select(col("vec_id"), col("embedding"), col("pc.cid").as("cluster"))
     } else {
       val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
       // coarse level trains directly on the fine centroids as a
@@ -331,13 +387,13 @@ object Similarity {
       val coarse = Clustering.trainCentroids(
           cent.select(col("cid").as("vec_id"), col("ce").as("embedding")), k1)
         .select(col("cid").as("gid"), col("ce").as("ge"))
-      // fine centroid → its ONE nearest coarse group: O(k·k₁) rows
-      val fineGroup = cent.crossJoin(broadcast(coarse))
-        .withColumn("gs", cosine_similarity(col("ge"), col("ce")))
-        .withColumn("grn", row_number().over(
-          Window.partitionBy(col("cid")).orderBy(col("gs").desc, col("gid"))))
-        .filter(col("grn") === 1)
-        .select(col("gid"), col("cid"), col("ce"))
+      // fine centroid → its ONE nearest coarse group: O(k·k₁) rows.
+      // The helper's fold scores cosine(candidate, emb) with the
+      // candidate first — the same (ge, ce) argument order as before.
+      val fineGroup = cent.crossJoin(broadcast(centArray(
+          coarse.select(col("gid").as("cid"), col("ge").as("ce")))))
+        .withColumn("best", bestCellCol(col("cents"), col("ce")))
+        .select(col("best.cid").as("gid"), col("cid"), col("ce"))
       // a coarse group can end up with ZERO fine members (every fine
       // centroid nearer some other group) — ranking vectors against
       // such a group would silently drop any vector whose
@@ -347,20 +403,29 @@ object Similarity {
       val liveCoarse = coarse.join(
         fineGroup.select(col("gid")).distinct(), Seq("gid"))
       // vector → top coarse groups: the only corpus-wide centroid scan,
-      // O(n·k₁) = O(n·√k) cosines
-      val vg = e.crossJoin(broadcast(liveCoarse))
-        .withColumn("gs", cosine_similarity(col("ge"), col("embedding")))
-        .withColumn("grn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("gs").desc, col("gid"))))
-        .filter(col("grn") <= semanticCoarseProbes)
-        .select(col("vec_id"), col("embedding"), col("gid"))
-      // vector → top `probes` fine cells among its probed groups only
-      vg.join(broadcast(fineGroup), Seq("gid"))
-        .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-        .filter(col("crn") <= probes)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      // O(n·k₁) = O(n·√k) cosines — held as a per-row ARRAY of probed
+      // group ids (no explode, no shuffle)
+      val vg = e.crossJoin(broadcast(centArray(
+          liveCoarse.select(col("gid").as("cid"), col("ge").as("ce")))))
+        .select(col("vec_id"), col("embedding"),
+          transform(topCellsCol(col("cents"), col("embedding"),
+            semanticCoarseProbes), p => p("cid")).as("gids"))
+      // vector → top `probes` fine cells among its probed groups only:
+      // the per-group fine-centroid lists ride ONE broadcast map row
+      // (gid → cid-sorted array), each vector flattens its probed
+      // groups' lists and ranks them in-row — the whole descent is
+      // map-side; O(k) state, O(probes·k/k₁) expected candidates/row
+      val gmap = fineGroup.groupBy(col("gid"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("arr"))
+        .groupBy()
+        .agg(map_from_entries(collect_list(struct(col("gid"), col("arr"))))
+          .as("gmap"))
+      vg.crossJoin(broadcast(gmap))
+        .withColumn("cand",
+          flatten(transform(col("gids"), g => element_at(col("gmap"), g))))
+        .select(col("vec_id"), col("embedding"),
+          explode(topCellsCol(col("cand"), col("embedding"), probes)).as("pc"))
+        .select(col("vec_id"), col("embedding"), col("pc.cid").as("cluster"))
     }
   }
 
@@ -532,50 +597,63 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("sdim"), col("c")))),
         s => s("c")).as("cs"))
 
-  /** PQ-encode vectors under a FROZEN codebook: per-(vector, subspace)
-    * row × broadcast centroid arrays, nearest by one codegen'd
-    * fixed-order squared-L2 fold (ties by cl) — a pure per-row double,
-    * partitioning-independent. This is pqTrain's encode step factored
-    * out so the append path (s19) can encode an arriving batch against
-    * STORED state without retraining. */
-  private[graft] def pqEncode(in: org.apache.spark.sql.DataFrame,
-      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import graft.functions.VectorFunctions.squared_l2
-    subVec(in).join(broadcast(pqCodebookArrays(cb)), Seq("sub"))
-      .withColumn("dist", squared_l2(col("xs"), col("cs")))
-      .withColumn("rk", expr(
-        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cl"))
-  }
+  /** Array-form codebook rows (sub, cl, cs) → ONE broadcastable row
+    * `(cbs: array<struct<sub, arr: array<struct<cl,cs>>>>)`, sub- and
+    * cl-ascending — the form the zero-shuffle encode folds over. Subs
+    * are contiguous 0..M−1 by construction ([[subVec]] explodes the
+    * full range), so element_at(cbs, sub+1) is the sub'th entry. */
+  private def codebookArray(cbArr: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cbArr.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cl"), col("cs")))).as("arr"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("arr")))).as("cbs"))
+      .where(size(col("cbs")) > 0)
+
+  /** All [[pqSubspaces]] codes of one vector as a per-row expression:
+    * per subspace, argmin over the broadcast centroid list of the SAME
+    * codegen'd squared-L2 the row form used, (dist ASC, cl ASC) tie
+    * rule via a strict `<` fold over the cl-ascending array — output
+    * is the FAISS codes8 layout directly, with zero explode, zero
+    * window, zero groupBy (previously: explode to 8 rows/vector,
+    * window over (vec_id, sub), then a groupBy(vec_id) collect — two
+    * corpus-wide exchanges per encode). */
+  private def pqCodes8Col(cbs: Column, emb: Column): Column =
+    graft.functions.VectorFunctions.pq_encode8(cbs, emb, pqSubspaces, pqSubDim)
+
+  /** PQ-encode under a FROZEN per-dim codebook straight into the FAISS
+    * codes8 layout — (vec_id, codes8) plus any `carry` columns ridden
+    * through (the cell id, in the IVF-PQ paths — previously a join
+    * back onto the assignment). One map-only pass; see
+    * [[pqCodes8Col]]. The append path (s19) uses this to encode an
+    * arriving batch against STORED state without retraining. */
+  private[graft] def pqCodes(in: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    in.crossJoin(broadcast(codebookArray(pqCodebookArrays(cb))))
+      .select(col("vec_id") +:
+        pqCodes8Col(col("cbs"), col("embedding")).as("codes8") +:
+        carry.map(col): _*)
 
   private[graft] def pqTrain(e: org.apache.spark.sql.DataFrame,
       sampleMod: Long = 1L)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import graft.functions.VectorFunctions.squared_l2
     import org.apache.spark.sql.types.DecimalType
     // training sample: ids 0, m, 2m, … — deterministic, pushes below
     // any upstream window/join on vec_id (the trainCentroids recipe)
     val es = if (sampleMod == 1L) e else e.filter(col("vec_id") % sampleMod === 0)
-    // assignment: per-(vector, subspace) row × broadcast (sub, cl)
-    // centroid ARRAYS, distance as one codegen'd fixed-order fold —
-    // a pure per-row double, partitioning-independent by construction
-    // (the original per-dimension explode summed across rows and
-    // needed decimal to stay order-free; this shape is 8× fewer rows
-    // with no decimal in the corpus pass)
-    def assign(in: org.apache.spark.sql.DataFrame,
-        cbArr: org.apache.spark.sql.DataFrame) =
-      subVec(in).join(broadcast(cbArr), Seq("sub"))
-        .withColumn("dist", squared_l2(col("xs"), col("cs")))
-        .withColumn("rk", expr(
-          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl)"))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("cl"))
     val c0 = subVec(es).filter(col("vec_id") < pqK * sampleMod)
       .select(col("sub"), col("vec_id").as("cl"), col("xs").as("cs"))
+    // Lloyd assignment of the (bounded) sample under the init
+    // codebook: the same per-row argmin fold as the encode, exploded
+    // back to (vec_id, sub, cl) rows for the mean update's join
+    val codes0 = es.crossJoin(broadcast(codebookArray(c0)))
+      .select(col("vec_id"),
+        posexplode(pqCodes8Col(col("cbs"), col("embedding")))
+          .as(Seq("sub", "cl")))
     // mean update stays decimal-exact: it SUMS ACROSS the (bounded)
     // sample's rows, where accumulation order is partition-dependent
-    val c1 = subExploded(es).join(assign(es, c0), Seq("vec_id", "sub"))
+    val c1 = subExploded(es).join(codes0, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("cl"), col("sdim"))
       .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("c"))
@@ -590,17 +668,8 @@ object Similarity {
     val c1d = c1.withColumn("cl",
       (expr("dense_rank() OVER (PARTITION BY sub ORDER BY cl)") - 1).cast("long"))
       .localCheckpoint()
-    (c1d, pqEncode(e, c1d))
+    (c1d, pqCodes(e, c1d))
   }
-
-  /** Codes in the FAISS storage layout: ONE row per vector with its
-    * [[pqSubspaces]] codes as an array in subspace order — the 8-byte
-    * payload the compressed scan actually reads. */
-  private def codesToArray(codes: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    codes.groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cl")))),
-        s => s("cl")).as("codes8"))
 
   /** Σ_sub lut[sub·k + codes8[sub]] as a FIXED 8-term codegen'd sum —
     * a pure per-row double, partitioning-independent by construction.
@@ -672,7 +741,7 @@ object Similarity {
         sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
     val lut = pdot.groupBy(col("qid"))
       .agg(lutArr(col("pdot")).as("pmap"), lutArr(col("csq")).as("qmap"))
-    val cand = codesToArray(codes.filter(col("vec_id") >= 10))
+    val cand = codes.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(lut))
       .withColumn("ascore", lutSum(col("pmap")) / sqrt(lutSum(col("qmap"))))
       .withColumn("arn", row_number().over(
@@ -722,36 +791,37 @@ object Similarity {
 
   /** Nearest-cell assignment KEEPING the winning centroid vector
     * (vec_id, embedding, cell, ce) — the form residual coding needs:
-    * one broadcast pass, one row out per vector. */
+    * one broadcast-fold map pass, one row out per vector, zero
+    * shuffles. */
   private def assignCellsWithCe(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"), col("ce"))
+    e.crossJoin(broadcast(centArray(cent)))
+      .withColumn("best", bestCellCol(col("cents"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cell"), col("best.ce").as("ce"))
 
   /** Per-vector residual r = x − c(x) over an [[assignCellsWithCe]]
-    * relation. */
+    * relation, the cell id ridden through (its consumers previously
+    * joined the assignment back by vec_id to recover it). */
   private def cellResiduals(assigned: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     assigned.select(col("vec_id"),
       zip_with(col("embedding"), col("ce"),
-        (x, c) => x.cast("double") - c).as("embedding"))
+        (x, c) => x.cast("double") - c).as("embedding"),
+      col("cell"))
 
   /** Assign + residual-encode vectors under FROZEN stored state (the
     * s19 append path and its spec's rebuild twin): nearest stored
     * cell, residual against that centroid, PQ codes under the stored
     * codebook — (vec_id, codes8, cell), exactly [[ivfPqBuild]]'s
-    * stored layout, with zero training anywhere. */
+    * stored layout, with zero training anywhere — and, since the r19
+    * fold rework, zero shuffles: assignment, residual, and all 8
+    * code argmins run inside one map pass over the batch. */
   private[graft] def ivfPqEncodeCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
-      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val assigned = assignCellsWithCe(e, cent)
-    codesToArray(pqEncode(cellResiduals(assigned), cb))
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-  }
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pqCodes(cellResiduals(assignCellsWithCe(e, cent)), cb,
+      carry = Seq("cell"))
 
   /** IVF-PQ index construction — the corpus-scanning half of s08,
     * factored out so s12 can persist its outputs: the O(k) coarse
@@ -773,20 +843,20 @@ object Similarity {
     // cell id per vector — the FAISS in-RAM index, i.e. the state a
     // 100 TB deployment persists instead (s12's parquet layout).
     val cent = ivfCentroids(e, n).localCheckpoint()
-    val assigned = assignCellsWithCe(e, cent)
-    // residuals r = x − c(x), then PQ codes trained ON the residuals
-    val residuals = cellResiduals(assigned)
+    // residuals r = x − c(x) with the cell ridden through — since the
+    // r19 fold rework assignment + residual is ONE map pass (no
+    // window exchange, no join back for the cell id)
+    val residuals = cellResiduals(assignCellsWithCe(e, cent))
     // sample-trained on residuals: the vec_id % m filter pushes below
-    // the coarse-assignment window, so training never assigns the full
+    // the coarse-assignment fold, so training never assigns the full
     // corpus to cells twice
     // pqTrain returns the codebook already materialized (train-once)
     val (codebook, _) = pqTrain(residuals,
       math.max(1L, n / pqTrainSample))
-    // encode under the MATERIALIZED codebook (pqEncode is exactly the
+    // encode under the MATERIALIZED codebook (pqCodes is exactly the
     // encode half of pqTrain, so the codes are bit-identical — the
     // oracle replays the same frozen-state chain)
-    val codesCell = codesToArray(pqEncode(residuals, codebook))
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val codesCell = pqCodes(residuals, codebook, carry = Seq("cell"))
       .localCheckpoint()
     (cent, codebook, codesCell)
   }
@@ -818,12 +888,11 @@ object Similarity {
       .agg(sum((col("cx") * col("cx")).cast(DecimalType(28, 18))).as("cnormsq"))
     // query side: probed cells, the per-(query, cell) dot(q, c)
     // scalar, and the cell-independent pdot(qid, sub, cl) table
-    val probeList = e.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val probeList = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id").as("qid"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
+      .select(col("qid"), col("pc.cid").as("cell"))
     val qsub = subExploded(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
     val qc = qsub.join(broadcast(probeList), Seq("qid"))
@@ -1017,20 +1086,16 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 10)
       .join(filteredEligible(s, d), Seq("vec_id"), "left_semi")
     val cent = ivfCentroids(corpus).localCheckpoint() // train once; both consumers read the materialized O(k) rows
-    val assigned = corpus.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    val centA = centArray(cent)
+    val assigned = corpus.crossJoin(broadcast(centA))
+      .withColumn("best", bestCellCol(col("cents"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cluster"))
     // queries are NOT subject to the predicate — they probe the
     // filtered index with the same multi-cell rule as s03
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centA))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cluster"))
     assigned.join(broadcast(qprobe), Seq("cluster"))
       .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
@@ -1041,7 +1106,7 @@ object Similarity {
   }
 
   /** Root of every persisted index (s11–s14): session conf
-    * `graft.index.root`, default `target/graftindex`, layout
+    * `graft.index.root`, default `/dev/shm/graftindex` locally, layout
     * `<root>/<entry>/<dataset>/…`. SINGLE-WRITER contract: each entry
     * (re)builds its index with `mode(overwrite)` as a side effect of
     * DataFrame construction, so two concurrent invocations over the
@@ -1052,9 +1117,16 @@ object Similarity {
     * inspection also triggers the build — the eager write is the
     * honest cost of a build+probe entry; a production caller splits
     * build from probe and reuses the directory. */
+  /** Local default is tmpfs for the same reason `spark.local.dir` is
+    * (GraftSession): this VM's block device shows sporadic
+    * multi-second sync stalls that land inside index-writing entries'
+    * timings (r19: s15 swung 4.1 → 8.9 s between isolated runs with
+    * the canary flat); scratch index state on a real cluster sits on
+    * node-local NVMe or HDFS. Production callers set
+    * `graft.index.root` explicitly — the p25 scratch-root pattern. */
   private[graft] def indexDir(s: org.apache.spark.sql.SparkSession,
       entry: String, d: String): String =
-    s.conf.get("graft.index.root", "target/graftindex") + "/" + entry +
+    s.conf.get("graft.index.root", "/dev/shm/graftindex") + "/" + entry +
       "/" + d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Nearest-centroid assignment WITH the winning cosine
@@ -1064,12 +1136,10 @@ object Similarity {
     * already computed to pick the cell. */
   private[graft] def assignCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"), col("cs"))
+    e.crossJoin(broadcast(centArray(cent)))
+      .withColumn("best", bestCellCol(col("cents"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cluster"), col("best.cs").as("cs"))
 
   /** Nearest-centroid assignment (vec_id, embedding, cluster) — the
     * shared build step of the cell-partitioned index family
@@ -1125,12 +1195,10 @@ object Similarity {
       eligible: Option[org.apache.spark.sql.DataFrame] = None,
       tombstones: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val qprobe = queries.crossJoin(broadcast(centS))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val qprobe = queries.crossJoin(broadcast(centArray(centS)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cluster"))
     val cand = cells.join(broadcast(qprobe), Seq("cluster"))
     // predicate BEFORE ranking (corpus-proportional but id-only:
     // shuffled semi-join, never broadcast)
@@ -1732,12 +1800,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/cells")
     cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
     val centS = s.read.parquet(s"$idxDir/centroids")
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centS))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-      .filter(col("crn") <= ivfProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cluster"))
+    val qprobe = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(centArray(centS)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cluster"))
     val pool = s.read.parquet(s"$idxDir/cells")
       .filter(col("vec_id") >= 10)
       .join(broadcast(qprobe), Seq("cluster"))
@@ -1760,17 +1827,15 @@ object Similarity {
       d: String, probes: Int): org.apache.spark.sql.DataFrame = {
     val truth = annBruteForce.build(s, d).select(col("qid"), col("nid"))
     val e = Tables.embeddings(s, d)
-    val cent = ivfCentroids(e)
-    val scoredCells = e.crossJoin(broadcast(cent))
-      .withColumn("cs", cosine_similarity(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-    val assigned = scoredCells.filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
-    val qprobe = scoredCells.filter(col("vec_id") < 10 && col("crn") <= probes)
+    val centA = centArray(ivfCentroids(e)).localCheckpoint() // train once
+    val assigned = e.filter(col("vec_id") >= 10).crossJoin(broadcast(centA))
+      .withColumn("best", bestCellCol(col("cents"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cluster"))
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(centA))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("cluster"))
-    val approx = assigned.filter(col("vec_id") >= 10)
+        explode(topCellsCol(col("cents"), col("embedding"), probes)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cluster"))
+    val approx = assigned
       .join(broadcast(qprobe), Seq("cluster"))
       .withColumn("cos", cosine_similarity(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(

@@ -486,7 +486,7 @@ object Temporal {
       |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    val stateDir = s.conf.get("graft.index.root", "target/graftindex") +
+    val stateDir = s.conf.get("graft.index.root", "/dev/shm/graftindex") +
       "/e16agg/" + d.replaceAll("[^a-zA-Z0-9]", "_")
     def agg(df: DataFrame): DataFrame = df
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

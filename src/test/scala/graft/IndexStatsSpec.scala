@@ -16,7 +16,7 @@ class IndexStatsSpec extends SparkSpec {
       "cell counts do not partition the corpus")
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
     // every reported cell is a stored centroid id
-    val idxRoot = spark.conf.get("graft.index.root", "target/graftindex")
+    val idxRoot = spark.conf.get("graft.index.root", "/dev/shm/graftindex")
     val cids = spark.read
       .parquet(s"$idxRoot/s11/${sf1.replaceAll("[^a-zA-Z0-9]", "_")}/centroids")
       .select(col("cid")).collect().map(_.getLong(0)).toSet

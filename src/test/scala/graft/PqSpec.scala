@@ -12,9 +12,14 @@ class PqSpec extends SparkSpec {
 
   private lazy val trained = {
     val e = spark.read.parquet(s"$sf2/embeddings.parquet")
-    // same sample sizing as the s07/s08 queries — gate what ships
-    val (codebook, codes) = Similarity.pqTrain(
+    // same sample sizing as the s07/s08 queries — gate what ships.
+    // pqTrain returns codes in the FAISS codes8 layout since the r19
+    // zero-shuffle encode; explode back to (vec_id, sub, cl) rows so
+    // the per-(vector, subspace) gates below read naturally.
+    val (codebook, codes8) = Similarity.pqTrain(
       e, math.max(1L, e.count() / Similarity.pqTrainSample))
+    val codes = codes8.select(col("vec_id"),
+      posexplode(col("codes8")).as(Seq("sub", "cl")))
     (e.count(), codebook.collect(), codes)
   }
 
