@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryEntry, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Clustering operators for the training-data pipeline: connected
   * components over a near-duplicate pair graph (dedup clusters → one
@@ -152,11 +152,82 @@ object Clustering {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
 
-  /** One Lloyd iteration in exact arithmetic: assign each vector to
-    * the nearest centroid (squared-L2 summed in DECIMAL so the argmin
-    * is partitioning-independent), then re-average per (cluster, dim)
-    * via decimal sums. `centroids`: (cl, dim, c). */
-  private def lloydStep(v: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
+  /** Per-row decimal argmin over a broadcast centroid-array row —
+    * lloydStep's assignment without the per-dimension join, the
+    * (vec_id, cl) exchange, or the window (r19; the Similarity
+    * assignment-fold argument applied to the training loop). Decimal
+    * addition is EXACT, so a fixed-order per-row fold produces the
+    * same decimal total as the old sum over exploded (vec, cl, dim)
+    * rows — each per-dim square is cast to DECIMAL(28,18) first,
+    * exactly as before — and the strict `<` fold over a cl-ascending
+    * array is the same winner as ROW_NUMBER ... ORDER BY dist, cl
+    * (the s05/s06 oracles replay the decimal math and re-passed
+    * hash-identical). `cents`: array<struct<cl, cs: array<double>>>,
+    * cl-ascending; `emb`: the vector column (cast per element). */
+  private def nearestDecimal(cents: Column, emb: Column): Column =
+    aggregate(cents,
+      struct(lit(null).cast(DecimalType(28, 18)).as("dist"),
+        lit(-1L).as("cl")),
+      (acc, cc) => {
+        // accumulate AT (28,18): Add((28,18),(28,18)) → (29,18), exact
+        // (scale preserved), and the cast back to (28,18) is lossless
+        // for these magnitudes — a wider accumulator would trip
+        // Spark's precision cap ((38,18)+(28,18) → (38,17), which
+        // ROUNDS the 18th decimal and would drift off the oracle's
+        // exact scale-18 sum
+        val dist = aggregate(
+          zip_with(emb, cc("cs"), (xf, c) => {
+            val x = xf.cast("double")
+            ((x - c) * (x - c)).cast(DecimalType(28, 18))
+          }),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 18)),
+          (a, sq) => (a + sq).cast(DecimalType(28, 18)))
+        when(acc("cl") === -1L || dist < acc("dist"),
+          struct(dist.as("dist"), cc("cl").as("cl"))).otherwise(acc)
+      })("cl")
+
+  /** (cl, dim, c) centroid rows → ONE broadcastable row
+    * (cents: array<struct<cl, cs>>), cl-ascending, dims reassembled
+    * into arrays (dims are unique per cl so both struct sorts are
+    * total). Empty input → zero rows (crossJoin behaves like the old
+    * join-with-empty). */
+  private def centArrayOf(centroids: DataFrame): DataFrame =
+    centroids.groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cl"), col("cs")))).as("cents"))
+      .where(size(col("cents")) > 0)
+
+  /** One Lloyd iteration in exact arithmetic over the ARRAY-form
+    * corpus `base` (vec_id, embedding): assign each vector to the
+    * nearest centroid (squared-L2 summed in DECIMAL so the argmin is
+    * partitioning-independent — see [[nearestDecimal]]), then
+    * re-average per (cluster, dim) via decimal sums. One exchange per
+    * iteration (the mean groupBy); assignment is map-only. The
+    * interpreted decimal fold prices in at ~μs/(vector·centroid), so
+    * this shape is for SAMPLE-bounded training ([[trainCentroids]],
+    * where it removes the per-dim join + two exchanges per
+    * iteration); the full-corpus demonstration entry (s05) keeps the
+    * codegen'd exploded-join shape below — measured r19: the fold
+    * over the whole corpus cost more than the exchanges it saved. */
+  private def lloydStep(base: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
+    val assign = base.crossJoin(broadcast(centArrayOf(centroids)))
+      .select(col("vec_id"), col("embedding"),
+        nearestDecimal(col("cents"), col("embedding")).as("cl"))
+    val next = assign
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .groupBy(col("cl"), col("dim"))
+      .agg((sum(col("xf").cast("double").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("c"))
+    (assign.select(col("vec_id"), col("cl")), next)
+  }
+
+  /** s05's full-corpus Lloyd iteration over the per-dim exploded view
+    * `v` (vec_id, dim, x) — the original codegen'd join+aggregate
+    * shape (see [[lloydStep]]'s note on why the corpus-sized pass
+    * stays here). */
+  private def lloydStepExploded(v: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
     val dist = v.join(broadcast(centroids), Seq("dim"))
       .withColumn("sq", ((col("x") - col("c")) * (col("x") - col("c")))
         .cast(DecimalType(28, 18)))
@@ -199,13 +270,12 @@ object Clustering {
       s"trainCentroids: bad k=$k / iters=$iters / sampleMod=$sampleMod")
     val base = if (sampleMod == 1L) e
       else e.filter(col("vec_id") % sampleMod === 0)
-    val v = base
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
     val seedIds = base.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
-    var c = v.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("vec_id").as("cl"), col("dim"), col("x").as("c"))
-    for (_ <- 1 to iters) c = lloydStep(v, c)._2
+    var c = base.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").as("cl"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("cl"), col("dim"), col("xf").cast("double").as("c"))
+    for (_ <- 1 to iters) c = lloydStep(base, c)._2
     // (cl, dim, c) → (cid, array ordered by dim); dims are unique per
     // cluster so the struct sort is total and the order deterministic
     c.groupBy(col("cl"))
@@ -249,8 +319,8 @@ object Clustering {
     val v = exploded(s, d)
     val c0 = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cl"), col("dim"), col("x").as("c"))
-    val (_, c1) = lloydStep(v, c0)
-    val (a2, _) = lloydStep(v, c1)
+    val (_, c1) = lloydStepExploded(v, c0)
+    val (a2, _) = lloydStepExploded(v, c1)
     a2.groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("cluster"))

@@ -902,11 +902,16 @@ object Similarity {
     val pdot = qsub.join(codebook, Seq("sub", "sdim"))
       .groupBy(col("qid"), col("sub"), col("cl"))
       .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"))
-    // broadcast LUT maps (the s07 flattening): per-query pdot, per-cell
-    // cdot, and the global csq — lookups keyed sub·k + code
+    // broadcast LUT maps (the s07 flattening): per-query pdot, and ONE
+    // per-cell relation carrying the cdot map, the cell norm, and the
+    // (cell-independent) csq map — previously three separate broadcast
+    // relations joined one after another; packaging the O(cells) state
+    // into a single broadcast drops two joins (and their AQE
+    // query-stage jobs) from every probe with identical values (r19)
     val pLut = pdot.groupBy(col("qid")).agg(lutArr(col("pdot")).as("pmap"))
-    val cLut = cdot.groupBy(col("cell")).agg(lutArr(col("cdot")).as("cmap"))
-    val sqLut = csq.groupBy().agg(lutArr(col("csq")).as("sqmap"))
+    val cellState = cdot.groupBy(col("cell")).agg(lutArr(col("cdot")).as("cmap"))
+      .join(cnorm, Seq("cell"))
+      .crossJoin(csq.groupBy().agg(lutArr(col("csq")).as("sqmap")))
     // ADC scan restricted to probed cells: ONE row per (query, vector)
     // carrying the vector's 8-code array, scored by three fixed 8-term
     // codegen'd LUT sums — map-only after the broadcast joins, no
@@ -917,10 +922,8 @@ object Similarity {
     val cand = codesArr
       .join(broadcast(probeList), Seq("cell"))
       .join(broadcast(pLut), Seq("qid"))
-      .join(broadcast(cLut), Seq("cell"))
-      .crossJoin(broadcast(sqLut))
+      .join(broadcast(cellState), Seq("cell"))
       .join(broadcast(qc), Seq("qid", "cell"))
-      .join(broadcast(cnorm), Seq("cell"))
       // ‖x̂‖² is a fixed-order double sum that can round to a tiny
       // negative near zero; sqrt would then yield NaN, which Spark
       // sorts ABOVE every double descending — clamp at 0 and rank
