@@ -46,6 +46,45 @@ package graft
   * nonzero, so a broken query can never silently improve the published
   * total. */
 object Bench {
+  /** Entries carried in the FINAL printed JSON line's `queries` map.
+    *
+    * The driver's tail-window parser reads the LAST ~2000 chars of
+    * stdout and parses the last line; the full 215-entry map is ~5.5 KB
+    * and can never fit (rounds 1-3 proved it: `"parsed": null`), which
+    * is why the compact line exists. r19 carried only the five headline
+    * queries, which blinded the driver's round-over-round per-query and
+    * scaling comparison to 210 of 215 entries (VERDICT r19 #2). This
+    * list widens the map to every entry that carries real time — the
+    * five headline queries plus every entry ≥ ~0.75 s in the r19 driver
+    * run, 64 names, ~1.76 KB — while staying inside the window. The
+    * list is STATIC so the 32-core and 8-core driver runs emit the same
+    * keys (a time-ranked dynamic pick would diverge between runs and
+    * break the scaling join). Names are only ever ADDED per the driver
+    * contract; q01–q05 stay first.
+    */
+  val tailQueries: Seq[String] = Seq(
+    "q01_agg_pushdown_sum", "q02_scan_group_agg", "q03_join_agg_topn",
+    "q04_left_join_case_agg", "q05_except_chain_count",
+    "p25_governed_ingest", "s19_ivfpq_append", "s12_ann_ivfpq_persisted",
+    "d20_para_clusters", "s08_ann_ivfpq", "s15_index_compact",
+    "d03_minhash_lsh", "d10_ppjoin_allpairs", "t03_lang_id",
+    "s20_retrieval_pipeline", "d17_paragraph_neardup", "p13_pipeline_full",
+    "s18_index_delete", "s13_ann_filtered_probe", "d19_dup_spans",
+    "s14_ann_persisted_append", "s16_index_drift", "s05_kmeans_train",
+    "t09_tf_cosine_pairs", "s11_ann_persisted", "d23_incremental_minhash",
+    "s06_semantic_dedup", "s03_ann_ivf", "d14_clone_pairs",
+    "l14_row_level_cdf", "s21_recall_eval", "d22_ngram_novelty",
+    "p24_source_overlap", "q44_tpch_q18", "d02_word_jaccard",
+    "q74_bucketed_join", "q24_percentiles", "s07_ann_pq", "q36_hll_sketch",
+    "q31_tpch_q5", "d13_winnowing", "d09_dup_clusters", "d15_containment",
+    "p09_bpe_encode", "q80_recursive_cte", "q52_tpch_q16",
+    "s10_ann_filtered", "s02_ann_lsh", "l04_merge_upsert", "q66_tpch_q21",
+    "q15_shuffled_join_agg", "p08_bpe_train", "q32_correlated_subquery",
+    "q23_tpch_q1", "q57_tpch_q2", "d05_simhash_pairs",
+    "l12_bloom_point_delete", "q65_tpch_q17", "s22_hybrid_search",
+    "d21_entity_resolution", "p12_pipeline_compose", "q42_tpch_q4",
+    "q59_tpch_q8", "p01_decontaminate")
+
   /** Queries whose RUN writes non-trivial data (stored ANN indexes,
     * bucketed tables) — each is followed by an input re-warm. */
   val writesDuringRun: Set[String] = Set(
@@ -156,13 +195,33 @@ object Bench {
       "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}"))
     println(fullLine)
-    // compact, tail-window-sized summary LAST: total + headline queries
-    // (the five reference-shape queries) — this is the line the driver
-    // actually manages to parse
-    val headline = results.filter(_._1.startsWith("q0")).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"n_queries":${results.size},"failed":$failedJson,"detail":"bench_last.json","sf":"$sfDir"}""")
+    // compact, tail-window-sized summary LAST — this is the line the
+    // driver actually manages to parse. Carries `tailQueries` (the
+    // headline five + every entry with real weight, see the scaladoc);
+    // values drop trailing zeros ("0.2" not "0.200") to buy entries.
+    // Defensive truncation keeps the line parseable even if times grow
+    // wide: drop entries from the END of the list (never q01–q05)
+    // until the line fits the 2000-char window with margin.
+    def compactFmt(v: Double): String = {
+      val s = fmt(v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    val byName = results.toMap
+    def tailLine(names: Seq[String]): String = {
+      val qmap = names.flatMap(n => byName.get(n).map(v =>
+        "\"" + n + "\":" + compactFmt(v))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"n_queries":${results.size},"failed":$failedJson,"detail":"bench_last.json","sf":"$sfDir"}"""
+    }
+    var carried = tailQueries
+    var line = tailLine(carried)
+    while (line.length > 1900 && carried.size > 5) {
+      carried = carried.dropRight(1)
+      line = tailLine(carried)
+    }
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -74,23 +74,23 @@ object GraftSession {
     // (a real cluster would use node-local NVMe here)
     val localDir = new java.io.File("/dev/shm/graft-spark")
     localDir.mkdirs()
-    val spark = configure(
-      SparkSession.builder()
+    val base = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName("graft")
         .config("spark.local.dir", localDir.getAbsolutePath)
         .config("spark.sql.shuffle.partitions", cpus)
-        // Floor on SCAN parallelism (guide §6): the test-data parquet
-        // files are single-split (≪ maxPartitionBytes), so without a
-        // floor every CPU-heavy map stage rooted at a scan — trigram
-        // explodes, hashing, decodes — ran in ONE task on a 32-core
-        // box (measured r19: d10's three broadcast subtrees each ~0.5 s
-        // single-task). Keyed to the core count exactly like
-        // shuffle.partitions above, so the driver's lower-core bench
-        // runs scale it down automatically; at production input sizes
-        // the byte-derived split count dominates and the floor is a
-        // no-op.
-        .config("spark.sql.files.minPartitionNum", cpus)
+    // r20: the r19 `spark.sql.files.minPartitionNum = cpus` scan floor
+    // was REMOVED after being measured as a no-op: Spark already
+    // defaults the floor to leafNodeDefaultParallelism (= the local
+    // core count), and the 4 MB filesOpenCostInBytes clamp governs
+    // either way — lineitem sf0.1 scans as 3 splits and documents as
+    // 1 split with AND without the conf (partition counts verified
+    // empirically, OPTIMIZATION_r20.md). The r19 d10 improvement
+    // attributed to it came from the codegen cache + zero-shuffle
+    // work in the same commit; the r19 driver-run q04 elevation
+    // attributed to it did not reproduce under any knob setting
+    // (r9-style environmental blip — see OPTIMIZATION_r20.md).
+    val spark = configure(base
         // The generated-code cache defaults to 100 entries; this
         // engine's 215-entry surface (and any one of its heavy ANN
         // composites alone) produces far more distinct codegen units
