@@ -508,8 +508,190 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** CAST(Σᵢ DECIMAL(28,18)(aᵢ·bᵢ) AS DOUBLE) with the accumulation at
+    * (28,18) — the compiled form of
+    * `aggregate(zip_with(a, b, (x,y) -> CAST(x*y AS DECIMAL(28,18))),
+    *  0 :: DECIMAL(28,18), (acc,v) -> CAST(acc+v AS DECIMAL(28,18)))
+    *  :: DOUBLE`, value- and null-identical (see [[DecimalVecOps.ddot]])
+    * but whole-stage-codegen-friendly: one static call per row instead
+    * of an interpreted nested-HOF tree (guide §4; the r19 NearestCell
+    * lesson — the HOF spelling of THIS expression was measured in r20
+    * and lost ~1–2 s/entry to interpretation + planning). */
+  case class DecimalDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"decimal_dot needs array<float|double>, got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      DecimalVecOps.ddot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Double $r = graft.functions.DecimalVecOps.ddot(
+           |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DecimalDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** The dense subspaces·pqK ADC LUT of one row as ONE compiled
+    * expression: slot sub·pqK+cl = decimal_dot(vec[sub·subDim ..), cs)
+    * (or decimal_dot(cs, cs) when `squared`), dead slots null — the
+    * value-identical compiled form of building the LUT from
+    * per-(sub, cl) grouped decimal sums (the pre-r20 relational shape)
+    * or per-slot HOF folds (measured and rejected, see [[DecimalDot]]).
+    * `left`: the codebook-array row (array<struct<sub, arr:
+    * array<struct<cl: long, cs: array<float|double>>>>>); `right`: the
+    * vector the dot runs against (ignored when `squared`). Slots index
+    * by the entry's OWN cl (the original lutArr semantics); a cl
+    * outside [0, pqK) or a length-mismatched cs yields/stays null. */
+  case class PqLut(left: Expression, right: Expression,
+      subspaces: Int, subDim: Int, pqK: Int, squared: Boolean)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def nullable: Boolean = true
+
+    private def csElem: DataType = left.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("arr").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]("cs")
+      .dataType.asInstanceOf[ArrayType].elementType
+
+    private def vecIsFloat: Boolean =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = left.dataType match {
+        case ArrayType(StructType(Array(
+          StructField("sub", _, _, _),
+          StructField("arr", ArrayType(StructType(Array(
+            StructField("cl", LongType, _, _),
+            StructField("cs", ArrayType(FloatType | DoubleType, _), _, _))), _), _, _))), _) => true
+        case _ => false
+      }
+      val okR = right.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_lut needs (array<struct<sub, arr:array<struct<cl:long, cs:array<float|double>>>>>, " +
+          s"array<float|double>), got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      DecimalVecOps.pqLut(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        subspaces, subDim, pqK, squared, csElem == FloatType, vecIsFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |${ev.value} = graft.functions.DecimalVecOps.pqLut(
+           |  $a, $b, $subspaces, $subDim, $pqK, $squared,
+           |  ${csElem == FloatType}, $vecIsFloat);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqLut =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Per-row decimal argmin over a cl-ascending centroid-array row —
+    * the compiled form of Clustering's `nearestDecimal` fold (squared
+    * L2 per dimension cast to DECIMAL(28,18), accumulated at (28,18),
+    * winner by strict `<` with the fold's exact Kleene-logic quirks —
+    * see [[DecimalVecOps.nearestDecimalCl]]). `left`:
+    * array<struct<cl: long, cs: array<double>>>; `right`: the vector.
+    * Returns the winning cl (−1 over an empty array, matching the
+    * fold's init). */
+  case class NearestDecimal(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def csElem: DataType = left.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("cs").dataType
+      .asInstanceOf[ArrayType].elementType
+
+    private def vecIsFloat: Boolean =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okL = left.dataType match {
+        case ArrayType(StructType(Array(
+          StructField("cl", LongType, _, _),
+          StructField("cs", ArrayType(FloatType | DoubleType, _), _, _))), _) => true
+        case _ => false
+      }
+      val okR = right.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (okL && okR) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_decimal needs (array<struct<cl:long, cs:array<float|double>>>, " +
+          s"array<float|double>), got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      DecimalVecOps.nearestDecimalCl(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], csElem == FloatType, vecIsFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Long $r = graft.functions.DecimalVecOps.nearestDecimalCl(
+           |  $a, $b, ${csElem == FloatType}, $vecIsFloat);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestDecimal =
+      copy(left = newLeft, right = newRight)
+  }
+
   def nearest_cell(cents: Column, emb: Column): Column =
     GraftBridge.column(NearestCell(
+      GraftBridge.expression(cents), GraftBridge.expression(emb)))
+
+  def decimal_dot(a: Column, b: Column): Column =
+    GraftBridge.column(DecimalDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def pq_lut(cbs: Column, vec: Column, subspaces: Int, subDim: Int,
+      pqK: Int, squared: Boolean): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(cbs),
+      GraftBridge.expression(vec), subspaces, subDim, pqK, squared))
+
+  def nearest_decimal(cents: Column, emb: Column): Column =
+    GraftBridge.column(NearestDecimal(
       GraftBridge.expression(cents), GraftBridge.expression(emb)))
 
   def pq_encode8(cbs: Column, emb: Column, subspaces: Int, subDim: Int): Column =
@@ -527,5 +709,150 @@ object VectorFunctions {
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "squared_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** Compiled exact-decimal vector kernels backing [[VectorFunctions]]'s
+  * DecimalDot / PqLut / NearestDecimal — a top-level object so the
+  * generated Java calls the static forwarders directly. Every method
+  * reproduces the value AND null semantics of the Catalyst composition
+  * it replaces, using Spark's own `Decimal` for each double→DECIMAL(28,18)
+  * cast (same shortest-string rounding, same HALF_UP toPrecision) and
+  * exact scale-18 BigDecimal addition (the (29,18)→(28,18) cast-back
+  * only fails on magnitude overflow, mirrored as null). */
+object DecimalVecOps {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.Decimal
+
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** CAST(d AS DECIMAL(28,18)) — null on overflow (unreachable at these
+    * magnitudes; the interpreted Cast under ANSI would raise instead). */
+  private def castD(d: Double): java.math.BigDecimal = {
+    val dec = Decimal(d)
+    if (dec.changePrecision(28, 18)) dec.toJavaBigDecimal else null
+  }
+
+  private val MAX_PREC = 28
+
+  /** Decimal dot product of a[off ..) (lenA elements) against b —
+    * null iff the zip lengths differ, any element is null, or any
+    * cast/accumulation overflows (zip_with + aggregate null
+    * semantics). */
+  private def ddotSlice(a: ArrayData, off: Int, lenA: Int,
+      b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    if (lenA != b.numElements()) return null
+    var acc = java.math.BigDecimal.ZERO.setScale(18)
+    var i = 0
+    while (i < lenA) {
+      if (a.isNullAt(off + i) || b.isNullAt(i)) return null
+      val v = castD(get(a, off + i, aF) * get(b, i, bF))
+      if (v == null) return null
+      acc = acc.add(v)
+      if (acc.precision > MAX_PREC) return null
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  def ddot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double =
+    ddotSlice(a, 0, a.numElements(), b, aF, bF)
+
+  /** The dense subspaces·pqK LUT row: slot sub·pqK+cl =
+    * ddot(vec[sub·subDim ..), cs) (or ddot(cs, cs) when `squared`);
+    * slots without a codebook entry stay null. */
+  def pqLut(cbs: ArrayData, vec: ArrayData, subspaces: Int, subDim: Int,
+      pqK: Int, squared: Boolean, csF: Boolean, vecF: Boolean): ArrayData = {
+    val out = new Array[Any](subspaces * pqK)
+    val n = vec.numElements()
+    var sub = 0
+    while (sub < subspaces) {
+      if (sub < cbs.numElements() && !cbs.isNullAt(sub)) {
+        val entry = cbs.getStruct(sub, 2)
+        if (!entry.isNullAt(1)) {
+          val arr = entry.getArray(1)
+          var k = 0
+          while (k < arr.numElements()) {
+            if (!arr.isNullAt(k)) {
+              val cand = arr.getStruct(k, 2)
+              if (!cand.isNullAt(0) && !cand.isNullAt(1)) {
+                val cl = cand.getLong(0)
+                if (cl >= 0 && cl < pqK) {
+                  val cs = cand.getArray(1)
+                  val v: java.lang.Double =
+                    if (squared) ddotSlice(cs, 0, cs.numElements(), cs, csF, csF)
+                    else {
+                      val off = sub * subDim
+                      val sliceLen = math.max(0, math.min(subDim, n - off))
+                      ddotSlice(vec, off, sliceLen, cs, vecF, csF)
+                    }
+                  out(sub * pqK + cl.toInt) = v
+                }
+              }
+            }
+            k += 1
+          }
+        }
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σᵢ DECIMAL(28,18)((aᵢ−bᵢ)²) accumulated at (28,18) — same null
+    * semantics as [[ddotSlice]]. */
+  private def sqDistD(a: ArrayData, b: ArrayData,
+      aF: Boolean, bF: Boolean): java.math.BigDecimal = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = java.math.BigDecimal.ZERO.setScale(18)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = get(a, i, aF) - get(b, i, bF)
+      val v = castD(d * d)
+      if (v == null) return null
+      acc = acc.add(v)
+      if (acc.precision > MAX_PREC) return null
+      i += 1
+    }
+    acc
+  }
+
+  /** Clustering.nearestDecimal's fold, compiled — including its exact
+    * Kleene-logic edge behavior: the condition is
+    * `acc.cl <=> -1 OR dist < acc.dist`, so while acc.cl is the init
+    * −1 ANY candidate wins (even a null-dist one, whose null cl/dist
+    * then stick, because `dist < null` is null and the fold keeps acc);
+    * afterwards a candidate wins only by strict decimal `<`. Both
+    * branches are unreachable on trained centroids — gated by the same
+    * oracles that gated the interpreted fold. Returns the winner's cl,
+    * −1 over an empty array, null if a null-struct/null-cl candidate
+    * won (the fold's null propagation). */
+  def nearestDecimalCl(cents: ArrayData, emb: ArrayData,
+      csF: Boolean, embF: Boolean): java.lang.Long = {
+    var accCl: java.lang.Long = -1L
+    var accDist: java.math.BigDecimal = null
+    var k = 0
+    while (k < cents.numElements()) {
+      // c1 = (acc.cl === -1) — a VALUE test (null acc.cl → null → keep)
+      val c1 = accCl != null && accCl.longValue() == -1L
+      if (cents.isNullAt(k)) {
+        // null struct: its cl and dist are both null; c2 is null
+        if (c1) { accCl = null; accDist = null }
+      } else {
+        val cc = cents.getStruct(k, 2)
+        val dist: java.math.BigDecimal =
+          if (cc.isNullAt(1)) null
+          else sqDistD(emb, cc.getArray(1), embF, csF)
+        val ccCl: java.lang.Long = if (cc.isNullAt(0)) null else cc.getLong(0)
+        val wins = c1 ||
+          (dist != null && accDist != null && dist.compareTo(accDist) < 0)
+        if (wins) { accDist = dist; accCl = ccCl }
+      }
+      k += 1
+    }
+    accCl
   }
 }

@@ -72,13 +72,22 @@ object Clustering {
       // renamed projection rather than .as() aliases — the hop plan is
       // un-checkpointed and alias self-joins trip attribute dedup
       val jump = hop.select(col("node").as("jnode"), col("lbl").as("jlbl"))
-      val next = hop.join(jump, col("lbl") === col("jnode"), "left")
+      // convergence probe rides the checkpoint materialization itself
+      // (observe/CollectMetrics accumulates during the ONE job that
+      // writes the snapshot) — previously a separate filter+limit+count
+      // job per iteration re-scanned the fresh checkpoint (r19 verdict
+      // item 8: fold the probe into the iteration's job count). The
+      // count() fallback keeps the loop correct if a Spark version ever
+      // stops populating observedMetrics off a localCheckpoint job.
+      val nextObs = hop.join(jump, col("lbl") === col("jnode"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
           col("prev"))
-        .localCheckpoint()
-      // convergence probe: any node whose label still shrank?
-      val changed = next.filter(col("lbl") < col("prev")).limit(1).count()
+        .observe(s"cc_changed_$i", count(when(col("lbl") < col("prev"), lit(1))))
+      val next = nextObs.localCheckpoint()
+      val changed = nextObs.queryExecution.observedMetrics
+        .get(s"cc_changed_$i").map(_.getLong(0))
+        .getOrElse(next.filter(col("lbl") < col("prev")).limit(1).count())
       // the superseded snapshot's blocks are dead the moment `next`
       // materializes — free them NOW: Spark itself only releases
       // checkpoint blocks on GC (ContextCleaner), so a long closure
@@ -165,26 +174,14 @@ object Clustering {
     * hash-identical). `cents`: array<struct<cl, cs: array<double>>>,
     * cl-ascending; `emb`: the vector column (cast per element). */
   private def nearestDecimal(cents: Column, emb: Column): Column =
-    aggregate(cents,
-      struct(lit(null).cast(DecimalType(28, 18)).as("dist"),
-        lit(-1L).as("cl")),
-      (acc, cc) => {
-        // accumulate AT (28,18): Add((28,18),(28,18)) → (29,18), exact
-        // (scale preserved), and the cast back to (28,18) is lossless
-        // for these magnitudes — a wider accumulator would trip
-        // Spark's precision cap ((38,18)+(28,18) → (38,17), which
-        // ROUNDS the 18th decimal and would drift off the oracle's
-        // exact scale-18 sum
-        val dist = aggregate(
-          zip_with(emb, cc("cs"), (xf, c) => {
-            val x = xf.cast("double")
-            ((x - c) * (x - c)).cast(DecimalType(28, 18))
-          }),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 18)),
-          (a, sq) => (a + sq).cast(DecimalType(28, 18)))
-        when(acc("cl") === -1L || dist < acc("dist"),
-          struct(dist.as("dist"), cc("cl").as("cl"))).otherwise(acc)
-      })("cl")
+    // r20: compiled (VectorFunctions.NearestDecimal) — value- and
+    // null-identical to the interpreted fold this replaces (including
+    // its Kleene-logic edge behavior, see DecimalVecOps), but each
+    // per-dim square is cast/accumulated via Spark's own Decimal in
+    // compiled code instead of a nested interpreted lambda tree. The
+    // fold was the dominant single job in every ivfCentroids caller
+    // (~2 s single-task in s08/s12/s19's profile — guide §4).
+    graft.functions.VectorFunctions.nearest_decimal(cents, emb)
 
   /** (cl, dim, c) centroid rows → ONE broadcastable row
     * (cents: array<struct<cl, cs>>), cl-ascending, dims reassembled
@@ -268,8 +265,20 @@ object Clustering {
       sampleMod: Long = 1L): DataFrame = {
     require(k > 0 && iters >= 0 && sampleMod >= 1,
       s"trainCentroids: bad k=$k / iters=$iters / sampleMod=$sampleMod")
+    // Sampled training (r20): hash-repartition the BOUNDED sample
+    // before the Lloyd assignment. The sample rides a handful of scan
+    // splits otherwise (one task owned the whole ~2048-vector decimal
+    // assignment, ~1 s of the s08/s12/s19 profile), and the exchange
+    // it adds is O(sample·dim) bytes — guide §2's trade in the
+    // profitable direction (tiny shuffle for 32× parallelism on the
+    // dominant compute). Deterministic (hash on vec_id) and
+    // result-invariant anyway: the decimal distance sums make the
+    // assignment partitioning-independent by construction. The
+    // unsampled path (s05's full corpus) is untouched — repartitioning
+    // the corpus would be the exact shuffle this file spent r18/r19
+    // removing.
     val base = if (sampleMod == 1L) e
-      else e.filter(col("vec_id") % sampleMod === 0)
+      else e.filter(col("vec_id") % sampleMod === 0).repartition(col("vec_id"))
     val seedIds = base.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     var c = base.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").as("cl"),

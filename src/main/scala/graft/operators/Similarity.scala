@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.XxHash64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (builder brief).
   *
@@ -698,6 +699,52 @@ object Similarity {
       i => element_at(m, i.cast("int")))
   }
 
+  // ── zero-aggregation ADC state (r20 optimization round) ────────────
+  //
+  // The probe's lookup state (cdot/csq/cnorm/qc/pdot) was previously
+  // derived RELATIONALLY: explode centroids and queries to per-dim
+  // rows, join against per-dim codebook rows, and run ~8 tiny
+  // grouped decimal sums — each one an Exchange plus (under AQE) its
+  // own query-stage job, ~20 exchanges per probe over relations that
+  // are all O(k·M·pqK) and corpus-independent (the r19 "not yet
+  // optimized" headline; optimization guide §2.4 remove shuffles
+  // outright). Every one of those sums is a dot product between two
+  // SMALL per-row arrays that already ride the broadcast centArray /
+  // codebookArray rows — so, exactly like the r19 assignment folds,
+  // the state now derives per ROW through two compiled expressions
+  // (VectorFunctions.DecimalDot / PqLut): zero explodes, zero joins,
+  // zero aggregations, zero exchanges. A higher-order-function fold
+  // spelling of the same state was built and MEASURED first (this
+  // round): oracle-identical, but s12/s19 ran ~1–2 s SLOWER than the
+  // relational shape — interpreted evaluation plus per-query-stage
+  // planning of the nested lambda trees cost more than the ~20 tiny
+  // exchanges they removed (the same negative result r19 recorded for
+  // the assignment fold, which is why these are compiled expressions).
+  //
+  // Bit parity: each slot is Σ DECIMAL(28,18)(aᵢ·bᵢ) accumulated AT
+  // (28,18) — Add gives (29,18), exact, and the cast back is lossless
+  // at these magnitudes (the Clustering.nearestDecimal recipe). The
+  // relational sum() accumulated the SAME addends at (38,18), also
+  // exact, so both totals are the same rational number and cast to
+  // the same double. All consumers (s08/s12/s19 + s07 and their
+  // dependents) re-passed the DuckDB oracle hash-identical on
+  // sf0.001 AND sf0.01.
+
+  /** Exact-decimal dot product — compiled
+    * CAST(Σ_i DECIMAL(28,18)(a_i·b_i) AS DOUBLE), the identical
+    * addends the old `sum((a*b).cast(DECIMAL(28,18)))` aggregates
+    * saw (elements widen to double first; exact for float input). */
+  private def ddot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.decimal_dot(a, b)
+
+  /** Dense M·k ADC LUT (the [[lutArr]] layout: slot sub·pqK+cl, dead
+    * slots null) built per ROW against the broadcast codebook-array
+    * row `cbs`: slot value = ddot(vec slice, cs), or ddot(cs, cs)
+    * when `squared`. One compiled per-row call. */
+  private def lutOf(cbs: Column, vec: Column, squared: Boolean): Column =
+    graft.functions.VectorFunctions.pq_lut(
+      cbs, vec, pqSubspaces, pqSubDim, pqK, squared)
+
   /** Product-quantization ANN (s07) — the compressed-scan scale path:
     * the ADC (asymmetric distance computation) phase ranks the corpus
     * touching ONLY the 8-byte PQ codes plus a broadcast per-query
@@ -727,20 +774,20 @@ object Similarity {
   val annPq: QueryEntry = QueryEntry(
     "s07_ann_pq", IvfOracle.pqProbeOracle
   ) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
     val e = Tables.embeddings(s, d)
     // footer-only count (aggregate pushdown) sizing the training sample
     val (codebook, codes) = pqTrain(e, math.max(1L, e.count() / pqTrainSample))
-    // per-(query, sub, centroid) partial dot + centroid sq-norm:
-    // O(queries·M·k) rows, broadcastable by construction
-    val pdot = subExploded(e.filter(col("vec_id") < 10))
-      .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
-      .join(codebook, Seq("sub", "sdim"))
-      .groupBy(col("qid"), col("sub"), col("cl"))
-      .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"),
-        sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
-    val lut = pdot.groupBy(col("qid"))
-      .agg(lutArr(col("pdot")).as("pmap"), lutArr(col("csq")).as("qmap"))
+    // per-query LUTs — pmap(sub·k+cl) = dot(q|sub, centroid),
+    // qmap(sub·k+cl) = ‖centroid‖² — in ONE map pass per query row
+    // against the one-row broadcast codebook array: zero joins, zero
+    // aggregations (see the zero-aggregation ADC note; previously a
+    // per-dim codebook join + two grouped decimal sums + a lutArr
+    // groupBy — 3 exchanges)
+    val lut = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(codebookArray(pqCodebookArrays(codebook))))
+      .select(col("vec_id").as("qid"),
+        lutOf(col("cbs"), col("embedding"), squared = false).as("pmap"),
+        lutOf(col("cbs"), col("embedding"), squared = true).as("qmap"))
     val cand = codes.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(lut))
       .withColumn("ascore", lutSum(col("pmap")) / sqrt(lutSum(col("qmap"))))
@@ -872,67 +919,50 @@ object Similarity {
       cent: org.apache.spark.sql.DataFrame,
       codebook: org.apache.spark.sql.DataFrame,
       codesCell: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    // broadcast lookup state, all decimal-exact:
-    // csq(sub, cl) = ‖centroid‖², cdot(cell, sub, cl) = dot(c_cell, centroid)
-    val cellSub = cent
-      .select(col("cid").as("cell"), posexplode(col("ce")).as(Seq("dim", "cx")))
-      .select(col("cell"), (col("dim") / pqSubDim).cast("int").as("sub"),
-        (col("dim") % pqSubDim).as("sdim"), col("cx"))
-    val cdot = cellSub.join(codebook, Seq("sub", "sdim"))
-      .groupBy(col("cell"), col("sub"), col("cl"))
-      .agg(sum((col("cx") * col("c")).cast(DecimalType(28, 18))).as("cdot"))
-    val csq = codebook.groupBy(col("sub"), col("cl"))
-      .agg(sum((col("c") * col("c")).cast(DecimalType(28, 18))).as("csq"))
-    val cnorm = cellSub.groupBy(col("cell"))
-      .agg(sum((col("cx") * col("cx")).cast(DecimalType(28, 18))).as("cnormsq"))
-    // query side: probed cells, the per-(query, cell) dot(q, c)
-    // scalar, and the cell-independent pdot(qid, sub, cl) table
-    val probeList = e.filter(col("vec_id") < 10)
-      .crossJoin(broadcast(centArray(cent)))
-      .select(col("vec_id").as("qid"),
-        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"))
-      .select(col("qid"), col("pc.cid").as("cell"))
-    val qsub = subExploded(e.filter(col("vec_id") < 10))
-      .select(col("vec_id").as("qid"), col("sub"), col("sdim"), col("x").as("qx"))
-    val qc = qsub.join(broadcast(probeList), Seq("qid"))
-      .join(broadcast(cellSub), Seq("cell", "sub", "sdim"))
-      .groupBy(col("qid"), col("cell"))
-      .agg(sum((col("qx") * col("cx")).cast(DecimalType(28, 18))).as("qc"))
-    val pdot = qsub.join(codebook, Seq("sub", "sdim"))
-      .groupBy(col("qid"), col("sub"), col("cl"))
-      .agg(sum((col("qx") * col("c")).cast(DecimalType(28, 18))).as("pdot"))
-    // broadcast LUT maps (the s07 flattening): per-query pdot, and ONE
-    // per-cell relation carrying the cdot map, the cell norm, and the
-    // (cell-independent) csq map — previously three separate broadcast
-    // relations joined one after another; packaging the O(cells) state
-    // into a single broadcast drops two joins (and their AQE
-    // query-stage jobs) from every probe with identical values (r19)
-    val pLut = pdot.groupBy(col("qid")).agg(lutArr(col("pdot")).as("pmap"))
-    val cellState = cdot.groupBy(col("cell")).agg(lutArr(col("cdot")).as("cmap"))
-      .join(cnorm, Seq("cell"))
-      .crossJoin(csq.groupBy().agg(lutArr(col("csq")).as("sqmap")))
+    // Per-cell ADC state — cmap(cell, sub·k+cl) = dot(c_cell|sub,
+    // centroid), cnormsq(cell) = ‖c_cell‖², sqmap(sub·k+cl) =
+    // ‖centroid‖² — derived in ONE map pass over the O(k) exploded
+    // broadcast centroid row crossed with the one-row codebook array:
+    // zero joins, zero aggregations (see the zero-aggregation note
+    // above; previously 3 per-dim joins + 5 grouped decimal sums).
+    val cbsA = codebookArray(pqCodebookArrays(codebook))
+    val cellState = centArray(cent).crossJoin(cbsA)
+      .select(explode(col("cents")).as("c"), col("cbs"))
+      .select(col("c.cid").as("cell"),
+        lutOf(col("cbs"), col("c.ce"), squared = false).as("cmap"),
+        ddot(col("c.ce"), col("c.ce")).as("cnormsq"),
+        lutOf(col("cbs"), col("c.ce"), squared = true).as("sqmap"))
+    // Query side, same discipline: per query row, the probed cells
+    // (the centroid vector rides the topCells struct, so qc = dot(q,c)
+    // is a per-row fold too) and the pmap LUT — then ONE tiny join
+    // packs the per-cell state on, so the corpus-side ADC scan pays a
+    // SINGLE broadcast join for all of its lookup state (previously
+    // four: probeList, pLut, cellState, qc).
+    val probeState = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(centArray(cent))).crossJoin(broadcast(cbsA))
+      .select(col("vec_id").as("qid"), col("embedding"),
+        explode(topCellsCol(col("cents"), col("embedding"), ivfProbes)).as("pc"),
+        lutOf(col("cbs"), col("embedding"), squared = false).as("pmap"))
+      .select(col("qid"), col("pc.cid").as("cell"),
+        ddot(col("embedding"), col("pc.ce")).as("qc"), col("pmap"))
+      .join(cellState, Seq("cell"))
     // ADC scan restricted to probed cells: ONE row per (query, vector)
     // carrying the vector's 8-code array, scored by three fixed 8-term
-    // codegen'd LUT sums — map-only after the broadcast joins, no
-    // shuffle, no aggregation (the earlier shape shuffled 8 rows per
-    // (query, vector) into decimal sums for the same
+    // codegen'd LUT sums — map-only after the single broadcast join,
+    // no shuffle, no aggregation (the earlier shape shuffled 8 rows
+    // per (query, vector) into decimal sums for the same
     // partitioning-independence a per-row fixed-order fold gives free)
-    val codesArr = codesCell.filter(col("vec_id") >= 10)
-    val cand = codesArr
-      .join(broadcast(probeList), Seq("cell"))
-      .join(broadcast(pLut), Seq("qid"))
-      .join(broadcast(cellState), Seq("cell"))
-      .join(broadcast(qc), Seq("qid", "cell"))
+    val cand = codesCell.filter(col("vec_id") >= 10)
+      .join(broadcast(probeState), Seq("cell"))
       // ‖x̂‖² is a fixed-order double sum that can round to a tiny
       // negative near zero; sqrt would then yield NaN, which Spark
       // sorts ABOVE every double descending — clamp at 0 and rank
       // degenerate reconstructions last instead of first
       .withColumn("dsq", greatest(lit(0d),
-        col("cnormsq").cast("double") + lit(2) * lutSum(col("cmap")) +
+        col("cnormsq") + lit(2) * lutSum(col("cmap")) +
           lutSum(col("sqmap"))))
       .withColumn("ascore", when(col("dsq") > 0d,
-        (col("qc").cast("double") + lutSum(col("pmap"))) / sqrt(col("dsq")))
+        (col("qc") + lutSum(col("pmap"))) / sqrt(col("dsq")))
         .otherwise(lit(Double.MinValue)))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id"))))
