@@ -175,7 +175,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // estimate Jaccard from signature agreement, keep plausible pairs
+    // estimate Jaccard from signature agreement, keep plausible pairs.
+    // localCheckpoint (r20): the relation is referenced three times
+    // below (candDocs, the common-count join, the final left join) and
+    // each reference otherwise re-runs the banded self-join + est
+    // screen; it is bounded by band collisions (pairs, not corpus). */
     val plausible = cand
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga"), col("n").as("na")), "a_id")
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb"), col("n").as("nb")), "b_id")
@@ -183,6 +187,7 @@ object Dedup {
         size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)")).cast("double") / nSig)
       .filter(col("est") >= 0.25)
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .localCheckpoint()
     // exact verification restricted to the PLAUSIBLE PAIRS themselves:
     // expand each pair to its left doc's shingles (Σ|sh(a)| rows over
     // plausible pairs), then count which of those shingles the right
@@ -196,7 +201,14 @@ object Dedup {
     val candDocs = plausible.select(col("a_id").as("doc_id"))
       .union(plausible.select(col("b_id").as("doc_id")))
       .distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"))
+    // r20: shingle only the CANDIDATE documents for verification — the
+    // old `sh.join(candDocs)` joined after the explode, so the split +
+    // distinct + shingle explode ran over the WHOLE corpus a second
+    // time (the sig pass being the first); joining the doc table down
+    // to candidates first makes verification work scale with the
+    // candidate set, not the corpus (guide §1.2 "don't compute things
+    // you throw away")
+    val shc = shinglesOf(docs.join(candDocs, Seq("doc_id")))
     val common = shc.select(col("doc_id").as("a_id"), col("s"))
       .join(plausible.select(col("a_id"), col("b_id")), Seq("a_id"))
       .join(shc.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
@@ -784,14 +796,20 @@ object Dedup {
     // exact-dup collapse: one representative row per distinct digest
     // (the d16 survivor). The groupBy exchanges (digest, key) pairs
     // only; the join brings each winning row's text across once.
+    // (r20 negative result: a localCheckpoint of this collapsed-type
+    // relation — so the verification branch skips the re-chunk — was
+    // measured 0.4 s SLOWER isolated: materializing paragraph text
+    // blocks costs more than recomputing the chunk explode here.)
     val reps = pk.groupBy(col("digest")).agg(min(col("key")).as("key"))
-    val sh = pk.join(reps, Seq("digest", "key"))
+    val rp = pk.join(reps, Seq("digest", "key"))
       .select(col("key"), col("para"))
+    def shingleOf(r: DataFrame): DataFrame = r
       .withColumn("arr", split(col("para"), " "))
       .filter(size(col("arr")) >= 2)
       .select(col("key"), explode(array_distinct(expr(
         "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1), (a, b) -> concat(a, '_', b))")))
         .as("s"))
+    val sh = shingleOf(rp)
     val sig = sh.groupBy(col("key"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
@@ -808,7 +826,9 @@ object Dedup {
       .distinct()
     // signature-agreement estimate prunes the verification set (d03's
     // shape): band collisions admit ~single-band matches, the estimate
-    // keeps only pairs plausibly at the 0.5 report threshold
+    // keeps only pairs plausibly at the 0.5 report threshold.
+    // localCheckpoint (r20): referenced three times below, bounded by
+    // band collisions — same rationale as d03's.
     val plausible = cand
       .join(sig.select(col("key").as("a_key"), col("sig").as("siga"), col("n").as("na")), "a_key")
       .join(sig.select(col("key").as("b_key"), col("sig").as("sigb"), col("n").as("nb")), "b_key")
@@ -816,10 +836,14 @@ object Dedup {
         size(expr("filter(zip_with(siga, sigb, (p, q) -> p = q), v -> v)")).cast("double") / nSig)
       .filter(col("est") >= 0.25)
       .select(col("a_key"), col("b_key"), col("na"), col("nb"))
+      .localCheckpoint()
     val candChunks = plausible.select(col("a_key").as("key"))
       .union(plausible.select(col("b_key").as("key")))
       .distinct()
-    val shc = sh.join(candChunks, Seq("key"))
+    // r20: shingle only the CANDIDATE types for verification (the d03
+    // rationale — the old `sh.join(candChunks)` re-exploded every
+    // type's shingles to keep the candidates' ones)
+    val shc = shingleOf(rp.join(candChunks, Seq("key")))
     val common = shc.select(col("key").as("a_key"), col("s"))
       .join(plausible.select(col("a_key"), col("b_key")), Seq("a_key"))
       .join(shc.select(col("key").as("b_key"), col("s")), Seq("b_key", "s"))
@@ -983,9 +1007,15 @@ object Dedup {
       .withColumn("last", lead(col("w"), dupSpanGram - 1).over(byDocPos))
       .filter(col("last").isNotNull)
       .select(col("doc_id"), col("pos"), col("gram"))
+    // r20: materialized — `capped` feeds BOTH the per-gram df count and
+    // the pair join, and each reference otherwise re-runs the gram
+    // build (a doc-keyed window with 8 lead columns) plus the position
+    // cap window over the whole corpus; the checkpoint holds exactly
+    // the (doc_id, pos, gram) rows the pair join shuffles anyway.
     val capped = grams.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
       .filter(col("rk") <= dupSpanMaxPos).drop("rk")
+      .localCheckpoint()
     val dfg = capped.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2, dupSpanMaxDf))

@@ -94,7 +94,12 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     // per-doc-distinct trigrams map-side (array_distinct before explode):
     // profiles become document-frequency based and the scoring side needs
-    // no extra distinct() shuffle
+    // no extra distinct() shuffle.
+    // (r20 negative result: checkpointing this relation so the profile
+    // and scoring passes share ONE trigram explode measured flat
+    // isolated — materializing the corpus-sized trigram rows costs what
+    // the saved 0.2-corpus training explode saves, and at 100 TB the
+    // materialization is the riskier side. Left as two explodes.)
     val tri = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))).as("tg"))
