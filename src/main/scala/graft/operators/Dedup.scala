@@ -1208,14 +1208,32 @@ object Dedup {
       idx: String, append: Boolean = false): Unit = {
     val nSig = 32
     val mode = if (append) "append" else "overwrite"
+    // Spread the CPU-heavy signature derivation over the session's
+    // cores when the input arrives in FEWER splits than half the
+    // parallelism — the local small-file case, where a one-split scan
+    // otherwise runs the whole shingle+minhash map stage in one task
+    // (guide §2.5 "input skew: … repartition immediately after the
+    // read"); at scale inputs carry enough splits and this is the
+    // identity. The signature relation is COALESCED back to the
+    // input's split count before the writes: the fan-out must not
+    // multiply the index's file count, which every later probe pays
+    // for (guide §6 — the first cut wrote 32× the files and DOUBLED
+    // p25, measured).
+    val inParts = docs.rdd.getNumPartitions
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (inParts * 2 >= target) docs
+      else docs.repartition(target, col("doc_id"))
     // localCheckpoint: the signature table feeds BOTH writes (bands,
     // sigs) — without it the shingle+minhash aggregate runs twice per
     // build. Safe here, unlike the PROBE side: DPP's selective-filter
     // check never looks at the build plan.
-    val hSig = shinglesOf(docs).groupBy(col("doc_id"))
+    val hSig0 = shinglesOf(spread).groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAggregate.minhash_agg(col("s"), nSig).as("sig"),
         count(lit(1)).as("n"))
       .localCheckpoint()
+    val hSig =
+      if (spread eq docs) hSig0 else hSig0.coalesce(math.max(1, inParts))
     bandedOf(hSig, nSig)
       .withColumn("bkt", pmod(col("bh"), lit(32)).cast("int"))
       .write.mode(mode).partitionBy("bkt").parquet(s"$idx/bands")
