@@ -56,6 +56,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Spread a CPU-heavy per-row derivation across the session's cores
+    * when its input arrives in FEWER splits than half the default
+    * parallelism — the local small-file case, where a one-split scan
+    * otherwise runs a whole hashing/shingling map stage in one task
+    * (optimization guide §2.5: "input skew … repartition immediately
+    * after the read"). Decided from the ACTUAL split/block count, so
+    * at scale — where inputs already carry many splits — it is the
+    * identity; hash keys keep the shuffle deterministic under task
+    * retries. Callers that WRITE downstream must size their output
+    * partitioning themselves (see Dedup.buildBandIndex): letting this
+    * fan-out leak into a written layout multiplies file counts. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, keys: _*)
+  }
+
   /** Register all tables as temp views so `spark.sql` works with the same
     * names the DuckDB oracle uses. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -481,7 +481,13 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val kg = Tables.documents(s, d)
+    // spread (r20): the trigram-sha256 map stage ran in one task off
+    // the one-split local scan — and TWICE, because `fps` fed both the
+    // df count and the pair join un-materialized (two 1.3 s single-task
+    // jobs = most of d14's profile). One spread evaluation, one
+    // checkpoint of exactly the (doc_id, fp, pos) rows the joins
+    // shuffle anyway.
+    val kg = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       .withColumn("hs", expr(
@@ -497,6 +503,7 @@ object Dedup {
         (col("nk") < 4 && col("pos") === 0))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("fp"))
       .groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("pos"))
+      .localCheckpoint()
     val keep = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") <= cloneMaxDf)
@@ -570,13 +577,21 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
-    val ws = Tables.documents(s, d)
+    // spread + checkpoint (r20): the trigram-shingle explode ran in one
+    // task off the one-split local scan, and FOUR times — sz, wdf, the
+    // ranked prefix build, and the candidate-restricted verify all read
+    // `ws` un-materialized (four ~0.5 s single-task jobs in the
+    // profile). One spread evaluation, one checkpoint of the narrow
+    // (doc_id, trigram) index rows — the persisted-inverted-index
+    // posture the scaladoc already argues at corpus scale.
+    val ws = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         """zip_with(zip_with(slice(arr, 1, size(arr) - 2), slice(arr, 2, size(arr) - 2),
           |  (a, b) -> concat(a, '_', b)), slice(arr, 3, size(arr) - 2),
           |  (x, c) -> concat(x, '_', c))""".stripMargin))).as("w"))
+      .localCheckpoint()
     val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val wdf = ws.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // global rarity order; per-doc position within it

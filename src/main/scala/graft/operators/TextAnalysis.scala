@@ -280,10 +280,17 @@ object TextAnalysis {
     // explode+aggregate passes over the corpus (r17 profile — the
     // named cause of t09's r16 isolated elevation). At corpus scale
     // this is the persisted-index posture the scaladoc argues anyway.
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // spread (r20): AQE coalesces the small local index to ONE
+    // checkpoint partition, so the corpus-side dot-product join+agg —
+    // t09's whole cost — ran in one task (2.0 s of the 2.9 s profile);
+    // re-spreading the materialized blocks is a tiny shuffle and the
+    // identity at scale (Tables.spread)
+    val tf = Tables.spread(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(),
+      col("doc_id"), col("w"))
     val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
     // the PROBE side is bounded by construction (the scaladoc's PPJoin
     // posture) — broadcast it so the full corpus-side index streams
