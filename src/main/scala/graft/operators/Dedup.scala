@@ -57,8 +57,12 @@ object Dedup {
     // (per-pair set construction dominates there), and it is the
     // formulation that scales out: at real corpus sizes the index join
     // plus a prefix filter (PPJoin-style) bounds the candidate space.
-    val ws = Tables.documents(s, d)
+    // spread + checkpoint (r20): the distinct-word explode fed three
+    // consumers (sizes, probe, stream side) un-materialized, each
+    // evaluation one task off the one-split scan (1.1 s job)
+    val ws = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .localCheckpoint()
     val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // the bounded PROBE side broadcasts (r17): the corpus-side index
     // streams map-side instead of shuffling every (doc, word) row on
@@ -409,7 +413,9 @@ object Dedup {
       |ORDER BY doc_id, fp""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val kg = Tables.documents(s, d)
+    // spread (r20): the sha256 map stage ran in one task off the
+    // one-split local scan (0.9 s of d13's 1.5 s profile)
+    val kg = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       .withColumn("hs", expr(
@@ -647,8 +653,11 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / sa.n >= 0.9
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
-    val ws = Tables.documents(s, d)
+    // spread + checkpoint (r20): same rationale as d02's (1.1 s
+    // single-task explode evaluated per consumer)
+    val ws = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .localCheckpoint()
     val sz = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // the probe side IS the benchmark (tiny by construction) — broadcast
     // it so the corpus-side index streams map-side instead of shuffling
@@ -1142,7 +1151,12 @@ object Dedup {
       |FROM gr JOIN f USING (g)
       |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
   ) { (s, d) =>
-    val g = Tables.documents(s, d)
+    // spread + checkpoint (r20): the gram-sha256 explode ran in one
+    // task off the one-split local scan, TWICE (first-occurrence agg +
+    // the join back read it un-materialized) — two ~0.6 s single-task
+    // jobs in the profile; the checkpoint holds the narrow
+    // (doc_id, digest) rows both consumers shuffle anyway
+    val g = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .withColumn("arr", split(col("text"), " "))
       .filter(size(col("arr")) >= 3)
       // two zip_with folds over pre-shifted slices (the d13 pattern:
@@ -1154,6 +1168,7 @@ object Dedup {
              slice(arr, 3, size(arr) - 2), (ab, c) -> concat(ab, '_', c))""")))
         .as("gram"))
       .select(col("doc_id"), sha2(col("gram"), 256).as("dg"))
+      .localCheckpoint()
     val first = g.groupBy(col("dg")).agg(min(col("doc_id")).as("first_doc"))
     g.join(first, Seq("dg"))
       .groupBy(col("doc_id"))

@@ -1360,7 +1360,12 @@ object Pipeline {
       |FROM o JOIN na ON na.source = o.src_a
       |ORDER BY src_a, src_b""".stripMargin
   ) { (s, d) =>
-    val g = Tables.documents(s, d).select(col("source"),
+    // spread + checkpoint (r20): the 5-gram sha256 explode ran in one
+    // task off the one-split local scan, TWICE (the per-gram source-set
+    // aggregate and the per-source denominator both read `g`
+    // un-materialized — 1.3 + 1.1 s single-task jobs, most of p24's
+    // profile); the checkpoint holds the narrow (source, digest) rows
+    val g = Tables.spread(Tables.documents(s, d), col("doc_id")).select(col("source"),
       explode(when(size(ws) >= 5, expr(
           "zip_with(zip_with(zip_with(zip_with(" +
             "slice(split(text, ' '), 1, size(split(text, ' ')) - 4), " +
@@ -1370,6 +1375,7 @@ object Pipeline {
             "slice(split(text, ' '), 5, size(split(text, ' ')) - 4), (x, e) -> sha2(concat(x, ' ', e), 256))"))
         .otherwise(array().cast("array<string>"))).as("sh"))
       .distinct()
+      .localCheckpoint()
     val bySh = g.groupBy(col("sh"))
       .agg(collect_set(col("source")).as("srcs"))
     val pairs = bySh
