@@ -157,7 +157,12 @@ object Clustering {
   /** Element-exploded embedding view: (vec_id, dim, x) with x the
     * float component widened to double (exact). */
   private def exploded(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    // spread (r20): each of s05's four references to this view (dist +
+    // mean update × 2 Lloyd iterations) ran its per-dim decimal
+    // join+aggregate map stage in one task off the one-split local
+    // scan (two 1.0–1.2 s single-task jobs in the profile); identity
+    // at scale (Tables.spread)
+    Tables.spread(Tables.embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
 
